@@ -1,0 +1,69 @@
+"""Table loaders for the driver-generated parquet star schema.
+
+Tables (TESTDATA.md): region nation customer supplier part orders
+lineitem events documents embeddings — one parquet file per table
+under ``/root/testdata/sf{0.001,0.01,0.1}/``.
+
+Parquet is the engine's native format: columnar, snappy-compressed,
+predicate-pushdown and column-pruning come free from the DataSource
+V2 scan. At 100 TB these would be directory-partitioned datasets;
+the loaders take any path so partitioned layouts work unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor —
+# region/nation are bounded by geography, not by data volume.
+ALWAYS_BROADCAST = {"region", "nation"}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # Parquet TIMESTAMP(NANOS) columns (the events table) surface as
+    # LongType under nanosAsLong; convert to micro-precision timestamps
+    # (truncating division — matches DuckDB's ns→datetime truncation).
+    from pyspark.sql import functions as F  # local import avoids cycle at module load
+    from pyspark.sql import types as T
+
+    ts_nanos_cols = {"ts"} if name == "events" else set()
+    for field in df.schema.fields:
+        if field.name in ts_nanos_cols and isinstance(field.dataType, T.LongType):
+            # Integer `div`, not `/`: float division loses precision on
+            # epoch-nanos magnitudes (2^53 < 1.7e18).
+            df = df.withColumn(
+                field.name, F.timestamp_micros(F.expr(f"{field.name} div 1000"))
+            )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Load every table in the scale-factor directory, keyed by name."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Load all tables and register them as temp views for Spark SQL."""
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables

@@ -1,0 +1,15 @@
+"""Aggregate all query modules into the registry.
+
+Importing this module populates ``QUERIES`` / ``ORACLES`` with every
+named query the engine ships. New operator families register by being
+imported here.
+"""
+
+from __future__ import annotations
+
+from tiki_data_pipeline_spark.plans.registry import ORACLES, QUERIES
+
+# Each import registers its queries via the @query decorator.
+import tiki_data_pipeline_spark.plans.relational  # noqa: F401, E402
+
+__all__ = ["QUERIES", "ORACLES"]

@@ -1,0 +1,45 @@
+"""Query registry.
+
+Every engine query registers here with an optional DuckDB oracle.
+The contract (driver's CORRECTNESS gate):
+
+- the Spark callable takes ``(spark, sf_dir)`` and returns a DataFrame;
+- the oracle is ANSI SQL over the same parquet tables (pre-registered
+  DuckDB views named region/nation/customer/supplier/part/orders/
+  lineitem/events/documents/embeddings);
+- column names must match EXACTLY (the compare sorts columns by name
+  then hashes values), so both sides alias every computed column;
+- floating-point aggregates are rounded on BOTH sides so that
+  summation order (Spark partial aggs vs DuckDB) can't flip low bits;
+- DuckDB's SUM(integer) returns HUGEINT — oracles cast to BIGINT to
+  match Spark's LongType.
+
+Queries with no SQL-expressible oracle (iterative algorithms,
+streaming state) register with ``oracle=None`` and get the driver's
+weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a named query and (optionally) its DuckDB oracle SQL."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
