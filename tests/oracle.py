@@ -58,11 +58,16 @@ def spark_result(df):
     return cols, rows
 
 
+def _sort_key(row):
+    return tuple((v is None, str(v)) for v in row)
+
+
 def normalize(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     sorted_cols = [cols[i] for i in order]
     norm_rows = sorted(
-        tuple(_normalize_cell(row[i]) for i in order) for row in rows
+        (tuple(_normalize_cell(row[i]) for i in order) for row in rows),
+        key=_sort_key,
     )
     return sorted_cols, norm_rows
 

@@ -1,0 +1,335 @@
+"""Reference-shaped inline fixtures (FIXTURES.md §1-3).
+
+The driver's DuckDB oracle only pre-registers the ten driver tables,
+so reference-shaped operators (transform, hierarchy, CDC, upsert)
+are oracle-checked by inlining the SAME fixture rows on both sides:
+
+- Spark gets ``createDataFrame(rows, schema)``;
+- the oracle SQL gets a generated ``WITH <name> AS (SELECT ... FROM
+  (VALUES ...))`` CTE built from the same Python constants.
+
+Fixture content mirrors the reference's own test fixtures
+(reference tests/test_transform_load.py:29-137 archetypes: valid
+nested, valid flat, missing id/name/url, non-digit id, negative
+price, current>original, rating>5, junk seller names, duplicate ids)
+and the category integrity rules (reference tests/verify.py:87-274:
+roots, orphans, a 2-node cycle, placeholder names, duplicate
+category_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# --------------------------------------------------------------------------
+# SQL literal / CTE generation
+
+
+def sql_literal(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(sql_literal(x) for x in v) + "]"
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def values_cte(name: str, columns: list[tuple[str, str]], rows: list[tuple]) -> str:
+    """Build ``name AS (SELECT CAST(..) ... FROM (VALUES ...))`` SQL.
+
+    ``columns`` is [(col_name, duckdb_type)]; explicit CASTs pin the
+    inferred types so all-NULL or mixed-width columns stay stable.
+    """
+    col_names = [c for c, _ in columns]
+    casts = ", ".join(f"CAST({c} AS {t}) AS {c}" for c, t in columns)
+    vals = ",\n    ".join(
+        "(" + ", ".join(sql_literal(v) for v in row) + ")" for row in rows
+    )
+    return (
+        f"{name} AS (\n  SELECT {casts}\n  FROM (VALUES\n    {vals}\n  )"
+        f" AS _t({', '.join(col_names)})\n)"
+    )
+
+
+# --------------------------------------------------------------------------
+# raw_products — dirty, pre-transform (flattened columns; the Spark
+# side rebuilds the reference's nested shape from the same rows).
+
+RAW_PRODUCT_COLUMNS: list[tuple[str, str]] = [
+    ("ingest_order", "INTEGER"),
+    ("product_id", "VARCHAR"),
+    ("name", "VARCHAR"),
+    ("url", "VARCHAR"),
+    ("category_url", "VARCHAR"),
+    ("category_id", "VARCHAR"),
+    ("category_path", "VARCHAR[]"),
+    ("sales_count_raw", "VARCHAR"),
+    ("price_current", "VARCHAR"),
+    ("price_original", "VARCHAR"),
+    ("discount_percent", "DOUBLE"),
+    ("rating_avg", "VARCHAR"),
+    ("rating_count", "VARCHAR"),
+    ("seller_name", "VARCHAR"),
+    ("seller_id", "VARCHAR"),
+    ("seller_official", "BOOLEAN"),
+    ("brand", "VARCHAR"),
+    ("stock_available", "BOOLEAN"),
+    ("stock_status", "VARCHAR"),
+    ("crawled_at", "VARCHAR"),
+]
+
+RAW_PRODUCT_ROWS: list[tuple] = [
+    # 1: valid, nested-dirty: whitespace name, branded prefix, ₫ price, "2k" sales
+    (1, "100001", " Tai nghe   Bluetooth XYZ ", "https://tiki.vn/tai-nghe-p100001",
+     "https://tiki.vn/dien-tu/c1000", "c1000", ["Điện Tử", "Tai nghe"],
+     "2k", "389.000₫", "500.000₫", None, "4.5", "120",
+     "Shop Chính Hãng", "S1", True, "Thương hiệu: Sony", True, "in_stock",
+     "2025-01-15 14:00:00"),
+    # 2: valid, flat-typed
+    (2, "100002", "Áo thun nam", "https://tiki.vn/ao-thun-p100002",
+     "https://tiki.vn/thoi-trang/c2000", "2000", ["Thời Trang"],
+     "500", "150000", "150000", 0.0, "3.8", "45",
+     "ABC Store", "S2", False, "Samsung", True, "in_stock",
+     "2025-01-15T14:30:00"),
+    # 3: "đã bán 1.2k" sales, dotted price
+    (3, "100003", "Nồi chiên không dầu", "https://tiki.vn/noi-chien-p100003",
+     "https://tiki.vn/nha-cua/c3000", "c3000", ["Nhà Cửa", "Bếp"],
+     "đã bán 1.2k", "1.250.000₫", "1.500.000₫", None, "4.9", "2000",
+     "Kitchen Pro", "S3", True, "Philips", True, "limited",
+     "2025-01-16 09:00:00"),
+    # 4: "1.5k" sales
+    (4, "100004", "Sách lập trình", "https://tiki.vn/sach-p100004",
+     "https://tiki.vn/sach/c4000", "c4000", ["Sách"],
+     "1.5k", "95000", "120000", None, "4.7", "310",
+     "BookStore VN", "S4", False, "NXB Trẻ", True, "in_stock",
+     "2025-01-16 10:00:00"),
+    # 5: duplicate of 100001, later crawl — dedup drops it (first wins)
+    (5, "100001", "Tai nghe Bluetooth XYZ (dup)", "https://tiki.vn/tai-nghe-p100001",
+     "https://tiki.vn/dien-tu/c1000", "c1000", ["Điện Tử", "Tai nghe"],
+     "2.1k", "379.000₫", "500.000₫", None, "4.5", "125",
+     "Shop Chính Hãng", "S1", True, "Sony", True, "in_stock",
+     "2025-01-17 14:00:00"),
+    # 6: invalid — non-digit product_id
+    (6, "invalid", "Sản phẩm lỗi", "https://tiki.vn/p-invalid",
+     "https://tiki.vn/dien-tu/c1000", "c1000", [],
+     "10", "5000", "5000", 0.0, "4.0", "3",
+     "Seller X", "S6", False, "BrandX", True, "in_stock",
+     "2025-01-17 15:00:00"),
+    # 7: invalid — empty name
+    (7, "100007", "   ", "https://tiki.vn/p100007",
+     "https://tiki.vn/dien-tu/c1000", "c1000", [],
+     "10", "5000", "6000", None, "4.0", "3",
+     "Seller Y", "S7", False, "BrandY", True, "in_stock",
+     "2025-01-17 16:00:00"),
+    # 8: invalid — negative price
+    (8, "100008", "Giá âm", "https://tiki.vn/p100008",
+     "https://tiki.vn/dien-tu/c1000", "c1000", [],
+     "10", "-5000", "6000", None, "4.0", "3",
+     "Seller Z", "S8", False, "BrandZ", True, "in_stock",
+     "2025-01-17 17:00:00"),
+    # 9: invalid — current > original
+    (9, "100009", "Giá ngược", "https://tiki.vn/p100009",
+     "https://tiki.vn/dien-tu/c1000", "c1000", [],
+     "10", "200000", "100000", None, "4.0", "3",
+     "Seller W", "S9", False, "BrandW", True, "in_stock",
+     "2025-01-17 18:00:00"),
+    # 10: invalid — rating out of [0,5]
+    (10, "100010", "Rating lỗi", "https://tiki.vn/p100010",
+     "https://tiki.vn/dien-tu/c1000", "c1000", [],
+     "10", "50000", "60000", None, "7.5", "3",
+     "Seller V", "S10", False, "BrandV", True, "in_stock",
+     "2025-01-17 19:00:00"),
+    # 11: valid — junk seller (digits-only) nulled, empty brand → null
+    (11, "100011", "Bàn phím cơ", "https://tiki.vn/ban-phim-p100011",
+     "https://tiki.vn/dien-tu/c1000", "c1000", ["Điện Tử", "Phụ kiện"],
+     "85", "990000", "1200000", None, "4.2", "18",
+     "123", "S11", False, "", True, "pre_order",
+     "2025-01-18 08:00:00"),
+    # 12: invalid — bad URL (no scheme)
+    (12, "100012", "URL hỏng", "tiki.vn/p100012",
+     "https://tiki.vn/dien-tu/c1000", "c1000", [],
+     "10", "50000", "60000", None, "4.0", "3",
+     "Seller U", "S12", False, "BrandU", True, "in_stock",
+     "2025-01-18 09:00:00"),
+    # 13: "3m" sales suffix
+    (13, "100013", "Hit quốc dân", "https://tiki.vn/hit-p100013",
+     "https://tiki.vn/thoi-trang/c2000", "c2000", ["Thời Trang"],
+     "3m", "45000", "90000", None, "4.8", "99999",
+     "Mega Shop", "S13", True, "Local Brand", True, "in_stock",
+     "2025-01-18 10:00:00"),
+    # 14: null sales, null original price (discount stays null)
+    (14, "100014", "Hàng mới", "https://tiki.vn/moi-p100014",
+     "https://tiki.vn/nha-cua/c3000", "c3000", ["Nhà Cửa"],
+     None, "75000", None, None, "0", "0",
+     "New Seller", "S14", False, "NoName", False, "out_of_stock",
+     "2025-01-18 11:00:00"),
+]
+
+# Spark-side nested schema mirroring the reference's scraped shape
+# (reference crawl_products_detail.py:835-862).
+RAW_PRODUCT_NESTED_SCHEMA = (
+    "ingest_order int, product_id string, name string, url string,"
+    " category_url string, category_id string, category_path array<string>,"
+    " sales_count string,"
+    " price struct<current_price:string, original_price:string, discount_percent:double>,"
+    " rating struct<average:string, total_reviews:string>,"
+    " seller struct<name:string, seller_id:string, is_official:boolean>,"
+    " brand string,"
+    " stock struct<available:boolean, stock_status:string>,"
+    " crawled_at string"
+)
+
+
+def raw_products_df(spark: SparkSession) -> DataFrame:
+    """Fixture rows in the reference's NESTED shape (pre-flatten)."""
+    nested = [
+        (
+            r[0], r[1], r[2], r[3], r[4], r[5], list(r[6]), r[7],
+            (r[8], r[9], r[10]),
+            (r[11], r[12]),
+            (r[13], r[14], r[15]),
+            r[16],
+            (r[17], r[18]),
+            r[19],
+        )
+        for r in RAW_PRODUCT_ROWS
+    ]
+    return spark.createDataFrame(nested, schema=RAW_PRODUCT_NESTED_SCHEMA)
+
+
+def raw_products_cte() -> str:
+    return values_cte("raw_products", RAW_PRODUCT_COLUMNS, RAW_PRODUCT_ROWS)
+
+
+# --------------------------------------------------------------------------
+# categories — flat hierarchy with roots/orphans/cycle/placeholder/dups
+# (FIXTURES.md §2; reference verify.py:87-274 integrity rules).
+
+CATEGORY_COLUMNS: list[tuple[str, str]] = [
+    ("category_id", "VARCHAR"),
+    ("name", "VARCHAR"),
+    ("url", "VARCHAR"),
+    ("image_url", "VARCHAR"),
+    ("parent_url", "VARCHAR"),
+    ("level", "INTEGER"),
+    ("product_count", "INTEGER"),
+]
+
+_T = "https://tiki.vn"
+
+CATEGORY_ROWS: list[tuple] = [
+    # three roots
+    ("c1000", "Điện Tử", f"{_T}/dien-tu/c1000", f"{_T}/img/c1000.png", None, 0, 120),
+    ("c2000", "Thời Trang", f"{_T}/thoi-trang/c2000", f"{_T}/img/c2000.png", None, 0, 95),
+    ("c3000", "Nhà Cửa", f"{_T}/nha-cua/c3000", "", None, 0, 60),
+    # electronics subtree, depth 4
+    ("c1100", "Âm Thanh", f"{_T}/am-thanh/c1100", f"{_T}/img/c1100.png",
+     f"{_T}/dien-tu/c1000", 1, 45),
+    ("c1110", "Tai Nghe", f"{_T}/tai-nghe/c1110", f"{_T}/img/c1110.png",
+     f"{_T}/am-thanh/c1100", 2, 30),
+    ("c1111", "Tai Nghe Bluetooth", f"{_T}/tai-nghe-bluetooth/c1111", "",
+     f"{_T}/tai-nghe/c1110", 3, 18),
+    ("c1112", "Tai Nghe Có Dây", f"{_T}/tai-nghe-co-day/c1112", f"{_T}/img/c1112.png",
+     f"{_T}/tai-nghe/c1110", 3, 12),
+    # fashion subtree
+    ("c2100", "Áo Nam", f"{_T}/ao-nam/c2100", f"{_T}/img/c2100.png",
+     f"{_T}/thoi-trang/c2000", 1, 40),
+    ("c2110", "Áo Thun", f"{_T}/ao-thun/c2110", f"{_T}/img/c2110.png",
+     f"{_T}/ao-nam/c2100", 2, 25),
+    # placeholder name == category_id (reconciliation target M9)
+    ("c2200", "c2200", f"{_T}/quan-nam/c2200", "", f"{_T}/thoi-trang/c2000", 1, 15),
+    # home subtree (leaf directly under root)
+    ("c3100", "Nhà Bếp", f"{_T}/nha-bep/c3100", f"{_T}/img/c3100.png",
+     f"{_T}/nha-cua/c3000", 1, 22),
+    # orphan: parent url not present in the table
+    ("c9100", "Mồ Côi", f"{_T}/mo-coi/c9100", "", f"{_T}/unknown/c9000", 1, 5),
+    # 2-node cycle (guard test)
+    ("c8001", "Vòng A", f"{_T}/vong-a/c8001", "", f"{_T}/vong-b/c8002", 1, 1),
+    ("c8002", "Vòng B", f"{_T}/vong-b/c8002", "", f"{_T}/vong-a/c8001", 1, 1),
+    # duplicate category_id, different urls (dedup-keep-best: shortest url,
+    # tie → longest name)
+    ("c4000", "Sách", f"{_T}/sach/c4000", f"{_T}/img/c4000.png", None, 0, 33),
+    ("c4000", "Sách Tiếng Việt", f"{_T}/sach-tieng-viet/c4000", "", None, 0, 31),
+    # null category_id (normalization target: derived from url)
+    (None, "Không ID", f"{_T}/khong-id/c5000", "", None, 0, 2),
+]
+
+CATEGORY_SPARK_SCHEMA = (
+    "category_id string, name string, url string, image_url string,"
+    " parent_url string, level int, product_count int"
+)
+
+
+def categories_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(CATEGORY_ROWS, schema=CATEGORY_SPARK_SCHEMA)
+
+
+def categories_cte() -> str:
+    return values_cte("categories", CATEGORY_COLUMNS, CATEGORY_ROWS)
+
+
+# --------------------------------------------------------------------------
+# crawl_history — append-only CDC snapshots (FIXTURES.md §3).
+# ≥3 snapshots for some products (hot-product detection), rows 6-12
+# months old (archival) and >12 months (deletion) relative to the
+# fixed "now" used by retention queries: 2025-01-20 00:00:00.
+
+HISTORY_COLUMNS: list[tuple[str, str]] = [
+    ("history_id", "INTEGER"),
+    ("product_id", "VARCHAR"),
+    ("price", "DOUBLE"),
+    ("original_price", "DOUBLE"),
+    ("discount_percent", "INTEGER"),
+    ("sales_count", "INTEGER"),
+    ("crawled_at", "TIMESTAMP"),
+]
+
+HISTORY_NOW = "2025-01-20 00:00:00"
+
+HISTORY_ROWS: list[tuple] = [
+    # product 100001: 5 price changes in the last 30d → "hot"
+    (1, "100001", 500000.0, 500000.0, 0, 100, "2024-12-28 08:00:00"),
+    (2, "100001", 450000.0, 500000.0, 10, 150, "2025-01-02 08:00:00"),
+    (3, "100001", 430000.0, 500000.0, 14, 180, "2025-01-06 08:00:00"),
+    (4, "100001", 410000.0, 500000.0, 18, 240, "2025-01-10 08:00:00"),
+    (5, "100001", 389000.0, 500000.0, 22, 320, "2025-01-15 08:00:00"),
+    (6, "100001", 399000.0, 500000.0, 20, 380, "2025-01-18 08:00:00"),
+    (18, "100001", 395000.0, 500000.0, 21, 400, "2025-01-19 08:00:00"),
+    # product 100002: stable price, sales drift
+    (7, "100002", 150000.0, 150000.0, 0, 400, "2025-01-05 09:00:00"),
+    (8, "100002", 150000.0, 150000.0, 0, 450, "2025-01-12 09:00:00"),
+    (9, "100002", 150000.0, 150000.0, 0, 500, "2025-01-19 09:00:00"),
+    # product 100003: two snapshots, big flash-sale discount
+    (10, "100003", 1500000.0, 1500000.0, 0, 900, "2025-01-10 10:00:00"),
+    (11, "100003", 1250000.0, 1500000.0, 17, 1200, "2025-01-16 10:00:00"),
+    # product 100004: archival-age rows (6-12 months old) + one recent
+    (12, "100004", 120000.0, 120000.0, 0, 200, "2024-05-15 10:00:00"),
+    (13, "100004", 110000.0, 120000.0, 8, 260, "2024-07-01 10:00:00"),
+    (14, "100004", 95000.0, 120000.0, 21, 310, "2025-01-16 10:00:00"),
+    # product 100013: ancient rows (>12 months → retention delete)
+    (15, "100013", 90000.0, 90000.0, 0, 10, "2023-06-01 10:00:00"),
+    (16, "100013", 80000.0, 90000.0, 11, 2000000, "2023-12-01 10:00:00"),
+    # product never seen in products fixture (referential edge)
+    (17, "999999", 10000.0, 10000.0, 0, 5, "2025-01-15 11:00:00"),
+]
+
+HISTORY_SPARK_SCHEMA = (
+    "history_id int, product_id string, price double, original_price double,"
+    " discount_percent int, sales_count int, crawled_at string"
+)
+
+
+def crawl_history_df(spark: SparkSession) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(HISTORY_ROWS, schema=HISTORY_SPARK_SCHEMA)
+    return df.withColumn("crawled_at", F.to_timestamp("crawled_at"))
+
+
+def crawl_history_cte() -> str:
+    return values_cte("crawl_history", HISTORY_COLUMNS, HISTORY_ROWS)

@@ -1,0 +1,167 @@
+"""Hierarchy / graph operators (SURVEY.md §2.7 G1-G9, J6).
+
+The reference materializes category ancestor paths by walking
+``parent_url`` pointers in Python with a per-miss DB query
+(reference postgres_storage.py:487-562, ≤10 hops, cycle-guarded).
+Here the same fixpoint is an **iterative DataFrame self-join loop**:
+
+- state row per anchor category: (anchor_url, path[], next_parent,
+  visited[]);
+- each iteration joins active rows to the category dim on
+  ``next_parent = url`` and prepends the parent name;
+- cycle guard: stop (don't extend) when the parent is already in
+  ``visited`` — port of the reference's visited-set;
+- hop cap 10 (``len(visited) < 10``) — port of the depth guard.
+
+Scale: category dims are bounded (thousands-to-millions of rows, not
+TBs), so the parent side is broadcast each iteration — no shuffle at
+all; the loop runs ≤9 joins. ``localCheckpoint`` every few
+iterations cuts the growing lineage (risk register SURVEY §7.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+MAX_HOPS = 10  # reference postgres_storage.py:498-507 depth guard
+
+
+def ancestor_paths(categories: DataFrame, checkpoint_every: int = 4) -> DataFrame:
+    """G1 — materialize root→node name paths for every category.
+
+    Returns (url, path array<string>) where path[0] is the highest
+    reachable ancestor's name (the root when the chain is intact;
+    the last known node for orphans; the walk stops on cycles).
+    """
+    parents = F.broadcast(
+        categories.select(
+            F.col("url").alias("p_url"),
+            F.col("name").alias("p_name"),
+            F.col("parent_url").alias("p_parent"),
+        )
+    )
+    state = categories.select(
+        F.col("url").alias("anchor_url"),
+        F.array(F.col("name")).alias("path"),
+        F.col("parent_url").alias("next_parent"),
+        F.array(F.col("url")).alias("visited"),
+    )
+    # len(visited) starts at 1 and grows by 1 per hop → MAX_HOPS-1 joins.
+    for i in range(MAX_HOPS - 1):
+        done = state.filter(F.col("next_parent").isNull())
+        active = state.filter(F.col("next_parent").isNotNull())
+        if active.isEmpty():
+            break
+        joined = active.join(parents, F.col("next_parent") == F.col("p_url"), "left")
+        stop = F.col("p_url").isNull() | F.array_contains(
+            F.col("visited"), F.col("p_url")
+        )
+        stepped = joined.select(
+            "anchor_url",
+            F.when(stop, F.col("path"))
+            .otherwise(F.concat(F.array(F.col("p_name")), F.col("path")))
+            .alias("path"),
+            F.when(stop, F.lit(None).cast("string"))
+            .otherwise(F.col("p_parent"))
+            .alias("next_parent"),
+            F.when(stop, F.col("visited"))
+            .otherwise(F.concat(F.col("visited"), F.array(F.col("p_url"))))
+            .alias("visited"),
+        )
+        state = done.unionByName(stepped)
+        if (i + 1) % checkpoint_every == 0:
+            state = state.localCheckpoint(eager=False)
+    return state.select(F.col("anchor_url").alias("url"), "path")
+
+
+def with_level_pivot(paths: DataFrame, max_levels: int = 5) -> DataFrame:
+    """G5 — level_1..level_N pivot + level + root name
+    (reference postgres_storage.py:726-753)."""
+    out = paths.select(
+        "url",
+        "path",
+        F.size("path").alias("level"),
+        # try_element_at: ANSI mode makes element_at throw past the end;
+        # levels beyond the path depth must be NULL (reference level_1..5).
+        F.try_element_at("path", F.lit(1)).alias("root_category_name"),
+        *[
+            F.try_element_at("path", F.lit(i)).alias(f"level_{i}")
+            for i in range(1, max_levels + 1)
+        ],
+    )
+    return out
+
+
+def with_leaf_flag(categories: DataFrame) -> DataFrame:
+    """J6 — is_leaf = url never referenced as someone's parent_url
+    (reference postgres_storage.py:481,588-589)."""
+    parent_urls = (
+        categories.filter(F.col("parent_url").isNotNull())
+        .select(F.col("parent_url").alias("_pu"))
+        .distinct()
+    )
+    return (
+        categories.join(
+            F.broadcast(parent_urls), F.col("url") == F.col("_pu"), "left"
+        )
+        .withColumn("is_leaf", F.col("_pu").isNull())
+        .drop("_pu")
+    )
+
+
+def missing_parents(categories: DataFrame) -> DataFrame:
+    """G7/D4 — parent_urls referenced but absent from the table
+    (reference tasks/loader.py:62-74)."""
+    referenced = (
+        categories.filter(F.col("parent_url").isNotNull())
+        .select(F.col("parent_url").alias("missing_parent_url"))
+        .distinct()
+    )
+    return referenced.join(
+        categories.select(F.col("url")).distinct(),
+        F.col("missing_parent_url") == F.col("url"),
+        "left_anti",
+    )
+
+
+def repair_paths(
+    paths: DataFrame, known_roots: DataFrame, default_root: str = "Root", max_len: int = 5
+) -> DataFrame:
+    """G6 — ensure a known root at index 0, truncate to ``max_len``
+    (reference validate_category_path.py:24-124: prepend fallback
+    root when the chain didn't reach one, cap at 5 elements)."""
+    roots = F.broadcast(
+        known_roots.select(F.col("name").alias("_root_name")).distinct()
+    )
+    joined = paths.join(
+        roots, F.element_at("path", 1) == F.col("_root_name"), "left"
+    )
+    repaired = F.when(F.col("_root_name").isNotNull(), F.col("path")).otherwise(
+        F.concat(F.array(F.lit(default_root)), F.col("path"))
+    )
+    return joined.select(
+        "url", F.slice(repaired, 1, max_len).alias("repaired_path")
+    )
+
+
+def level_distribution(paths: DataFrame) -> DataFrame:
+    """G9 — node count per path depth
+    (reference build_category_hierarchy.py:127-134)."""
+    return paths.groupBy(F.size("path").alias("level")).agg(
+        F.count(F.lit(1)).alias("n_categories")
+    )
+
+
+def dedup_categories_keep_best(categories: DataFrame) -> DataFrame:
+    """W5 — per category_id keep shortest URL, tie → longest name
+    (reference postgres_storage.py:772-800)."""
+    w = W.partitionBy("category_id").orderBy(
+        F.length("url").asc(), F.length("name").desc(), F.col("url").asc()
+    )
+    return (
+        categories.filter(F.col("category_id").isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -1,0 +1,158 @@
+"""CDC / crawl-history operators (SURVEY.md §2.2 P9, §2.5 W4/W8,
+§2.9 M7/M8, §2.10 T1).
+
+The reference keeps an append-only ``crawl_history`` log and, per
+batch, compares incoming state against the latest stored snapshot
+(reference postgres_storage.py:1250-1512). Batch Spark expression:
+one window over (product_id ORDER BY crawled_at) gives every
+previous-value column in a single shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+# Flash-sale rule (reference postgres_storage.py:1358-1366):
+# discount ≥30% or absolute discount ≥100k VND.
+FLASH_SALE_MIN_PCT = 30
+FLASH_SALE_MIN_AMOUNT = 100_000
+
+
+def latest_per_product(history: DataFrame) -> DataFrame:
+    """W4 — latest snapshot per product (`DISTINCT ON` port,
+    reference postgres_storage.py:1283-1305); deterministic tie-break
+    on history_id."""
+    w = W.partitionBy("product_id").orderBy(
+        F.col("crawled_at").desc(), F.col("history_id").desc()
+    )
+    return (
+        history.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def _chg(cur: Column, prev: Column) -> Column:
+    return F.when(prev.isNotNull(), cur - prev)
+
+
+def with_change_columns(history: DataFrame) -> DataFrame:
+    """P9 + W8 — change columns vs the previous snapshot, plus the
+    reference's crawl_type classification
+    (reference postgres_storage.py:1317-1413):
+
+    - ``price_change`` / ``price_change_percent`` / ``sales_change``
+    - ``is_flash_sale``: discount% ≥ 30 OR discount amount ≥ 100000
+    - ``crawl_type``: first_seen | price_change | sales_change |
+      no_change (price takes precedence over sales, as in the
+      reference's decision order).
+    """
+    w = W.partitionBy("product_id").orderBy(
+        F.col("crawled_at").asc(), F.col("history_id").asc()
+    )
+    prev_price = F.lag("price").over(w)
+    prev_orig = F.lag("original_price").over(w)
+    prev_disc = F.lag("discount_percent").over(w)
+    prev_sales = F.lag("sales_count").over(w)
+    discount_amount = F.col("original_price") - F.col("price")
+    return (
+        history.withColumn("previous_price", prev_price)
+        .withColumn("previous_original_price", prev_orig)
+        .withColumn("previous_discount_percent", prev_disc)
+        .withColumn("previous_sales_count", prev_sales)
+        .withColumn("price_change", F.round(_chg(F.col("price"), prev_price), 2))
+        .withColumn(
+            "price_change_percent",
+            F.when(
+                prev_price.isNotNull() & (prev_price > 0),
+                F.round((F.col("price") - prev_price) / prev_price * 100, 2),
+            ),
+        )
+        .withColumn("sales_change", _chg(F.col("sales_count"), prev_sales))
+        .withColumn("discount_amount", F.round(discount_amount, 2))
+        .withColumn(
+            "is_flash_sale",
+            (F.col("discount_percent") >= FLASH_SALE_MIN_PCT)
+            | (discount_amount >= FLASH_SALE_MIN_AMOUNT),
+        )
+        .withColumn(
+            "crawl_type",
+            F.when(prev_price.isNull(), "first_seen")
+            .when(F.col("price") != prev_price, "price_change")
+            .when(F.col("sales_count") != prev_sales, "sales_change")
+            .otherwise("no_change"),
+        )
+    )
+
+
+def cdc_append_rows(history: DataFrame) -> DataFrame:
+    """M8 — the rows the reference would append: everything except
+    ``no_change`` (reference postgres_storage.py:1382-1413 inserts on
+    change, first-seen, or improvement)."""
+    return with_change_columns(history).filter(F.col("crawl_type") != "no_change")
+
+
+def retention_buckets(history: DataFrame, now: str) -> DataFrame:
+    """M7 — retention policy: keep (<6 months), archive (6-12 months),
+    delete (>12 months) (reference postgres_storage.py:1799-1857).
+
+    At scale the history table is partitioned by month and this
+    becomes partition moves/drops, not row scans.
+    """
+    now_ts = F.lit(now).cast("timestamp")
+    bucket = (
+        F.when(F.col("crawled_at") < now_ts - F.expr("INTERVAL 12 MONTHS"), "delete")
+        .when(F.col("crawled_at") < now_ts - F.expr("INTERVAL 6 MONTHS"), "archive")
+        .otherwise("keep")
+    )
+    return history.withColumn("retention_bucket", bucket)
+
+
+def crawl_priority(
+    products: DataFrame, history: DataFrame, now: str, limit: int = 10
+) -> DataFrame:
+    """T1/P14/J2/W3 — the incremental crawl planner
+    (reference incremental_crawler.py:12-102):
+
+    - price-change count per product in the last 30 days + last crawl
+      time (J2 filtered-join + agg);
+    - priority: 1 = never crawled, 2 = hot (>5 changes), 3 = stale
+      (>24h), 4 = fresh (P14 CASE cascade);
+    - ordered by (priority ASC, change_count DESC, last_crawled ASC
+      NULLS FIRST) with a per-run LIMIT (W3).
+    """
+    now_ts = F.lit(now).cast("timestamp")
+    changed = with_change_columns(history).filter(
+        (F.col("crawl_type") == "price_change")
+        & (F.col("crawled_at") > now_ts - F.expr("INTERVAL 30 DAYS"))
+    )
+    stats = history.groupBy("product_id").agg(
+        F.max("crawled_at").alias("last_crawled_at")
+    )
+    changes = changed.groupBy("product_id").agg(
+        F.count(F.lit(1)).alias("price_change_count")
+    )
+    joined = (
+        products.join(stats, "product_id", "left")
+        .join(changes, "product_id", "left")
+        .withColumn(
+            "price_change_count", F.coalesce(F.col("price_change_count"), F.lit(0))
+        )
+    )
+    priority = (
+        F.when(F.col("last_crawled_at").isNull(), 1)
+        .when(F.col("price_change_count") > 5, 2)
+        .when(F.col("last_crawled_at") < now_ts - F.expr("INTERVAL 24 HOURS"), 3)
+        .otherwise(4)
+    )
+    return (
+        joined.withColumn("priority", priority)
+        .orderBy(
+            F.col("priority").asc(),
+            F.col("price_change_count").desc(),
+            F.col("last_crawled_at").asc_nulls_first(),
+            F.col("product_id").asc(),
+        )
+        .limit(limit)
+    )

@@ -1,0 +1,94 @@
+"""Upsert / MERGE semantics without Delta (SURVEY.md §2.9 M1-M6).
+
+The reference upserts into Postgres with ``INSERT .. ON CONFLICT``
+in two flavors (reference loader.py:232-293, postgres_storage.py:
+980-1012). With no Delta jars in this environment, MERGE is expressed
+as a full-outer join + per-column coalesce + rewrite — the portable
+fallback named in SURVEY §7.3. On a Delta/Iceberg deployment each of
+these maps 1:1 onto ``MERGE INTO``.
+
+Scale: the join shuffles both sides on the key once; with the target
+table bucketed by the merge key the shuffle disappears for the big
+side. Incoming batches are typically small → broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tiki_data_pipeline_spark.functions.scalars import coalesce_nullif
+
+
+def upsert_overwrite(current: DataFrame, incoming: DataFrame, key: str) -> DataFrame:
+    """M1 — ON CONFLICT DO UPDATE SET col = EXCLUDED.col for every
+    column: incoming row wins wholesale (reference loader.py:232-293)."""
+    cols = [c for c in current.columns if c != key]
+    cur = current.select(key, *[F.col(c).alias(f"_old_{c}") for c in cols])
+    inc = incoming.select(key, *[F.col(c).alias(f"_new_{c}") for c in cols])
+    # row-wins semantics: when the incoming side exists, every column
+    # comes from it (including its NULLs) — presence tracked explicitly
+    # because a NULL _new_ column can't distinguish "absent row".
+    inc_present = incoming.select(key).withColumn("_inc", F.lit(True))
+    joined = cur.join(inc, key, "full_outer").join(inc_present, key, "left")
+    picked = [
+        F.when(F.col("_inc").isNotNull(), F.col(f"_new_{c}"))
+        .otherwise(F.col(f"_old_{c}"))
+        .alias(c)
+        for c in cols
+    ]
+    return joined.select(key, *picked)
+
+
+def upsert_preserve_nonnull(
+    current: DataFrame, incoming: DataFrame, key: str, string_cols: list[str]
+) -> DataFrame:
+    """M2 — preserve-on-upsert: only non-empty incoming values replace
+    the stored ones, via ``COALESCE(NULLIF(new,''), old)`` for strings
+    and ``COALESCE(new, old)`` otherwise
+    (reference postgres_storage.py:980-1012, F21 semantics).
+
+    Adds ``is_new`` = row did not exist in ``current``.
+    """
+    cur_cols = [c for c in current.columns if c != key]
+    inc_cols = [c for c in incoming.columns if c != key]
+    cur = current.select(key, *[F.col(c).alias(f"_old_{c}") for c in cur_cols])
+    inc = incoming.select(key, *[F.col(c).alias(f"_new_{c}") for c in inc_cols])
+    old_present = current.select(key).withColumn("_old_present", F.lit(True))
+    joined = cur.join(inc, key, "full_outer").join(old_present, key, "left")
+    out_cols = []
+    for c in cur_cols + [c for c in inc_cols if c not in cur_cols]:
+        new_c = F.col(f"_new_{c}") if c in inc_cols else None
+        old_c = F.col(f"_old_{c}") if c in cur_cols else None
+        if new_c is None:
+            out_cols.append(old_c.alias(c))
+        elif old_c is None:
+            out_cols.append(new_c.alias(c))
+        elif c in string_cols:
+            out_cols.append(coalesce_nullif(new_c, old_c).alias(c))
+        else:
+            out_cols.append(F.coalesce(new_c, old_c).alias(c))
+    return joined.select(
+        key, *out_cols, F.col("_old_present").isNull().alias("is_new")
+    )
+
+
+def insert_if_absent(current: DataFrame, incoming: DataFrame, key: str) -> DataFrame:
+    """M3 — ON CONFLICT DO NOTHING: append only unseen keys
+    (reference postgres_storage.py:1026-1039)."""
+    fresh = incoming.join(current.select(key), key, "left_anti")
+    return current.unionByName(fresh, allowMissingColumns=True)
+
+
+def quality_gated_delete(
+    products: DataFrame, required: list[str] | None = None
+) -> DataFrame:
+    """M5 — flag rows missing seller/brand/rating for deletion; the
+    caller keeps ``quarantined = false`` rows and routes the rest to a
+    quarantine table (reference postgres_storage.py:1667-1797 deletes
+    them; we never destroy rows silently)."""
+    required = required or ["seller_name", "brand", "rating_average"]
+    cond = F.lit(False)
+    for c in required:
+        cond = cond | F.col(c).isNull()
+    return products.withColumn("quarantined", cond)

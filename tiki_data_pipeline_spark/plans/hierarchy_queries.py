@@ -1,0 +1,182 @@
+"""Oracle-checked hierarchy queries (SURVEY.md §2.7) on the inline
+categories fixture. The DuckDB oracle expresses the iterative path
+closure as a recursive CTE with the same visited-set cycle guard and
+10-hop cap, so both engines must agree on orphans and cycles too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tiki_data_pipeline_spark import fixtures as FX
+from tiki_data_pipeline_spark.operators import hierarchy as H
+from tiki_data_pipeline_spark.plans.registry import query
+
+# Recursive walk shared by several oracles: longest cycle-guarded
+# parent chain per anchor url (mirror of hierarchy.ancestor_paths).
+_WALK_SQL = """
+walk AS (
+  SELECT url AS anchor_url, [name] AS path, parent_url AS next_parent, [url] AS visited
+  FROM categories
+  UNION ALL
+  SELECT w.anchor_url, list_prepend(c.name, w.path), c.parent_url,
+         list_append(w.visited, c.url)
+  FROM walk w JOIN categories c ON w.next_parent = c.url
+  WHERE NOT list_contains(w.visited, c.url) AND LEN(w.visited) < 10
+),
+closure AS (
+  SELECT anchor_url AS url, path FROM (
+    SELECT anchor_url, path,
+           ROW_NUMBER() OVER (PARTITION BY anchor_url ORDER BY LEN(path) DESC) AS rn
+    FROM walk
+  ) t WHERE rn = 1
+)
+"""
+
+
+@query(
+    "category_path_closure",
+    oracle=f"""
+    WITH RECURSIVE {FX.categories_cte()},
+    {_WALK_SQL}
+    SELECT url, path FROM closure
+    """,
+)
+def category_path_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 — ancestor-path materialization (cycle-guarded, ≤10 hops)."""
+    return H.ancestor_paths(FX.categories_df(spark))
+
+
+@query(
+    "category_level_pivot",
+    oracle=f"""
+    WITH RECURSIVE {FX.categories_cte()},
+    {_WALK_SQL}
+    SELECT url, path,
+           CAST(LEN(path) AS INTEGER) AS level,
+           path[1] AS root_category_name,
+           path[1] AS level_1, path[2] AS level_2, path[3] AS level_3,
+           path[4] AS level_4, path[5] AS level_5
+    FROM closure
+    """,
+)
+def category_level_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 — level_1..level_5 pivot over the closure paths."""
+    return H.with_level_pivot(H.ancestor_paths(FX.categories_df(spark)))
+
+
+@query(
+    "category_leaf_detection",
+    oracle=f"""
+    WITH {FX.categories_cte()}
+    SELECT url, name,
+           url NOT IN (SELECT DISTINCT parent_url FROM categories
+                       WHERE parent_url IS NOT NULL) AS is_leaf
+    FROM categories
+    """,
+)
+def category_leaf_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 — leaf = never referenced as a parent (anti-join shape)."""
+    return H.with_leaf_flag(FX.categories_df(spark)).select("url", "name", "is_leaf")
+
+
+@query(
+    "category_missing_parents",
+    oracle=f"""
+    WITH {FX.categories_cte()}
+    SELECT DISTINCT parent_url AS missing_parent_url
+    FROM categories
+    WHERE parent_url IS NOT NULL
+      AND parent_url NOT IN (SELECT url FROM categories)
+    """,
+)
+def category_missing_parents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7 — referenced-but-absent parents (backfill targets)."""
+    return H.missing_parents(FX.categories_df(spark))
+
+
+@query(
+    "category_path_repair",
+    oracle=f"""
+    WITH RECURSIVE {FX.categories_cte()},
+    {_WALK_SQL},
+    roots AS (SELECT DISTINCT name FROM categories WHERE parent_url IS NULL)
+    SELECT c.url,
+           (CASE WHEN c.path[1] IN (SELECT name FROM roots) THEN c.path
+                 ELSE list_prepend('Root', c.path) END)[1:5] AS repaired_path
+    FROM closure c
+    """,
+)
+def category_path_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6 — prepend fallback root when the chain missed one; cap at 5."""
+    cats = FX.categories_df(spark)
+    paths = H.ancestor_paths(cats)
+    known_roots = cats.filter(F.col("parent_url").isNull()).select("name")
+    return H.repair_paths(paths, known_roots)
+
+
+@query(
+    "category_level_distribution",
+    oracle=f"""
+    WITH RECURSIVE {FX.categories_cte()},
+    {_WALK_SQL}
+    SELECT CAST(LEN(path) AS INTEGER) AS level, COUNT(*) AS n_categories
+    FROM closure GROUP BY 1
+    """,
+)
+def category_level_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9 — depth histogram of the materialized paths."""
+    return H.level_distribution(H.ancestor_paths(FX.categories_df(spark)))
+
+
+@query(
+    "category_dedup_keep_best",
+    oracle=f"""
+    WITH {FX.categories_cte()}
+    SELECT category_id, name, url FROM (
+      SELECT category_id, name, url,
+             ROW_NUMBER() OVER (
+               PARTITION BY category_id
+               ORDER BY LENGTH(url) ASC, LENGTH(name) DESC, url ASC
+             ) AS rn
+      FROM categories WHERE category_id IS NOT NULL
+    ) t WHERE rn = 1
+    """,
+)
+def category_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 — per category_id keep shortest URL, tie → longest name."""
+    return H.dedup_categories_keep_best(FX.categories_df(spark)).select(
+        "category_id", "name", "url"
+    )
+
+
+@query(
+    "category_product_count_refresh",
+    oracle=f"""
+    WITH {FX.categories_cte()},
+    {FX.raw_products_cte()},
+    product_cats AS (
+      SELECT DISTINCT product_id, category_url FROM raw_products
+      WHERE REGEXP_MATCHES(TRIM(product_id), '^[0-9]+$')
+    )
+    SELECT c.url, c.name,
+           COUNT(DISTINCT p.product_id) AS product_count
+    FROM categories c LEFT JOIN product_cats p ON p.category_url = c.url
+    GROUP BY c.url, c.name
+    """,
+)
+def category_product_count_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4/J1 — aggregate-driven product_count refresh per category."""
+    cats = FX.categories_df(spark)
+    prods = (
+        FX.raw_products_df(spark)
+        .filter(F.trim(F.col("product_id")).rlike(r"^[0-9]+$"))
+        .select("product_id", "category_url")
+        .distinct()
+    )
+    return (
+        cats.join(prods, prods.category_url == cats.url, "left")
+        .groupBy("url", "name")
+        .agg(F.countDistinct("product_id").alias("product_count"))
+    )
