@@ -1,0 +1,209 @@
+"""Deduplication operators for LLM data pipelines: exact, MinHash+LSH,
+SimHash, n-gram Jaccard (BASELINE.json north-star set).
+
+Scale design:
+
+- **Exact** — one hash-groupBy shuffle on the fingerprint; at 100 TB
+  this is the cheapest possible full-dedup (shuffle carries only
+  (hash, doc_id) pairs after map-side projection).
+- **n-gram Jaccard (exact pairs)** — inverted-index join on shingles:
+  only documents sharing ≥1 shingle ever meet, avoiding the O(n²)
+  cross join. Hot shingles create skew → AQE skew-join handles it;
+  a stopword-shingle filter is the escape hatch at extreme scale.
+- **MinHash+LSH** — the scale path: k=16 signatures → b=4 bands of
+  r=4; candidate pairs share a full band (P[collide] = 1-(1-j^4)^4),
+  then exact Jaccard verifies candidates. The band join shuffles only
+  (band_sig, doc_id) pairs — this is what survives 100 TB, because
+  candidate count ≈ true-duplicate count, not n².
+- **SimHash** — 32-bit signature per document in one aggregation;
+  near-dup = Hamming distance ≤ d on signatures (self-join on
+  signature prefix buckets at scale; exact pair scan here).
+
+All hashes derive from md5 (first 15 hex chars → signed bigint) so
+the DuckDB oracle reproduces them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MINHASH_K = 16  # number of hash functions
+LSH_BANDS = 4  # bands of r = K/BANDS rows each
+SIMHASH_BITS = 32
+
+
+def _md5_long(col: Column) -> Column:
+    """First 60 bits of md5 as a non-negative bigint — identical in
+    DuckDB via try_cast('0x' || substring(md5(x),1,15) AS BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per document."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + k) for k in range(n)]
+        ),
+    )
+    return (
+        docs.filter(F.size(toks) >= n)
+        .select(id_col, F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup by normalized-text fingerprint: one survivor
+    (min id) per distinct content + copy count."""
+    fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")))
+    return (
+        docs.select(F.col(id_col), fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("survivor_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def jaccard_pairs(
+    sh: DataFrame, threshold: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for every pair sharing ≥1
+    shingle (inverted-index join, no cross product)."""
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col(id_col).alias("i"), "shingle")
+    b = sh.select(F.col(id_col).alias("j"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = counts.select(F.col(id_col).alias("i"), F.col("n_shingles").alias("n_i"))
+    nb = counts.select(F.col(id_col).alias("j"), F.col("n_shingles").alias("n_j"))
+    jac = F.col("n_common") / (F.col("n_i") + F.col("n_j") - F.col("n_common"))
+    return (
+        common.join(na, "i")
+        .join(nb, "j")
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("i", "j", "jaccard")
+    )
+
+
+def minhash_signatures(sh: DataFrame, k: int = MINHASH_K, id_col: str = "doc_id") -> DataFrame:
+    """k MinHash values per document: min over shingles of
+    md5-derived hash seeded by position."""
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("seed")
+    seeded = sh.select(id_col, "shingle", seeds)
+    h = _md5_long(
+        F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))
+    )
+    return seeded.groupBy(id_col, "seed").agg(F.min(h).alias("minhash"))
+
+
+def lsh_band_signatures(
+    sigs: DataFrame, bands: int = LSH_BANDS, k: int = MINHASH_K, id_col: str = "doc_id"
+) -> DataFrame:
+    """Concatenate each band's r minhashes into one signature string."""
+    rows_per_band = k // bands
+    banded = sigs.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+    return banded.groupBy(id_col, "band").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                lambda s: s.minhash.cast("string"),
+            ),
+            ",",
+        ).alias("band_sig")
+    )
+
+
+def minhash_lsh_near_dups(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    n: int = 3,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Full MinHash+LSH pipeline: shingle → minhash → band → bucket
+    join → exact-Jaccard verification of candidates."""
+    # The shingle set feeds three subtrees (minhash, counts, verify
+    # join); localCheckpoint materializes it once instead of
+    # re-running the explode+distinct per subtree.
+    sh = shingles(docs, n=n, id_col=id_col, text_col=text_col).localCheckpoint()
+    bands_df = lsh_band_signatures(minhash_signatures(sh, k=k, id_col=id_col), bands=bands, k=k, id_col=id_col)
+    left = bands_df.select(F.col(id_col).alias("i"), "band", "band_sig")
+    right = bands_df.select(F.col(id_col).alias("j"), "band", "band_sig")
+    candidates = (
+        left.join(right, ["band", "band_sig"])
+        .filter(F.col("i") < F.col("j"))
+        .select("i", "j")
+        .distinct()
+    )
+    # Exact verification: jaccard over the candidate set only. The
+    # shingle match is an equi-join key (not a post-filter) so Spark
+    # hash-joins instead of nested-looping per candidate pair.
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col(id_col).alias("i"), "shingle")
+    b = sh.select(F.col(id_col).alias("j"), "shingle")
+    common = (
+        candidates.join(a, "i")
+        .join(b, ["j", "shingle"])
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = counts.select(F.col(id_col).alias("i"), F.col("n_shingles").alias("n_i"))
+    nb = counts.select(F.col(id_col).alias("j"), F.col("n_shingles").alias("n_j"))
+    jac = F.col("n_common") / (F.col("n_i") + F.col("n_j") - F.col("n_common"))
+    return (
+        common.join(na, "i")
+        .join(nb, "j")
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("i", "j", "jaccard")
+    )
+
+
+def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """32-bit SimHash per document over distinct lowercase tokens."""
+    toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    tok = docs.select(id_col, F.explode(toks).alias("token"))
+    h = _md5_long(F.col("token"))
+    bit = F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit")
+    expanded = tok.select(id_col, h.alias("h"), bit)
+    # shiftright/shiftleft take a literal shift in the Python API —
+    # use SQL expressions so the shift amount can be the bit column.
+    contrib = F.when(F.expr("shiftright(h, bit) & 1") == 1, 1).otherwise(-1)
+    bitsum = expanded.groupBy(id_col, "bit").agg(F.sum(contrib).alias("s"))
+    bitval = F.when(
+        F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+    ).otherwise(F.lit(0).cast("bigint"))
+    return bitsum.groupBy(id_col).agg(F.sum(bitval).alias("simhash"))
+
+
+def simhash_near_dups(
+    docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Pairs with SimHash Hamming distance ≤ max_hamming.
+
+    Pair generation here is a full self-join (fine to ~10⁴ docs); the
+    100 TB path buckets signatures by 4 prefix blocks (pigeonhole: a
+    ≤3-bit difference leaves ≥1 of 4 blocks identical) before joining.
+    """
+    sigs = simhash_signatures(docs, id_col=id_col, text_col=text_col)
+    a = sigs.select(F.col(id_col).alias("i"), F.col("simhash").alias("sig_i"))
+    b = sigs.select(F.col(id_col).alias("j"), F.col("simhash").alias("sig_j"))
+    ham = F.bit_count(F.col("sig_i").bitwiseXOR(F.col("sig_j")))
+    return (
+        a.join(b, F.col("i") < F.col("j"))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("i", "j", "hamming")
+    )

@@ -27,12 +27,23 @@ from pyspark.sql import functions as F
 MAX_HOPS = 10  # reference postgres_storage.py:498-507 depth guard
 
 
-def ancestor_paths(categories: DataFrame, checkpoint_every: int = 4) -> DataFrame:
+def ancestor_paths(
+    categories: DataFrame,
+    checkpoint_every: int = 4,
+    check_early_exit: bool = False,
+) -> DataFrame:
     """G1 — materialize root→node name paths for every category.
 
     Returns (url, path array<string>) where path[0] is the highest
     reachable ancestor's name (the root when the chain is intact;
     the last known node for orphans; the walk stops on cycles).
+
+    ``check_early_exit`` runs an ``isEmpty`` action per iteration to
+    stop as soon as the frontier drains — each check is a Spark job,
+    so for shallow bounded hierarchies (the common case: hop cap 10)
+    building the full lazy plan and running ONE job is faster.
+    Enable it for hierarchies expected to be much shallower than the
+    cap when iteration cost dominates.
     """
     parents = F.broadcast(
         categories.select(
@@ -48,16 +59,20 @@ def ancestor_paths(categories: DataFrame, checkpoint_every: int = 4) -> DataFram
         F.array(F.col("url")).alias("visited"),
     )
     # len(visited) starts at 1 and grows by 1 per hop → MAX_HOPS-1 joins.
+    # One LEFT join per iteration: rows whose walk has ended carry
+    # next_parent = NULL, which matches no parent row and passes
+    # through unchanged — `state` is referenced exactly once per
+    # iteration, so the logical plan grows linearly (a done/active
+    # filter+union would reference it twice and double the plan per
+    # hop: 2^9 subtrees for Catalyst to analyze).
     for i in range(MAX_HOPS - 1):
-        done = state.filter(F.col("next_parent").isNull())
-        active = state.filter(F.col("next_parent").isNotNull())
-        if active.isEmpty():
+        if check_early_exit and state.filter(F.col("next_parent").isNotNull()).isEmpty():
             break
-        joined = active.join(parents, F.col("next_parent") == F.col("p_url"), "left")
+        joined = state.join(parents, F.col("next_parent") == F.col("p_url"), "left")
         stop = F.col("p_url").isNull() | F.array_contains(
             F.col("visited"), F.col("p_url")
         )
-        stepped = joined.select(
+        state = joined.select(
             "anchor_url",
             F.when(stop, F.col("path"))
             .otherwise(F.concat(F.array(F.col("p_name")), F.col("path")))
@@ -69,9 +84,9 @@ def ancestor_paths(categories: DataFrame, checkpoint_every: int = 4) -> DataFram
             .otherwise(F.concat(F.col("visited"), F.array(F.col("p_url"))))
             .alias("visited"),
         )
-        state = done.unionByName(stepped)
         if (i + 1) % checkpoint_every == 0:
-            state = state.localCheckpoint(eager=False)
+            # eager: truncate lineage AND analysis cost mid-loop
+            state = state.localCheckpoint(eager=True)
     return state.select(F.col("anchor_url").alias("url"), "path")
 
 

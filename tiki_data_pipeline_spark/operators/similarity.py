@@ -1,0 +1,227 @@
+"""Similarity search over embedding columns (BASELINE.json
+north-star: ANN over ``array<float>``).
+
+- ``brute_force_topk`` — exact cosine top-k: broadcast the (small)
+  query set against the full corpus; one pass, no shuffle on the
+  corpus side. The baseline and the recall oracle for ANN variants.
+- ``lsh_bucketed_topk`` — random-hyperplane LSH: 8 deterministic
+  md5-derived hyperplanes → 8-bit bucket; candidates share the
+  query's bucket. At 100 TB the corpus is written bucketed/partitioned
+  by the LSH key, so a query touches 1/256th of the data; here the
+  bucket join expresses the same plan.
+
+All arithmetic in float64 with explicit rounding so the DuckDB oracle
+(list_cosine_similarity) agrees to 6 decimals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_PLANES = 8
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(v: Column) -> Column:
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def as_double(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector."""
+    from pyspark.sql import Window as W
+
+    base = embeddings.select(id_col, as_double(F.col(vec_col)).alias("v"))
+    queries = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+    )
+    pairs = base.join(F.broadcast(queries), F.col(id_col) != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cosine_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    block_size: int = 512,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (i < j, cos ≥ threshold).
+
+    Blocked matrix multiplication: vectors are grouped into blocks,
+    every block pair is one task computing a numpy cosine matrix
+    (Arrow-batched — row-at-a-time higher-order expressions are ~100×
+    slower for all-pairs work). Pair count is O(n²/2) regardless; the
+    100 TB path first partitions by ``lsh_bucket`` so only same-bucket
+    blocks ever meet — identical semantics on surviving pairs.
+    """
+    import pandas as pd
+
+    base = embeddings.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("block", F.floor(F.col("id") / F.lit(block_size)).cast("int"))
+    blocks = base.groupBy("block").agg(
+        F.collect_list(F.struct(F.col("id"), F.col("v"))).alias("items")
+    )
+    a = blocks.select(F.col("block").alias("ba"), F.col("items").alias("items_a"))
+    b = blocks.select(F.col("block").alias("bb"), F.col("items").alias("items_b"))
+    block_pairs = a.join(b, F.col("ba") <= F.col("bb"))
+
+    thr = float(threshold)
+
+    def compute(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out_i, out_j, out_c = [], [], []
+            for _, row in pdf.iterrows():
+                ia = np.array([it["id"] for it in row["items_a"]], dtype=np.int64)
+                ma = np.array([it["v"] for it in row["items_a"]], dtype=np.float64)
+                ib = np.array([it["id"] for it in row["items_b"]], dtype=np.int64)
+                mb = np.array([it["v"] for it in row["items_b"]], dtype=np.float64)
+                na = ma / np.linalg.norm(ma, axis=1, keepdims=True)
+                nb = mb / np.linalg.norm(mb, axis=1, keepdims=True)
+                cos = np.round(na @ nb.T, 4)
+                ii, jj = np.nonzero(cos >= thr)
+                if row["ba"] == row["bb"]:
+                    # same block on both sides: both triangles of the
+                    # matrix describe the same pair — keep i<j only.
+                    keep = ia[ii] < ib[jj]
+                    lo, hi = ia[ii], ib[jj]
+                else:
+                    # disjoint id sets: each pair appears once; order it.
+                    lo = np.minimum(ia[ii], ib[jj])
+                    hi = np.maximum(ia[ii], ib[jj])
+                    keep = np.ones(len(lo), dtype=bool)
+                out_i.append(lo[keep])
+                out_j.append(hi[keep])
+                out_c.append(cos[ii, jj][keep])
+            if out_i:
+                yield pd.DataFrame(
+                    {
+                        "i": np.concatenate(out_i),
+                        "j": np.concatenate(out_j),
+                        "cosine_sim": np.concatenate(out_c),
+                    }
+                )
+
+    return block_pairs.mapInPandas(
+        compute, schema="i long, j long, cosine_sim double"
+    )
+
+
+def _plane_component(plane: Column | int, dim_index: Column) -> Column:
+    """Deterministic pseudo-random hyperplane component in [-1, 1):
+    md5-derived 60-bit value scaled. Reproducible in DuckDB."""
+    p = F.lit(plane) if isinstance(plane, int) else plane
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(p.cast("string"), F.lit("_"), dim_index.cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return h / F.lit(float(2**59)) - 1.0
+
+
+def lsh_bucket(v: Column, n_planes: int = N_PLANES) -> Column:
+    """Random-hyperplane LSH bucket id (0 .. 2^n_planes - 1)."""
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                v,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(v)),
+                    lambda i, _p=p: _plane_component(_p, i),
+                ),
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_bucketed_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_planes: int = N_PLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: top-k by cosine among candidates in the query's LSH bucket."""
+    from pyspark.sql import Window as W
+
+    base = embeddings.select(
+        id_col, as_double(F.col(vec_col)).alias("v")
+    ).withColumn("bucket", lsh_bucket(F.col("v"), n_planes))
+    queries = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), "bucket"
+    )
+    pairs = base.join(
+        F.broadcast(queries), ["bucket"]
+    ).filter(F.col(id_col) != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cosine_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def label_centroid_stats(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label vector stats: count + mean L2 norm (rounded)."""
+    base = embeddings.select(
+        "label", _norm(as_double(F.col(vec_col))).alias("nrm")
+    )
+    return base.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg("nrm"), 4).alias("avg_norm"),
+    )

@@ -1,0 +1,121 @@
+"""Text-analysis operators for LLM data pipelines (BASELINE.json
+north-star: language-ID, quality scoring, token counting, document
+fingerprinting) over the ``documents`` table.
+
+All pure column expressions — at 100 TB these run inside whole-stage
+codegen with no shuffle at all (per-row), except the aggregations the
+caller adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language marker lists for the n-gram/stopword heuristic
+# language ID. Deterministic and fast — NOT a real langid model; the
+# operator contract is "argmax of marker hits with lexicographic
+# tie-break", which is what the oracle checks.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "es": ["el", "la", "de", "que", "y", "en", "un"],
+    "fr": ["le", "la", "les", "et", "est", "une", "dans"],
+    "zh": ["的", "是", "了", "在", "我", "有"],
+}
+
+EN_STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of lowercased text."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def punct_count(text: Column) -> Column:
+    """Count of non-alphanumeric, non-space characters."""
+    return F.length(F.regexp_replace(text, r"[\w\s]", ""))
+
+
+def stopword_count(text: Column, stopwords: list[str] | None = None) -> Column:
+    sw = stopwords or EN_STOPWORDS
+    return F.size(F.filter(tokens(text), lambda t: t.isin(sw)))
+
+
+def quality_numerator_denominator(text: Column) -> tuple[Column, Column]:
+    """Exact-rational quality heuristic in [0,1]:
+
+    0.4·min(tokens,100)/100 + 0.3·(1 − punct/chars)
+    + 0.3·min(10·stopwords, tokens)/tokens
+
+    as the integer fraction
+    num = 4·L·c·t + 300·(c−p)·t + 300·m·c, denom = 1000·c·t
+    with L = min(t,100), m = min(10·s, t), c/t clamped to ≥1.
+
+    Kept in integer space because float ROUND of half-way values like
+    0.84025 is engine-dependent (Spark BigDecimal-half-up vs DuckDB
+    multiply-and-rint) — the oracle and the engine must round
+    identically. Mirrors the reference's weighted completeness idea
+    (data_validator.py:89-123) applied to free text.
+    """
+    t = token_count(text).cast("bigint")
+    c = F.length(text).cast("bigint")
+    p = punct_count(text).cast("bigint")
+    s = stopword_count(text).cast("bigint")
+    tt = F.greatest(t, F.lit(1))
+    cc = F.greatest(c, F.lit(1))
+    big_l = F.least(t, F.lit(100))
+    m = F.least(10 * s, t)
+    num = 4 * big_l * cc * tt + 300 * (cc - p) * tt + 300 * m * cc
+    denom = 1000 * cc * tt
+    return num, denom
+
+
+def _marker_hits(toks: Column, words: list[str]) -> Column:
+    # NB: the lambda must be unary — F.filter treats a second parameter
+    # (even a defaulted one) as the element-index argument.
+    return F.size(F.filter(toks, lambda t: t.isin(words)))
+
+
+def lang_guess(text: Column) -> Column:
+    """Marker-hit argmax language guess, lexicographic tie-break."""
+    toks = tokens(text)
+    best = F.lit(None).cast("string")
+    best_hits = F.lit(-1)
+    for lang in sorted(LANG_MARKERS):
+        hits = _marker_hits(toks, LANG_MARKERS[lang])
+        take = hits > best_hits
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_hits = F.when(take, hits).otherwise(best_hits)
+    return best
+
+
+def fingerprint(text: Column) -> Column:
+    """md5 of whitespace-normalized lowercase text (document identity
+    for exact dedup; F10-style keying)."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))
+
+
+def with_text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    num, denom = quality_numerator_denominator(t)
+    return (
+        docs.withColumn("n_tokens", token_count(t))
+        .withColumn("n_punct", punct_count(t))
+        .withColumn("n_stopwords", stopword_count(t))
+        .withColumn("_qnum", num)
+        .withColumn("_qden", denom)
+        # integer `div` = exact half-up rounding to 4 decimals; the final
+        # division by 10⁴ is exact enough (scaled value ≤ 10000).
+        .withColumn(
+            "quality_score",
+            F.expr("CAST((_qnum * 20000 + _qden) div (2 * _qden) AS DOUBLE) / 10000.0"),
+        )
+        .drop("_qnum", "_qden")
+        .withColumn("lang_guess", lang_guess(t))
+        .withColumn("fingerprint", fingerprint(t))
+    )

@@ -1,0 +1,337 @@
+"""Oracle-checked LLM-data-pipeline queries (BASELINE.json north
+star): text analysis, dedup family, similarity search — over the
+driver's ``documents`` and ``embeddings`` tables.
+
+All hash-derived signatures (minhash/simhash/fingerprints) come from
+md5 so DuckDB reproduces them exactly; all float math is rounded on
+both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tiki_data_pipeline_spark.io import load_table
+from tiki_data_pipeline_spark.operators import dedup as DD
+from tiki_data_pipeline_spark.operators import similarity as SIM
+from tiki_data_pipeline_spark.operators import textstats as TS
+from tiki_data_pipeline_spark.plans.registry import query
+
+# ---------------------------------------------------------------- text stats
+
+_STOPWORDS_SQL = "[" + ", ".join(f"'{w}'" for w in TS.EN_STOPWORDS) + "]"
+
+
+def _markers_sql(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in TS.LANG_MARKERS[lang]) + "]"
+
+
+_LANGS = sorted(TS.LANG_MARKERS)
+
+_HITS_SQL = ",\n".join(
+    f"LEN(list_filter(toks, t -> list_contains({_markers_sql(lang)}, t))) AS h_{lang}"
+    for lang in _LANGS
+)
+_MAX_HITS_SQL = "GREATEST(" + ", ".join(f"h_{lang}" for lang in _LANGS) + ")"
+_LANG_CASE_SQL = (
+    "CASE "
+    + " ".join(f"WHEN h_{lang} = _max_hits THEN '{lang}'" for lang in _LANGS)
+    + " END"
+)
+
+
+@query(
+    "doc_text_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, text, toks, {_HITS_SQL}
+      FROM toks
+    ),
+    base AS (
+      SELECT doc_id,
+        CAST(LEN(toks) AS INTEGER) AS n_tokens,
+        CAST(LENGTH(REGEXP_REPLACE(text, '[\\w\\s]', '', 'g')) AS INTEGER) AS n_punct,
+        CAST(LEN(list_filter(toks, t -> list_contains({_STOPWORDS_SQL}, t))) AS INTEGER)
+          AS n_stopwords,
+        CAST(LENGTH(text) AS INTEGER) AS n_chars,
+        {_MAX_HITS_SQL} AS _max_hits,
+        {_LANG_CASE_SQL} AS lang_guess,
+        md5(trim(REGEXP_REPLACE(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+      FROM hits
+    )
+    SELECT doc_id, n_tokens, n_punct, n_stopwords, lang_guess, fingerprint,
+      CAST((
+        (4 * LEAST(CAST(n_tokens AS BIGINT), 100)
+             * GREATEST(CAST(n_chars AS BIGINT), 1)
+             * GREATEST(CAST(n_tokens AS BIGINT), 1)
+         + 300 * (GREATEST(CAST(n_chars AS BIGINT), 1) - CAST(n_punct AS BIGINT))
+               * GREATEST(CAST(n_tokens AS BIGINT), 1)
+         + 300 * LEAST(10 * CAST(n_stopwords AS BIGINT), CAST(n_tokens AS BIGINT))
+               * GREATEST(CAST(n_chars AS BIGINT), 1)
+        ) * 20000
+        + 1000 * GREATEST(CAST(n_chars AS BIGINT), 1) * GREATEST(CAST(n_tokens AS BIGINT), 1)
+      ) // (2000 * GREATEST(CAST(n_chars AS BIGINT), 1) * GREATEST(CAST(n_tokens AS BIGINT), 1))
+      AS DOUBLE) / 10000.0 AS quality_score
+    FROM base
+    """,
+)
+def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token count / punctuation / stopwords / quality / lang-ID /
+    fingerprint per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TS.with_text_stats(docs).select(
+        "doc_id",
+        "n_tokens",
+        "n_punct",
+        "n_stopwords",
+        "lang_guess",
+        "fingerprint",
+        "quality_score",
+    )
+
+
+# ---------------------------------------------------------------- dedup
+
+@query(
+    "doc_exact_dedup",
+    oracle="""
+    SELECT md5(trim(REGEXP_REPLACE(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+           MIN(doc_id) AS survivor_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the normalized-text fingerprint."""
+    return DD.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+_SHINGLES_SQL = """
+dtoks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+sh0 AS (
+  SELECT doc_id, toks, UNNEST(range(1, len(toks) - 1)) AS i
+  FROM dtoks WHERE len(toks) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM sh0
+),
+sh_counts AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id)
+"""
+
+
+@query(
+    "doc_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    common AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i, j, jaccard FROM (
+      SELECT c.i, c.j,
+             ROUND(c.n_common / CAST(na.n_shingles + nb.n_shingles - c.n_common
+                                     AS DOUBLE), 4) AS jaccard
+      FROM common c
+      JOIN sh_counts na ON na.doc_id = c.i
+      JOIN sh_counts nb ON nb.doc_id = c.j
+    ) t WHERE jaccard >= 0.5
+    """,
+)
+def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs via inverted-index join."""
+    docs = load_table(spark, sf_dir, "documents")
+    # shingles feed 3 subtrees (counts + both join sides): materialize once
+    return DD.jaccard_pairs(DD.shingles(docs).localCheckpoint(), threshold=0.5)
+
+
+@query(
+    "doc_minhash_lsh_near_dup",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    seeded AS (
+      SELECT doc_id, shingle, UNNEST(range(0, {DD.MINHASH_K})) AS seed FROM sh
+    ),
+    mh AS (
+      SELECT doc_id, seed,
+             MIN(try_cast(('0x' || substring(md5(seed::VARCHAR || ':' || shingle), 1, 15))
+                 AS BIGINT)) AS minhash
+      FROM seeded GROUP BY doc_id, seed
+    ),
+    sigs AS (
+      SELECT doc_id, CAST(seed // {DD.MINHASH_K // DD.LSH_BANDS} AS INTEGER) AS band,
+             string_agg(minhash::VARCHAR, ',' ORDER BY seed) AS band_sig
+      FROM mh GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+      FROM sigs a JOIN sigs b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    common AS (
+      SELECT c.i, c.j, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.i
+      JOIN sh sb ON sb.doc_id = c.j AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    )
+    SELECT i, j, jaccard FROM (
+      SELECT c.i, c.j,
+             ROUND(c.n_common / CAST(na.n_shingles + nb.n_shingles - c.n_common
+                                     AS DOUBLE), 4) AS jaccard
+      FROM common c
+      JOIN sh_counts na ON na.doc_id = c.i
+      JOIN sh_counts nb ON nb.doc_id = c.j
+    ) t WHERE jaccard >= 0.7
+    """,
+)
+def doc_minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4 bands) candidate generation with exact
+    Jaccard verification ≥ 0.7 — the scale path for near-dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.minhash_lsh_near_dups(docs, threshold=0.7)
+
+
+@query(
+    "doc_simhash_signatures",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id,
+             UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    hb AS (
+      SELECT doc_id,
+             try_cast(('0x' || substring(md5(token), 1, 15)) AS BIGINT) AS h
+      FROM tok
+    ),
+    bits AS (
+      SELECT doc_id, b,
+             SUM(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM hb, range(0, {DD.SIMHASH_BITS}) t(b)
+      GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << CAST(b AS INTEGER))
+                         ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def doc_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signature per document."""
+    return DD.simhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_simhash_near_dup",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id,
+             UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    hb AS (
+      SELECT doc_id,
+             try_cast(('0x' || substring(md5(token), 1, 15)) AS BIGINT) AS h
+      FROM tok
+    ),
+    bits AS (
+      SELECT doc_id, b,
+             SUM(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM hb, range(0, {DD.SIMHASH_BITS}) t(b)
+      GROUP BY doc_id, b
+    ),
+    sigs AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << CAST(b AS INTEGER))
+                           ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS i, b.doc_id AS j,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def doc_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 3)."""
+    return DD.simhash_near_dups(load_table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+# ---------------------------------------------------------------- similarity
+
+_QUERY_IDS = list(range(10))
+
+
+@query(
+    "embedding_topk_cosine",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e
+          WHERE vec_id IN ({', '.join(map(str, _QUERY_IDS))})),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.qv, e.v), 6) AS cosine_sim
+      FROM q JOIN e ON e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+      FROM scored
+    ) t WHERE rn <= 5
+    """,
+)
+def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for the first 10 query vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.brute_force_topk(emb, _QUERY_IDS, k=5)
+
+
+@query(
+    "embedding_near_dup_pairs",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT i, j, cosine_sim FROM (
+      SELECT a.vec_id AS i, b.vec_id AS j,
+             ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine_sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    ) t WHERE cosine_sim >= 0.45
+    """,
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.45)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.near_dup_pairs(emb, threshold=0.45)
+
+
+@query(
+    "embedding_label_stats",
+    oracle="""
+    WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT label, COUNT(*) AS n_vectors,
+           ROUND(AVG(sqrt(list_sum(list_transform(v, x -> x * x)))), 4) AS avg_norm
+    FROM e GROUP BY label
+    """,
+)
+def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector count + mean L2 norm."""
+    return SIM.label_centroid_stats(load_table(spark, sf_dir, "embeddings"))
+
+
+# ANN via LSH buckets: rows-only (the bucketing is oracle-hostile SQL);
+# recall vs the brute-force baseline is asserted in tests.
+@query("embedding_ann_lsh_topk")
+def embedding_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 within random-hyperplane LSH buckets (scale path)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.lsh_bucketed_topk(emb, _QUERY_IDS, k=5)

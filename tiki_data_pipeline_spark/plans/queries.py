@@ -14,5 +14,6 @@ import tiki_data_pipeline_spark.plans.relational  # noqa: F401, E402
 import tiki_data_pipeline_spark.plans.transform_queries  # noqa: F401, E402
 import tiki_data_pipeline_spark.plans.hierarchy_queries  # noqa: F401, E402
 import tiki_data_pipeline_spark.plans.cdc_queries  # noqa: F401, E402
+import tiki_data_pipeline_spark.plans.llm_queries  # noqa: F401, E402
 
 __all__ = ["QUERIES", "ORACLES"]
