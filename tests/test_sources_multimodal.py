@@ -1,0 +1,108 @@
+"""Tests: file sources (JSON envelope, jsonl, atomic parquet) and
+multimodal plumbing (binary stats, fake decode, frame sampling)."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tiki_data_pipeline_spark.operators import multimodal as MM
+from tiki_data_pipeline_spark.sources import files as FS
+
+
+def test_read_product_envelope(spark, tmp_path):
+    payload = {
+        "total_products": 2,
+        "stats": {"success": "2"},
+        "products": [
+            {"product_id": "1", "name": "A", "price": 100},
+            {"product_id": "2", "name": "B", "price": 200},
+        ],
+    }
+    p = tmp_path / "products.json"
+    p.write_text(json.dumps(payload))
+    df = FS.read_product_envelope(
+        spark, str(p), "product_id string, name string, price bigint"
+    )
+    rows = {r["product_id"]: r["price"] for r in df.collect()}
+    assert rows == {"1": 100, "2": 200}
+
+
+def test_read_jsonl_gzip(spark, tmp_path):
+    p = tmp_path / "docs.jsonl.gz"
+    with gzip.open(p, "wt") as f:
+        for i in range(5):
+            f.write(json.dumps({"id": i, "text": f"doc {i}"}) + "\n")
+    df = FS.read_jsonl(spark, str(p), "id bigint, text string")
+    assert df.count() == 5
+    assert df.filter(F.col("id") == 3).collect()[0]["text"] == "doc 3"
+
+
+def test_write_parquet_atomic_roundtrip(spark, tmp_path):
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    out = str(tmp_path / "out.parquet")
+    FS.write_parquet_atomic(df, out)
+    back = spark.read.parquet(out)
+    assert back.count() == 100
+    assert back.agg(F.sum("v")).collect()[0][0] == 9900
+    # overwrite is atomic-by-commit: second write fully replaces
+    FS.write_parquet_atomic(df.limit(10), out)
+    assert spark.read.parquet(out).count() == 10
+
+
+def test_write_partitioned_prunes(spark, tmp_path):
+    df = spark.range(100).withColumn("part", (F.col("id") % 4).cast("int"))
+    out = str(tmp_path / "partitioned")
+    FS.write_partitioned(df, out, ["part"])
+    assert os.path.isdir(os.path.join(out, "part=0"))
+    pruned = spark.read.parquet(out).filter(F.col("part") == 1)
+    assert pruned.count() == 25
+    # partition filter must reach the scan (pruning, not post-filter)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or "part=1" in plan
+
+
+def test_media_stats(spark):
+    media = MM.synthetic_media(spark, n=12)
+    stats = MM.with_media_stats(media)
+    rows = stats.collect()
+    assert len(rows) == 12
+    for r in rows:
+        assert r["n_bytes"] == len(r["content"])
+        assert len(r["content_md5"]) == 32
+        assert len(r["magic"]) == 8  # 4 bytes hex
+
+
+def test_decode_image_fake(spark):
+    media = MM.synthetic_media(spark, n=12)
+    decoded = MM.decode_image(media, fake=True)
+    rows = decoded.collect()
+    assert {r["media_id"] for r in rows} == {
+        r["media_id"] for r in media.filter(F.col("media_type") == "image").collect()
+    }
+    for r in rows:
+        assert 0 <= r["mean_intensity"] <= 255
+
+
+def test_decode_image_real_raises(spark):
+    media = MM.synthetic_media(spark, n=6)
+    with pytest.raises(Exception, match="NotImplementedError|imaging"):
+        MM.decode_image(media, fake=False).collect()
+
+
+def test_frame_sample(spark):
+    media = MM.synthetic_media(spark, n=12)
+    frames = MM.frame_sample(media, every_ms=1000)
+    per_video = (
+        frames.groupBy("media_id").count().collect()
+    )
+    videos = {r["media_id"]: r["duration_ms"] for r in media.filter(
+        F.col("media_type") == "video").collect()}
+    assert {r["media_id"] for r in per_video} == set(videos)
+    for r in per_video:
+        expected = (videos[r["media_id"]] - 1) // 1000 + 1
+        assert r["count"] == expected

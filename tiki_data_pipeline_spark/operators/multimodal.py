@@ -1,0 +1,123 @@
+"""Multimodal columns (BASELINE.json north-star): image/audio/video
+as opaque ``binary`` columns with typed metadata.
+
+Design for 100 TB: media bytes live in the ``content`` binary column
+(or, above ~1 MB/object, as object-store URIs with content here set
+NULL — the schema carries both). Decode / feature-extract run as
+Arrow-batched ``mapInPandas`` so each task touches a whole batch of
+blobs without per-row Python overhead, and partitioning stays by the
+id key so downstream joins co-locate.
+
+The actual pixel/sample decoding needs imaging/audio libraries that
+are NOT in this environment — ``decode_image`` is therefore a
+clearly-marked stub: real Spark-side plumbing (schema, batching, UDF
+signature), deterministic fake decode behind ``fake=True``, and
+``NotImplementedError`` otherwise.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("uri", T.StringType(), True),  # object-store pointer
+        T.StructField("content", T.BinaryType(), True),  # inline bytes (small)
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+    ]
+)
+
+
+def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
+    """Deterministic fake media fixture: content = repeated md5 bytes
+    keyed by id (seed-free, reproducible everywhere)."""
+    rows = []
+    for i in range(n):
+        blob = (hashlib.md5(f"media-{i}".encode()).digest() * (4 + i % 13))[: 64 + i]
+        kind = ["image", "audio", "video"][i % 3]
+        rows.append(
+            (
+                i,
+                kind,
+                f"s3://bucket/media/{i}",
+                bytearray(blob),
+                64 + i if kind == "image" else None,
+                48 + i if kind == "image" else None,
+                1000 * (i + 1) if kind != "image" else None,
+            )
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def with_media_stats(media: DataFrame) -> DataFrame:
+    """Metadata extraction over the binary column — pure built-ins:
+    byte length, md5 content hash, leading magic bytes."""
+    return (
+        media.withColumn("n_bytes", F.length("content"))
+        .withColumn("content_md5", F.md5("content"))
+        .withColumn("magic", F.hex(F.expr("substring(content, 1, 4)")))
+    )
+
+
+def decode_image(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Image decode → (media_id, height, width, mean_intensity).
+
+    Real decoding requires an imaging library absent from this
+    container — the Spark plumbing (Arrow batch iterator, output
+    schema, id passthrough) is real; the pixel math is a deterministic
+    fake (byte-mean over the blob) behind ``fake=True``.
+    """
+    out_schema = "media_id long, height int, width int, mean_intensity double"
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image decoding requires an imaging library (e.g. Pillow) "
+                    "not available in this environment"
+                )
+            rows = pdf[pdf["media_type"] == "image"]
+            yield pd.DataFrame(
+                {
+                    "media_id": rows["media_id"],
+                    "height": rows["height"].astype("Int32"),
+                    "width": rows["width"].astype("Int32"),
+                    "mean_intensity": [
+                        round(sum(b) / len(b), 4) if b is not None and len(b) else None
+                        for b in rows["content"]
+                    ],
+                }
+            )
+
+    return media.mapInPandas(decode, schema=out_schema)
+
+
+def frame_sample(media: DataFrame, every_ms: int = 1000, fake: bool = True) -> DataFrame:
+    """Video frame sampling stub → one row per sampled frame offset.
+
+    The frame-offset fan-out is real Spark (explode over a computed
+    sequence); grabbing actual frames would need a video library.
+    """
+    if not fake:
+        raise NotImplementedError("video decoding not available in this environment")
+    videos = media.filter(F.col("media_type") == "video")
+    offsets = F.sequence(
+        F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms)
+    )
+    return videos.select(
+        "media_id",
+        F.explode(offsets).alias("frame_offset_ms"),
+    ).withColumn(
+        "frame_key",
+        F.concat(F.col("media_id"), F.lit(":"), F.col("frame_offset_ms")),
+    )

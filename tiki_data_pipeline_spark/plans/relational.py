@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from tiki_data_pipeline_spark.io import load_table
+from tiki_data_pipeline_spark.plans import exactmath as X
 from tiki_data_pipeline_spark.plans.registry import query
 
 
@@ -26,15 +27,15 @@ from tiki_data_pipeline_spark.plans.registry import query
 # n_groups × n_partitions rows regardless of input size: scales to 100 TB.
 @query(
     "q1_pricing_summary",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2)                              AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2)                         AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)      AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           ROUND(AVG(l_quantity), 2)                              AS avg_qty,
-           ROUND(AVG(l_extendedprice), 2)                         AS avg_price,
-           ROUND(AVG(l_discount), 4)                              AS avg_disc,
+           CAST(SUM({X.o_ints('l_quantity')}) AS DOUBLE)          AS sum_qty,
+           CAST(SUM({X.o_cents('l_extendedprice')}) AS DOUBLE) / 100.0 AS sum_base_price,
+           {X.o_div_round(f"SUM({X.o_cents('l_extendedprice')} * (100 - {X.o_hundredths('l_discount')}))", "100", 100)} AS sum_disc_price,
+           {X.o_div_round(f"SUM({X.o_cents('l_extendedprice')} * (100 - {X.o_hundredths('l_discount')}) * (100 + {X.o_hundredths('l_tax')}))", "10000", 100)} AS sum_charge,
+           {X.o_avg_int_2dp('l_quantity')}                        AS avg_qty,
+           {X.o_avg_money_2dp('l_extendedprice')}                 AS avg_price,
+           {X.o_avg_rate_4dp('l_discount')}                       AS avg_disc,
            COUNT(*)                                               AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -42,21 +43,35 @@ from tiki_data_pipeline_spark.plans.registry import query
     """,
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pricing summary report (TPC-H Q1 shape; reference A1/A6 stats blocks)."""
+    """Pricing summary report (TPC-H Q1 shape; reference A1/A6 stats
+    blocks). Money math runs in exact integer cents (see exactmath)."""
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ext_c = X.cents(F.col("l_extendedprice"))
+    d_h = X.hundredths(F.col("l_discount"))
+    t_h = X.hundredths(F.col("l_tax"))
+    q_i = X.ints(F.col("l_quantity"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.sum(q_i).alias("_sq"),
+            F.sum(ext_c).alias("_sbp"),
+            F.sum(ext_c * (100 - d_h)).alias("_sdp"),
+            F.sum(ext_c * (100 - d_h) * (100 + t_h)).alias("_sch"),
+            F.sum(d_h).alias("_sdh"),
             F.count(F.lit(1)).alias("count_order"),
+        )
+        .selectExpr(
+            "l_returnflag",
+            "l_linestatus",
+            "CAST(_sq AS DOUBLE) AS sum_qty",
+            "CAST(_sbp AS DOUBLE) / 100.0 AS sum_base_price",
+            X.div_round_expr("_sdp", "100", 100) + " AS sum_disc_price",
+            X.div_round_expr("_sch", "10000", 100) + " AS sum_charge",
+            X.div_round_expr("_sq * 100", "count_order", 100) + " AS avg_qty",
+            X.div_round_expr("_sbp", "count_order", 100) + " AS avg_price",
+            X.div_round_expr("_sdh * 100", "count_order", 10000) + " AS avg_disc",
+            "count_order",
         )
     )
 
@@ -68,9 +83,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # key on — at scale, bucketing both by orderkey removes that shuffle.
 @query(
     "q5_region_revenue",
-    oracle="""
+    oracle=f"""
     SELECT n_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           {X.o_div_round(f"SUM({X.o_cents('l_extendedprice')} * (100 - {X.o_hundredths('l_discount')}))", "100", 100)} AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -112,10 +127,12 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            F.sum(
+                X.cents(F.col("l_extendedprice"))
+                * (100 - X.hundredths(F.col("l_discount")))
+            ).alias("_sdp")
         )
+        .selectExpr("n_name", X.div_round_expr("_sdp", "100", 100) + " AS revenue")
     )
 
 
@@ -345,12 +362,12 @@ def distinct_suppliers_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 # postgres_storage.py:1716-1732, incremental_crawler.py:113-124).
 @query(
     "order_status_breakdown",
-    oracle="""
+    oracle=f"""
     SELECT o_orderpriority,
            COUNT(*)                                            AS n_orders,
            COUNT(*) FILTER (WHERE o_orderstatus = 'F')         AS n_finished,
            COUNT(*) FILTER (WHERE o_totalprice > 50000)        AS n_large,
-           ROUND(AVG(o_totalprice), 2)                         AS avg_price
+           {X.o_avg_money_2dp('o_totalprice')}                 AS avg_price
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -358,11 +375,21 @@ def distinct_suppliers_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 def order_status_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional aggregation breakdown (reference A4/A5)."""
     orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
-        F.count(F.when(F.col("o_totalprice") > 50000, 1)).alias("n_large"),
-        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+            F.count(F.when(F.col("o_totalprice") > 50000, 1)).alias("n_large"),
+            F.sum(X.cents(F.col("o_totalprice"))).alias("_sc"),
+        )
+        .selectExpr(
+            "o_orderpriority",
+            "n_orders",
+            "n_finished",
+            "n_large",
+            X.div_round_expr("_sc", "n_orders", 100) + " AS avg_price",
+        )
     )
 
 
@@ -370,11 +397,11 @@ def order_status_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 # A6 scalar stat block in one row (reference postgres_storage.py:1621-1642).
 @query(
     "lineitem_stats_block",
-    oracle="""
+    oracle=f"""
     SELECT COUNT(*)                        AS total_rows,
            COUNT(DISTINCT l_partkey)       AS distinct_parts,
            COUNT(DISTINCT l_suppkey)       AS distinct_suppliers,
-           ROUND(AVG(l_extendedprice), 2)  AS avg_price,
+           {X.o_avg_money_2dp('l_extendedprice')}  AS avg_price,
            MIN(l_shipdate)                 AS first_ship,
            MAX(l_shipdate)                 AS last_ship
     FROM lineitem
@@ -387,9 +414,16 @@ def lineitem_stats_block(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("total_rows"),
         F.countDistinct("l_partkey").alias("distinct_parts"),
         F.countDistinct("l_suppkey").alias("distinct_suppliers"),
-        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        F.sum(X.cents(F.col("l_extendedprice"))).alias("_sc"),
         F.min("l_shipdate").alias("first_ship"),
         F.max("l_shipdate").alias("last_ship"),
+    ).selectExpr(
+        "total_rows",
+        "distinct_parts",
+        "distinct_suppliers",
+        X.div_round_expr("_sc", "total_rows", 100) + " AS avg_price",
+        "first_ship",
+        "last_ship",
     )
 
 
@@ -398,10 +432,10 @@ def lineitem_stats_block(spark: SparkSession, sf_dir: str) -> DataFrame:
 # jsonb_array_length(category_path), fix_category_paths.py:246-251).
 @query(
     "groupby_computed_key",
-    oracle="""
+    oracle=f"""
     SELECT CAST(LEN(STRING_SPLIT(p_name, ' ')) AS INTEGER) AS n_words,
            COUNT(*) AS n_parts,
-           ROUND(AVG(p_retailprice), 2) AS avg_price
+           {X.o_avg_money_2dp('p_retailprice')} AS avg_price
     FROM part
     GROUP BY 1
     """,
@@ -409,11 +443,17 @@ def lineitem_stats_block(spark: SparkSession, sf_dir: str) -> DataFrame:
 def groupby_computed_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group by a computed key (reference A7)."""
     part = load_table(spark, sf_dir, "part")
-    return part.groupBy(
-        F.size(F.split(F.col("p_name"), " ")).alias("n_words")
-    ).agg(
-        F.count(F.lit(1)).alias("n_parts"),
-        F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+    return (
+        part.groupBy(F.size(F.split(F.col("p_name"), " ")).alias("n_words"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(X.cents(F.col("p_retailprice"))).alias("_sc"),
+        )
+        .selectExpr(
+            "n_words",
+            "n_parts",
+            X.div_round_expr("_sc", "n_parts", 100) + " AS avg_price",
+        )
     )
 
 
@@ -422,10 +462,10 @@ def groupby_computed_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 # TIKI_WAREHOUSE_DATABASE_SCHEMA_VI.md:1149-1162).
 @query(
     "brand_stats_having",
-    oracle="""
+    oracle=f"""
     SELECT p_brand,
            COUNT(*)                      AS n_parts,
-           ROUND(AVG(p_retailprice), 2)  AS avg_price,
+           {X.o_avg_money_2dp('p_retailprice')}  AS avg_price,
            ROUND(MAX(p_retailprice), 2)  AS max_price,
            ROUND(MIN(p_retailprice), 2)  AS min_price
     FROM part
@@ -434,17 +474,25 @@ def groupby_computed_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def brand_stats_having(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-brand stats with HAVING (reference A8)."""
+    """Per-brand stats with HAVING (reference A8). MIN/MAX round raw
+    2-decimal values (safe); only the AVG needs exact-integer math."""
     part = load_table(spark, sf_dir, "part")
     return (
         part.groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+            F.sum(X.cents(F.col("p_retailprice"))).alias("_sc"),
             F.round(F.max("p_retailprice"), 2).alias("max_price"),
             F.round(F.min("p_retailprice"), 2).alias("min_price"),
         )
         .filter(F.col("n_parts") >= 5)
+        .selectExpr(
+            "p_brand",
+            "n_parts",
+            X.div_round_expr("_sc", "n_parts", 100) + " AS avg_price",
+            "max_price",
+            "min_price",
+        )
     )
 
 
@@ -462,11 +510,13 @@ def brand_stats_having(spark: SparkSession, sf_dir: str) -> DataFrame:
              ELSE '8%+'
            END AS discount_bucket,
            COUNT(*) AS n_items,
-           ROUND(AVG(l_quantity), 2) AS avg_qty,
-           ROUND(SUM(l_extendedprice), 2) AS total_price
+           {AVG_QTY} AS avg_qty,
+           CAST(SUM({CENTS}) AS DOUBLE) / 100.0 AS total_price
     FROM lineitem
     GROUP BY 1
-    """,
+    """.replace("{AVG_QTY}", X.o_avg_int_2dp("l_quantity")).replace(
+        "{CENTS}", X.o_cents("l_extendedprice")
+    ),
 )
 def discount_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Discount-range histogram (reference A9)."""
@@ -477,10 +527,19 @@ def discount_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("l_discount") < 0.08, "5-8%")
         .otherwise("8%+")
     )
-    return li.groupBy(bucket.alias("discount_bucket")).agg(
-        F.count(F.lit(1)).alias("n_items"),
-        F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+    return (
+        li.groupBy(bucket.alias("discount_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(X.ints(F.col("l_quantity"))).alias("_sq"),
+            F.sum(X.cents(F.col("l_extendedprice"))).alias("_sc"),
+        )
+        .selectExpr(
+            "discount_bucket",
+            "n_items",
+            X.div_round_expr("_sq * 100", "n_items", 100) + " AS avg_qty",
+            "CAST(_sc AS DOUBLE) / 100.0 AS total_price",
+        )
     )
 
 
@@ -513,11 +572,11 @@ _PRICE_SEGMENTS = [
     )
     SELECT segment,
            COUNT(*) AS n_orders,
-           ROUND(AVG(o_totalprice), 2) AS avg_price
+           {AVG_PRICE} AS avg_price
     FROM orders JOIN segments
       ON o_totalprice >= lo AND o_totalprice < hi
     GROUP BY segment
-    """,
+    """.replace("{AVG_PRICE}", X.o_avg_money_2dp("o_totalprice")),
 )
 def price_segment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range-bucket join against a broadcast segment dim (reference J11)."""
@@ -533,7 +592,12 @@ def price_segment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("segment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+            F.sum(X.cents(F.col("o_totalprice"))).alias("_sc"),
+        )
+        .selectExpr(
+            "segment",
+            "n_orders",
+            X.div_round_expr("_sc", "n_orders", 100) + " AS avg_price",
         )
     )
 

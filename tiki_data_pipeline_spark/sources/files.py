@@ -1,0 +1,64 @@
+"""File sources & sinks (SURVEY.md §2.1 S5-S7).
+
+The reference moves JSON files between pipeline stages with an
+envelope shape ``{total_products, stats, products: [...]}`` (reference
+src/common/analytics/aggregator.py:27-49, tasks/product.py:276-310)
+and writes them atomically via temp-file+rename (reference
+src/pipelines/crawl/utils.py:449-513). Spark equivalents:
+
+- S5: ``spark.read.json(multiLine)`` + ``explode(products)``;
+- S6: gzip JSON reads natively (codec by extension); parquet+snappy
+  is the engine's native interchange format;
+- S7: atomicity comes from the job-commit protocol of
+  ``df.write`` — no hand-rolled rename dance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_product_envelope(
+    spark: SparkSession, path: str, product_schema: T.StructType | str | None = None
+) -> DataFrame:
+    """S5 — read the reference's JSON envelope and explode the
+    ``products`` array into one row per product."""
+    if product_schema is not None:
+        if isinstance(product_schema, str):
+            product_schema = T.StructType.fromDDL(product_schema)
+        envelope = T.StructType(
+            [
+                T.StructField("total_products", T.LongType(), True),
+                T.StructField("stats", T.MapType(T.StringType(), T.StringType()), True),
+                T.StructField("products", T.ArrayType(product_schema), True),
+            ]
+        )
+        raw = spark.read.schema(envelope).json(path, multiLine=True)
+    else:
+        raw = spark.read.json(path, multiLine=True)
+    return raw.select(F.explode("products").alias("p")).select("p.*")
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: T.StructType | str | None = None) -> DataFrame:
+    """Line-delimited JSON (optionally .gz — codec inferred)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_parquet_atomic(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S7 — atomic sink: Spark's job-commit protocol writes to a
+    temporary attempt dir and commits by rename, replacing the
+    reference's hand-rolled temp-file dance."""
+    df.write.mode(mode).parquet(path)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Month/key-partitioned layout (M7 retention becomes partition
+    drops; at 100 TB partition pruning is the first-order win)."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)

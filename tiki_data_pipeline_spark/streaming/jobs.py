@@ -1,0 +1,141 @@
+"""Streaming jobs (SURVEY.md §2.10 T2/T4/T7).
+
+Each builder takes a DataFrame that may be BATCH or STREAMING — the
+transformations are identical (Spark's unified semantics); only the
+sink differs. The batch twins in ``plans.streaming_queries`` carry
+the DuckDB oracles; the tests in ``tests/test_streaming.py`` run the
+same logic through an actual streaming query (memory sink,
+``processAllAvailable``) and assert stream/batch agreement.
+
+The reference's incremental machinery these map to:
+- T7 windows: the ``events`` table contract (driver) — tumbling /
+  sliding / session windows with watermarks for late data.
+- T2 exactly-once dedup: progress-file ∪ DB-set skip logic
+  (reference tasks/detail.py:87-321) → ``dropDuplicatesWithinWatermark``.
+- T4 stateful change detection (reference postgres_storage.py:
+  1283-1413) → ``foreachBatch`` merging each micro-batch against a
+  state table (the CDC append path reused per batch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+WATERMARK = "1 hour"
+
+# path → staged temp directory for single-file streaming sources
+_STAGED_DIRS: dict[str, str] = {}
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (for tests/demos;
+    production would be Kafka). TIMESTAMP(NANOS) arrives as long under
+    nanosAsLong — converted exactly like io.load_table."""
+    import os
+    import shutil
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isfile(path):
+        # the streaming file source requires a DIRECTORY; stage the
+        # single file into a cached temp dir
+        staged = _STAGED_DIRS.get(path)
+        if staged is None:
+            staged = tempfile.mkdtemp(prefix="events_stream_")
+            shutil.copy(path, os.path.join(staged, "events.parquet"))
+            _STAGED_DIRS[path] = staged
+        src_dir = staged
+    else:
+        src_dir = path
+    raw_schema = spark.read.parquet(src_dir).schema
+    stream = spark.readStream.schema(raw_schema).parquet(src_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour") -> DataFrame:
+    """T7 — watermarked tumbling-window counts per event type."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """T7 — session windows (inactivity gap) per user."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame) -> DataFrame:
+    """T2 — streaming exactly-once-style dedup by (user_id,
+    event_type) within the watermark."""
+    return events.withWatermark("ts", WATERMARK).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """Drive a streaming DataFrame to completion into a memory sink;
+    returns the query handle (stopped). Results: SELECT * FROM name."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q
+
+
+def cdc_foreach_batch(
+    events: DataFrame, state_updates: list, checkpoint_dir: str
+):
+    """T4 — stateful change detection via foreachBatch: every
+    micro-batch is lag-compared per user and appended to the caller's
+    state list (stand-in for a MERGE into a state table)."""
+    from pyspark.sql import Window as W
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        changed = (
+            batch_df.withColumn("prev_value", F.lag("value").over(w))
+            .withColumn(
+                "change_type",
+                F.when(F.col("prev_value").isNull(), "first_seen")
+                .when(F.col("value") != F.col("prev_value"), "value_change")
+                .otherwise("no_change"),
+            )
+            .filter(F.col("change_type") != "no_change")
+        )
+        state_updates.append((epoch_id, changed.count()))
+
+    return (
+        events.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
