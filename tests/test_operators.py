@@ -1,0 +1,79 @@
+"""Behavioral tests for operators whose outputs have no exact SQL
+oracle: approximate aggregates, LSH ANN recall, MinHash recall."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tiki_data_pipeline_spark.io import load_table
+from tiki_data_pipeline_spark.operators import dedup as DD
+from tiki_data_pipeline_spark.operators import similarity as SIM
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_approx_count_distinct_bounds(spark):
+    li = load_table(spark, SF, "lineitem")
+    exact = li.agg(
+        F.countDistinct("l_partkey").alias("p"), F.countDistinct("l_suppkey").alias("s")
+    ).collect()[0]
+    approx = li.agg(
+        F.approx_count_distinct("l_partkey").alias("p"),
+        F.approx_count_distinct("l_suppkey").alias("s"),
+    ).collect()[0]
+    assert abs(approx["p"] - exact["p"]) / exact["p"] < 0.1
+    assert abs(approx["s"] - exact["s"]) / exact["s"] < 0.1
+
+
+def test_percentile_approx_ordering(spark):
+    li = load_table(spark, SF, "lineitem")
+    q = li.agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99]).alias("q")
+    ).collect()[0]["q"]
+    assert q[0] < q[1] < q[2]
+
+
+def test_lsh_ann_recall_vs_brute_force(spark):
+    emb = load_table(spark, SF, "embeddings")
+    qids = list(range(10))
+    brute = SIM.brute_force_topk(emb, qids, k=5)
+    lsh = SIM.lsh_bucketed_topk(emb, qids, k=5)
+    truth = {
+        (r["query_id"], r["neighbor_id"]) for r in brute.collect()
+    }
+    got = {(r["query_id"], r["neighbor_id"]) for r in lsh.collect()}
+    # LSH trades recall for touching 1/2^8 of the corpus; on 64-dim
+    # synthetic clusters 8 planes must still find a decent share of
+    # the true top-5 (cluster members tend to share buckets).
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.2, f"LSH recall collapsed: {recall}"
+    # and LSH never invents similarities: every returned pair's score
+    # must equal the exact cosine (same arithmetic)
+    joined = lsh.alias("l").join(
+        brute.alias("b"),
+        (F.col("l.query_id") == F.col("b.query_id"))
+        & (F.col("l.neighbor_id") == F.col("b.neighbor_id")),
+    )
+    for r in joined.collect():
+        assert abs(r[2] - r[5]) < 1e-9  # cosine_sim columns
+
+
+def test_minhash_finds_high_jaccard_pairs(spark):
+    docs = load_table(spark, SF, "documents")
+    exact = DD.jaccard_pairs(DD.shingles(docs).localCheckpoint(), threshold=0.9)
+    lsh = DD.minhash_lsh_near_dups(docs, threshold=0.9)
+    truth = {(r["i"], r["j"]) for r in exact.collect()}
+    got = {(r["i"], r["j"]) for r in lsh.collect()}
+    assert got <= truth, "LSH reported a pair below the verified threshold"
+    if truth:
+        recall = len(truth & got) / len(truth)
+        # P[band collision] at j=0.9: 1-(1-0.9^4)^4 ≈ 0.986
+        assert recall >= 0.8, f"MinHash-LSH recall too low: {recall}"
+
+
+def test_simhash_is_deterministic(spark):
+    docs = load_table(spark, SF, "documents").limit(50)
+    a = {r["doc_id"]: r["simhash"] for r in DD.simhash_signatures(docs).collect()}
+    b = {r["doc_id"]: r["simhash"] for r in DD.simhash_signatures(docs).collect()}
+    assert a == b
+    assert all(0 <= v < 2**32 for v in a.values())

@@ -40,19 +40,24 @@ def _md5_long(col: Column) -> Column:
 
 
 def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Distinct word n-gram shingles per document."""
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    """Distinct word n-gram shingles per document.
+
+    The token array is materialized as a column BEFORE the transform
+    lambda references it — an inline ``split()`` expression would be
+    re-evaluated per ``element_at`` call inside the lambda (3 regex
+    splits per shingle ≈ 10× slower at scale).
+    """
+    with_toks = docs.select(
+        id_col, F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("toks")
+    ).filter(F.size("toks") >= n)
+    toks = F.col("toks")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.concat_ws(
             " ", *[F.element_at(toks, i + k) for k in range(n)]
         ),
     )
-    return (
-        docs.filter(F.size(toks) >= n)
-        .select(id_col, F.explode(grams).alias("shingle"))
-        .distinct()
-    )
+    return with_toks.select(id_col, F.explode(grams).alias("shingle")).distinct()
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
