@@ -168,6 +168,91 @@ def level_distribution(paths: DataFrame) -> DataFrame:
     )
 
 
+def flatten_tree(spark, tree_json: str, max_depth: int = 5) -> DataFrame:
+    """G3 — nested ``children[]`` JSON → flat (url, name, parent_url,
+    level) rows (reference extract_categories.py:30-74).
+
+    The tree depth is bounded (≤5 levels, reference config.py:17), so
+    the recursive shape becomes a FIXED schema of ``max_depth`` nested
+    struct levels + one explode per level — fully declarative, no
+    driver-side recursion over data.
+    """
+    from pyspark.sql import types as T
+
+    def level_schema(depth: int) -> T.StructType:
+        fields = [
+            T.StructField("name", T.StringType()),
+            T.StructField("url", T.StringType()),
+        ]
+        if depth > 1:
+            fields.append(
+                T.StructField("children", T.ArrayType(level_schema(depth - 1)))
+            )
+        return T.StructType(fields)
+
+    schema = T.ArrayType(level_schema(max_depth))
+    roots = (
+        spark.range(1)
+        .select(F.from_json(F.lit(tree_json), schema).alias("roots"))
+        .select(F.explode("roots").alias("node"))
+        .select(
+            F.col("node.url").alias("url"),
+            F.col("node.name").alias("name"),
+            F.lit(None).cast("string").alias("parent_url"),
+            F.lit(0).alias("level"),
+            F.col("node.children").alias("_children"),
+        )
+    )
+    out = roots.drop("_children")
+    frontier = roots
+    for depth in range(1, max_depth):
+        has_children = "_children" in frontier.columns
+        if not has_children:
+            break
+        children = frontier.filter(F.col("_children").isNotNull()).select(
+            F.col("url").alias("parent_url"), F.explode("_children").alias("node")
+        )
+        nxt = children.select(
+            F.col("node.url").alias("url"),
+            F.col("node.name").alias("name"),
+            "parent_url",
+            F.lit(depth).alias("level"),
+            *(
+                [F.col("node.children").alias("_children")]
+                if depth < max_depth - 1
+                else []
+            ),
+        )
+        out = out.unionByName(nxt.drop("_children") if "_children" in nxt.columns else nxt)
+        frontier = nxt
+    return out
+
+
+def build_tree(categories: DataFrame) -> list[dict]:
+    """G4 — flat rows → nested tree, roots = rows with no parent
+    (reference build_category_tree.py:21-69). Children sorted by name
+    recursively. Driver-side assembly: the tree is an OUTPUT ARTIFACT
+    (a JSON file in the reference), not a distributed dataset — the
+    collect here is the sink, bounded by the category dim size.
+    """
+    rows = categories.select("url", "name", "parent_url").collect()
+    by_parent: dict[str | None, list] = {}
+    for r in rows:
+        by_parent.setdefault(r["parent_url"], []).append(r)
+
+    def assemble(parent_url: str | None) -> list[dict]:
+        nodes = []
+        for r in sorted(by_parent.get(parent_url, []), key=lambda x: x["name"]):
+            node = {"name": r["name"], "url": r["url"]}
+            children = assemble(r["url"])
+            if children:
+                node["children"] = children
+            nodes.append(node)
+        return nodes
+
+    return assemble(None)
+
+
 def dedup_categories_keep_best(categories: DataFrame) -> DataFrame:
     """W5 — per category_id keep shortest URL, tie → longest name
     (reference postgres_storage.py:772-800)."""
