@@ -29,8 +29,8 @@ MAX_HOPS = 10  # reference postgres_storage.py:498-507 depth guard
 
 def ancestor_paths(
     categories: DataFrame,
-    checkpoint_every: int = 4,
-    check_early_exit: bool = False,
+    checkpoint_every: int = 3,
+    check_early_exit: bool = True,
 ) -> DataFrame:
     """G1 — materialize root→node name paths for every category.
 
@@ -38,12 +38,11 @@ def ancestor_paths(
     reachable ancestor's name (the root when the chain is intact;
     the last known node for orphans; the walk stops on cycles).
 
-    ``check_early_exit`` runs an ``isEmpty`` action per iteration to
-    stop as soon as the frontier drains — each check is a Spark job,
-    so for shallow bounded hierarchies (the common case: hop cap 10)
-    building the full lazy plan and running ONE job is faster.
-    Enable it for hierarchies expected to be much shallower than the
-    cap when iteration cost dominates.
+    The frontier-drained check (``check_early_exit``) only runs right
+    after an eager checkpoint, where it costs a local scan of the
+    materialized state instead of a plan re-execution — shallow
+    hierarchies exit after the first checkpoint instead of running
+    all ``MAX_HOPS`` joins.
     """
     parents = F.broadcast(
         categories.select(
@@ -66,8 +65,6 @@ def ancestor_paths(
     # filter+union would reference it twice and double the plan per
     # hop: 2^9 subtrees for Catalyst to analyze).
     for i in range(MAX_HOPS - 1):
-        if check_early_exit and state.filter(F.col("next_parent").isNotNull()).isEmpty():
-            break
         joined = state.join(parents, F.col("next_parent") == F.col("p_url"), "left")
         stop = F.col("p_url").isNull() | F.array_contains(
             F.col("visited"), F.col("p_url")
@@ -87,6 +84,14 @@ def ancestor_paths(
         if (i + 1) % checkpoint_every == 0:
             # eager: truncate lineage AND analysis cost mid-loop
             state = state.localCheckpoint(eager=True)
+            # frontier check piggybacks on the (already materialized)
+            # checkpoint — an isEmpty here costs one cheap local scan,
+            # not a plan re-execution, so shallow hierarchies exit
+            # after the first checkpoint instead of running all hops.
+            if check_early_exit and state.filter(
+                F.col("next_parent").isNotNull()
+            ).isEmpty():
+                break
     return state.select(F.col("anchor_url").alias("url"), "path")
 
 

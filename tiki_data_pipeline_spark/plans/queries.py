@@ -19,5 +19,6 @@ import tiki_data_pipeline_spark.plans.streaming_queries  # noqa: F401, E402
 import tiki_data_pipeline_spark.plans.warehouse_queries  # noqa: F401, E402
 import tiki_data_pipeline_spark.plans.extras_queries  # noqa: F401, E402
 import tiki_data_pipeline_spark.plans.analytics_queries  # noqa: F401, E402
+import tiki_data_pipeline_spark.plans.repair_queries  # noqa: F401, E402
 
 __all__ = ["QUERIES", "ORACLES"]
