@@ -31,6 +31,42 @@ def test_query_matches_oracle_sf001(spark, name):
     compare_query(spark, SF_FULL, QUERIES[name], ORACLES[name], name=name)
 
 
+_DUCK_TO_SPARK = {
+    "VARCHAR": "string",
+    "BIGINT": "bigint",
+    "INTEGER": "int",
+    "DOUBLE": "double",
+    "BOOLEAN": "boolean",
+    "TIMESTAMP": "timestamp",
+    "TIMESTAMP_NS": "timestamp",
+    "DATE": "date",
+    "FLOAT": "float",
+    "VARCHAR[]": "array<string>",
+    "DOUBLE[]": "array<double>",
+}
+
+
+def test_dtype_parity(spark):
+    """Output column TYPES must agree between Spark and the oracle —
+    a value-equal result with an int-vs-bigint schema skew could still
+    fail a strict driver-side schema hash."""
+    from tests.oracle import duckdb_connection
+
+    diffs = []
+    with duckdb_connection(SF) as con:
+        for name in sorted(ORACLES):
+            stypes = dict(QUERIES[name](spark, SF).dtypes)
+            otypes = {
+                r[0]: _DUCK_TO_SPARK.get(r[1].upper(), r[1].lower())
+                for r in con.execute(f"DESCRIBE {ORACLES[name]}").fetchall()
+            }
+            for c, st in stypes.items():
+                st = st.replace("timestamp_ntz", "timestamp")
+                if st != otypes.get(c, "<missing>"):
+                    diffs.append(f"{name}.{c}: spark={st} duck={otypes.get(c)}")
+    assert not diffs, "\n".join(diffs)
+
+
 def test_all_queries_run(spark):
     """Queries without an oracle still must run and return a schema."""
     for name, fn in QUERIES.items():

@@ -96,7 +96,7 @@ def customer_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             / 100.0
         ).alias("running_revenue"),
-        F.row_number().over(w).alias("order_seq"),
+        F.row_number().over(w).cast("bigint").alias("order_seq"),
     )
 
 

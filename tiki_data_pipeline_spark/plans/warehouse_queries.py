@@ -44,7 +44,9 @@ def dim_date_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     w = W.orderBy("full_date")
     return dates.select(
-        F.dense_rank().over(w).alias("date_sk"),
+        # bigint: Spark ranks are INT but ANSI rank functions (and the
+        # oracle) are BIGINT
+        F.dense_rank().over(w).cast("bigint").alias("date_sk"),
         "full_date",
         F.year("full_date").alias("year"),
         F.month("full_date").alias("month"),
@@ -224,7 +226,9 @@ def fact_sales_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim_date = (
         orders.select(F.col("o_orderdate").cast("date").alias("d"))
         .distinct()
-        .select(F.dense_rank().over(W.orderBy("d")).alias("date_sk"), "d")
+        .select(
+            F.dense_rank().over(W.orderBy("d")).cast("bigint").alias("date_sk"), "d"
+        )
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
