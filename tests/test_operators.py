@@ -58,6 +58,23 @@ def test_lsh_ann_recall_vs_brute_force(spark):
         assert abs(r[2] - r[5]) < 1e-9  # cosine_sim columns
 
 
+def test_ivf_ann_recall_vs_brute_force(spark):
+    emb = load_table(spark, SF, "embeddings")
+    qids = list(range(10))
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.brute_force_topk(emb, qids, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.ivf_topk(emb, qids, k=5).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    # nprobe=2/16 scans ~1/8 of the corpus; clustered data keeps true
+    # neighbors in the probed lists far more often than that
+    assert recall >= 0.4, f"IVF recall collapsed: {recall}"
+
+
 def test_minhash_finds_high_jaccard_pairs(spark):
     docs = load_table(spark, SF, "documents")
     exact = DD.jaccard_pairs(DD.shingles(docs).localCheckpoint(), threshold=0.9)

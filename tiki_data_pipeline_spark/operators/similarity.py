@@ -214,6 +214,127 @@ def lsh_bucketed_topk(
     )
 
 
+def _sq_dist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_train(
+    embeddings: DataFrame,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer: k centroids via deterministic Lloyd
+    iterations (init = the first k vectors by id — seed-free).
+
+    All-DataFrame: assignment is a broadcast cross join + argmin
+    (min over (dist, cid) structs); the update step is a posexplode →
+    per-(cluster, dim) mean → array reassembly. Centroids are a
+    broadcast-sized dim by construction (k ≪ n), which is exactly why
+    IVF scales: the full corpus is only ever scanned with a broadcast
+    of k rows.
+    """
+    base = embeddings.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    )
+    centroids = base.filter(F.col("id") < k).select(
+        F.col("id").cast("int").alias("cid"), F.col("v").alias("cv")
+    )
+    for _ in range(iters):
+        cross = base.crossJoin(F.broadcast(centroids))
+        assigned = (
+            cross.groupBy("id")
+            .agg(
+                F.min(
+                    F.struct(
+                        _sq_dist(F.col("v"), F.col("cv")).alias("d"),
+                        F.col("cid").alias("cid"),
+                    )
+                ).alias("m")
+            )
+            .select("id", F.col("m.cid").alias("cid"))
+        )
+        with_vec = assigned.join(base, "id")
+        per_dim = (
+            with_vec.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("mx"))
+        )
+        centroids = (
+            per_dim.groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mx"))),
+                    lambda s: s.mx,
+                ).alias("cv")
+            )
+        ).localCheckpoint()
+    return centroids
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: search only the ``nprobe`` inverted lists nearest to
+    each query — the corpus is scanned once for assignment, then each
+    query touches ~nprobe/k of the data (at 100 TB the corpus is
+    WRITTEN partitioned by cid, so the probe is partition pruning)."""
+    from pyspark.sql import Window as W
+
+    base = embeddings.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    )
+    centroids = ivf_train(embeddings, k=n_centroids, id_col=id_col, vec_col=vec_col)
+    cross = base.crossJoin(F.broadcast(centroids))
+    assigned = (
+        cross.groupBy("id")
+        .agg(
+            F.min(
+                F.struct(_sq_dist(F.col("v"), F.col("cv")).alias("d"), F.col("cid"))
+            ).alias("m")
+        )
+        .select("id", F.col("m.cid").alias("cid"))
+        .join(base, "id")
+    )
+    queries = base.filter(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv")
+    )
+    q_cross = queries.crossJoin(F.broadcast(centroids))
+    wq = W.partitionBy("query_id").orderBy(
+        _sq_dist(F.col("qv"), F.col("cv")).asc(), F.col("cid").asc()
+    )
+    probes = (
+        q_cross.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "qv", "cid")
+    )
+    candidates = probes.join(assigned, "cid").filter(F.col("id") != F.col("query_id"))
+    scored = candidates.select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cosine_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def label_centroid_stats(
     embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

@@ -183,6 +183,56 @@ def dataset_verification_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_label_centroids",
+    oracle="""
+    WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+    dims AS (SELECT label, CAST(b AS INTEGER) AS dim, v[CAST(b AS INTEGER)] AS x
+             FROM e, range(1, 65) t(b))
+    SELECT label, dim, ROUND(AVG(x), 6) AS centroid
+    FROM dims GROUP BY 1, 2
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, one row per (label, dimension) — the
+    training step of IVF-style ANN. posexplode keeps it JVM-side; the
+    shuffle carries (label, dim) partial sums only."""
+    from tiki_data_pipeline_spark.operators.similarity import as_double
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label", F.posexplode(as_double(F.col("embedding"))).alias("pos", "x")
+        )
+        .groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .agg(F.round(F.avg("x"), 6).alias("centroid"))
+    )
+
+
+@query(
+    "median_order_value",
+    oracle=f"""
+    SELECT o_orderpriority,
+           quantile_cont({X.o_cents('o_totalprice')}, 0.5) / 100.0 AS median_value,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY 1
+    """,
+)
+def median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median (interpolated) per priority — computed over
+    integer cents so even-count midpoints are exact halves in both
+    engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderpriority", X.cents(F.col("o_totalprice")).alias("_c"))
+        .groupBy("o_orderpriority")
+        .agg(
+            (F.expr("percentile(_c, 0.5)") / 100.0).alias("median_value"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
     "corpus_quality_filter",
     oracle="""
     WITH toks AS (

@@ -335,3 +335,12 @@ def embedding_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5 within random-hyperplane LSH buckets (scale path)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.lsh_bucketed_topk(emb, _QUERY_IDS, k=5)
+
+
+@query("embedding_ann_ivf_topk")
+def embedding_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via IVF inverted lists (nprobe=2 of 16 centroids);
+    rows-only — kmeans float reductions aren't SQL-oracle-stable;
+    recall vs brute force asserted in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(emb, _QUERY_IDS, k=5)
