@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from tiki_data_pipeline_spark import fixtures as FX
 from tiki_data_pipeline_spark.io import load_table
 from tiki_data_pipeline_spark.plans import exactmath as X
 from tiki_data_pipeline_spark.plans.registry import query
@@ -200,6 +201,93 @@ def warehouse_kpi_block(spark: SparkSession, sf_dir: str) -> DataFrame:
         + " AS avg_discount_pct",
     )
     return o.crossJoin(l)
+
+
+_SCD_EFFECTIVE = "2025-01-20 00:00:00"
+
+_SCD_DIM_ROWS = [
+    # key, name, price, valid_from, valid_to, is_current
+    ("100001", "Tai nghe Bluetooth XYZ", 500000, "2024-12-01 00:00:00",
+     "2025-01-01 00:00:00", False),
+    ("100001", "Tai nghe Bluetooth XYZ", 389000, "2025-01-01 00:00:00", None, True),
+    ("100002", "Áo thun nam", 150000, "2024-12-15 00:00:00", None, True),
+    ("100004", "Sách lập trình", 95000, "2025-01-05 00:00:00", None, True),
+]
+
+_SCD_INCOMING_ROWS = [
+    ("100001", "Tai nghe Bluetooth XYZ", 379000),   # price change → new version
+    ("100002", "Áo thun nam", 150000),              # unchanged
+    ("200001", "Sản phẩm mới", 99000),              # new key
+]
+
+_SCD_DIM_COLS = [
+    ("product_id", "VARCHAR"), ("name", "VARCHAR"), ("price", "BIGINT"),
+    ("valid_from", "TIMESTAMP"), ("valid_to", "TIMESTAMP"), ("is_current", "BOOLEAN"),
+]
+_SCD_INC_COLS = [("product_id", "VARCHAR"), ("name", "VARCHAR"), ("price", "BIGINT")]
+
+
+@query(
+    "scd2_dimension_apply",
+    oracle=f"""
+    WITH {FX.values_cte('dim', _SCD_DIM_COLS, _SCD_DIM_ROWS)},
+    {FX.values_cte('incoming', _SCD_INC_COLS, _SCD_INCOMING_ROWS)},
+    cur AS (SELECT * FROM dim WHERE is_current),
+    hist AS (SELECT * FROM dim WHERE NOT is_current),
+    j AS (
+      SELECT c.product_id AS cur_id, c.name AS old_name, c.price AS old_price,
+             c.valid_from, c.valid_to,
+             i.product_id AS inc_id, i.name AS new_name, i.price AS new_price
+      FROM cur c FULL OUTER JOIN incoming i ON c.product_id = i.product_id
+    ),
+    changed AS (
+      SELECT * FROM j WHERE inc_id IS NOT NULL AND cur_id IS NOT NULL
+        AND (new_name IS DISTINCT FROM old_name OR new_price IS DISTINCT FROM old_price)
+    )
+    SELECT product_id, name, price, valid_from, valid_to, is_current FROM hist
+    UNION ALL
+    SELECT cur_id, old_name, old_price, valid_from,
+           TIMESTAMP '{_SCD_EFFECTIVE}', FALSE FROM changed
+    UNION ALL
+    SELECT cur_id, old_name, old_price, valid_from, valid_to, TRUE
+    FROM j WHERE cur_id IS NOT NULL
+      AND NOT (inc_id IS NOT NULL
+               AND (new_name IS DISTINCT FROM old_name
+                    OR new_price IS DISTINCT FROM old_price))
+    UNION ALL
+    SELECT inc_id, new_name, new_price, TIMESTAMP '{_SCD_EFFECTIVE}',
+           CAST(NULL AS TIMESTAMP), TRUE
+    FROM j WHERE inc_id IS NOT NULL
+      AND (cur_id IS NULL OR new_name IS DISTINCT FROM old_name
+           OR new_price IS DISTINCT FROM old_price)
+    """,
+)
+def scd2_dimension_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 versioning: close changed versions, open new ones, pass
+    history and unchanged rows through (operators/scd.py)."""
+    from tiki_data_pipeline_spark.operators.scd import scd2_apply
+
+    dim = spark.createDataFrame(
+        [
+            (r[0], r[1], r[2],) + tuple(r[3:5]) + (r[5],)
+            for r in _SCD_DIM_ROWS
+        ],
+        schema="product_id string, name string, price bigint, valid_from string,"
+        " valid_to string, is_current boolean",
+    ).select(
+        "product_id",
+        "name",
+        "price",
+        F.to_timestamp("valid_from").alias("valid_from"),
+        F.to_timestamp("valid_to").alias("valid_to"),
+        "is_current",
+    )
+    incoming = spark.createDataFrame(
+        _SCD_INCOMING_ROWS, schema="product_id string, name string, price bigint"
+    )
+    return scd2_apply(
+        dim, incoming, "product_id", ["name", "price"], _SCD_EFFECTIVE
+    )
 
 
 @query(
