@@ -1,0 +1,63 @@
+"""Physical-plan regression tests: the optimizations the engine
+depends on must stay visible in the executed plan — a refactor that
+silently drops a pushdown or broadcast would still pass value checks
+but rot at scale.
+"""
+
+from __future__ import annotations
+
+from tiki_data_pipeline_spark.plans.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    return (
+        QUERIES[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q1_column_pruning(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    # the scan must NOT read join keys it doesn't need
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_q5_broadcasts_dimensions(spark):
+    plan = _plan(spark, "q5_region_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)" in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = _plan(spark, "orders_top_by_price")
+    # global top-N must be TakeOrderedAndProject, not a full sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_join_stays_semi(spark):
+    plan = _plan(spark, "customers_with_orders")
+    assert "LeftSemi" in plan
+
+
+def test_anti_join_stays_anti(spark):
+    plan = _plan(spark, "customers_without_orders")
+    assert "LeftAnti" in plan
+
+
+def test_transform_has_no_python_udf(spark):
+    # the whole transform stage must stay JVM-side (no BatchEvalPython
+    # / ArrowEvalPython operators)
+    plan = _plan(spark, "transform_products")
+    assert "EvalPython" not in plan
+
+
+def test_or_join_is_not_nested_loop(spark):
+    plan = _plan(spark, "or_join_part_lineitem")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

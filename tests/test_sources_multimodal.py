@@ -66,6 +66,20 @@ def test_write_partitioned_prunes(spark, tmp_path):
     assert "PartitionFilters" in plan or "part=1" in plan
 
 
+def test_compact_parquet(spark, tmp_path):
+    out = str(tmp_path / "fragmented")
+    # 16 fragments
+    spark.range(1000).withColumn("v", F.col("id") * 3).repartition(16).write.parquet(out)
+    n_before = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+    assert n_before >= 8
+    FS.compact_parquet(spark, out, target_files=2)
+    n_after = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+    assert n_after <= 2
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    assert back.agg(F.sum("v")).collect()[0][0] == 3 * 999 * 1000 // 2
+
+
 def test_media_stats(spark):
     media = MM.synthetic_media(spark, n=12)
     stats = MM.with_media_stats(media)

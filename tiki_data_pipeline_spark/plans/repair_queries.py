@@ -75,6 +75,67 @@ def category_image_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("category_id", "name", "url")
 
 
+# T5 — dead-letter routing on an inline failures fixture.
+
+_FAILURE_ROWS = [
+    (1, "https://tiki.vn/p1", "Read timeout after 30s", 0),
+    (2, "https://tiki.vn/p2", "HTTP 404 Not Found", 0),
+    (3, "https://tiki.vn/p3", "Connection reset by peer", 2),
+    (4, "https://tiki.vn/p4", "Connection refused", 3),
+    (5, "https://tiki.vn/p5", "Invalid JSON in __NEXT_DATA__", 1),
+    (6, "https://tiki.vn/p6", "HTTP 503 Service Unavailable", 1),
+    (7, "https://tiki.vn/p7", "Something completely different", 0),
+    (8, "https://tiki.vn/p8", "Something completely different", 1),
+    (9, "https://tiki.vn/p9", "Rate limit exceeded (429)", 2),
+    (10, "https://tiki.vn/p10", "403 Forbidden", 0),
+]
+
+_FAILURE_COLS = [
+    ("task_id", "INTEGER"),
+    ("url", "VARCHAR"),
+    ("error", "VARCHAR"),
+    ("retry_count", "INTEGER"),
+]
+
+
+@query(
+    "dlq_error_routing",
+    oracle=f"""
+    WITH {FX.values_cte('failures', _FAILURE_COLS, _FAILURE_ROWS)},
+    classified AS (
+      SELECT *,
+        CASE
+          WHEN regexp_matches(error, '(?i)404|not found') THEN 'permanent'
+          WHEN regexp_matches(error, '(?i)410|gone') THEN 'permanent'
+          WHEN regexp_matches(error, '(?i)parse error|invalid json|malformed') THEN 'permanent'
+          WHEN regexp_matches(error, '(?i)403|forbidden') THEN 'permanent'
+          WHEN regexp_matches(error, '(?i)timeout') THEN 'retryable'
+          WHEN regexp_matches(error, '(?i)connection (reset|refused|aborted)') THEN 'retryable'
+          WHEN regexp_matches(error, '(?i)temporarily unavailable') THEN 'retryable'
+          WHEN regexp_matches(error, '(?i)rate limit|429') THEN 'retryable'
+          WHEN regexp_matches(error, '(?i)50[234]') THEN 'retryable'
+          ELSE 'unknown'
+        END AS error_class
+      FROM failures
+    )
+    SELECT task_id, url, error, retry_count, error_class,
+           CASE WHEN error_class = 'retryable' AND retry_count < 3 THEN 'retry'
+                WHEN error_class = 'unknown' AND retry_count < 1 THEN 'retry'
+                ELSE 'quarantine' END AS decision
+    FROM classified
+    """,
+)
+def dlq_error_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 — dead-letter classification + retry/quarantine decision
+    (reference dead_letter_queue.py / exceptions taxonomy)."""
+    from tiki_data_pipeline_spark.operators.quarantine import route_failures
+
+    failures = spark.createDataFrame(
+        _FAILURE_ROWS, "task_id int, url string, error string, retry_count int"
+    )
+    return route_failures(failures)
+
+
 # S4 — regex extraction of simple fields from raw HTML snippets
 # (reference crawl_products_detail.py:864-1106 falls back to CSS
 # selectors; the engine's batch path extracts the regular fields with

