@@ -58,6 +58,55 @@ def test_dedup_stream_first_per_key(spark):
     assert n == distinct_keys
 
 
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Two micro-batches (maxFilesPerTrigger=1): batch 1 carries the
+    RECENT half of events (advancing the watermark to max(ts) - 1h),
+    batch 2 carries the OLD half — every batch-2 window is below the
+    watermark, so append-mode emits no results for them."""
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, SF, "events")
+    mid = events.agg(F.expr("percentile(cast(ts as double), 0.5)")).collect()[0][0]
+    recent = events.filter(F.col("ts").cast("double") >= mid)
+    old = events.filter(F.col("ts").cast("double") < mid)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # lexicographic file order drives processing order
+    recent.coalesce(1).write.parquet(str(tmp_path / "a"))
+    old.coalesce(1).write.parquet(str(tmp_path / "b"))
+    import shutil
+
+    for i, d in enumerate(["a", "b"]):
+        part = next((tmp_path / d).glob("part-*.parquet"))
+        shutil.copy(part, src / f"{i:02d}.parquet")
+
+    schema = events.schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
+        str(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    emitted = spark.sql("SELECT SUM(n) AS n FROM late_out").collect()[0]["n"] or 0
+    total = events.count()
+    recent_n = recent.count()
+    # late (old-half) rows must NOT appear: only finalized recent
+    # windows can have been emitted
+    assert emitted <= recent_n, f"late rows leaked: {emitted} > {recent_n}"
+    assert emitted < total
+
+
 def test_cdc_foreach_batch_counts(spark):
     stream = jobs.events_stream(spark, SF)
     updates: list = []

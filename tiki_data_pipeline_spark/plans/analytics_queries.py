@@ -70,6 +70,25 @@ def lineitem_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lineitem_cube_quantity",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM({X.o_ints('l_quantity')}) AS BIGINT) AS total_qty,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def lineitem_cube_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 4 grouping-set combinations in one pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(X.ints(F.col("l_quantity"))).alias("total_qty"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
     "customer_running_revenue",
     oracle=f"""
     SELECT o_custkey, o_orderkey, o_orderdate,
