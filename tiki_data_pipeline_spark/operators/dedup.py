@@ -100,31 +100,55 @@ def jaccard_pairs(
     )
 
 
+# Universal-hash MinHash family: h_i(x) = (a_i·h0(x) + b_i) mod P with
+# h0 = 30 bits of md5 (one md5 per shingle, not per (seed, shingle)),
+# P Mersenne-prime 2^31−1, a_i/b_i derived deterministically from md5
+# so the DuckDB oracle reproduces them. Products stay < 2^61 (no
+# overflow in either engine).
+MINHASH_PRIME = 2147483647
+_H0_MASK = (1 << 30) - 1
+
+
+def _minhash_params(k: int) -> list[tuple[int, int]]:
+    import hashlib
+
+    params = []
+    for i in range(k):
+        a = int(hashlib.md5(f"a{i}".encode()).hexdigest()[:7], 16) % (MINHASH_PRIME - 1) + 1
+        b = int(hashlib.md5(f"b{i}".encode()).hexdigest()[:7], 16) % MINHASH_PRIME
+        params.append((a, b))
+    return params
+
+
 def minhash_signatures(sh: DataFrame, k: int = MINHASH_K, id_col: str = "doc_id") -> DataFrame:
-    """k MinHash values per document: min over shingles of
-    md5-derived hash seeded by position."""
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("seed")
-    seeded = sh.select(id_col, "shingle", seeds)
-    h = _md5_long(
-        F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))
-    )
-    return seeded.groupBy(id_col, "seed").agg(F.min(h).alias("minhash"))
+    """k MinHash values per document in ONE aggregation: k min
+    columns over the universal-hash family (no seed explosion)."""
+    h0 = (_md5_long(F.col("shingle")).bitwiseAND(F.lit(_H0_MASK))).alias("h0")
+    hashed = sh.select(id_col, h0)
+    mins = [
+        F.min((F.col("h0") * a + b) % MINHASH_PRIME).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_minhash_params(k))
+    ]
+    return hashed.groupBy(id_col).agg(*mins)
 
 
 def lsh_band_signatures(
     sigs: DataFrame, bands: int = LSH_BANDS, k: int = MINHASH_K, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Concatenate each band's r minhashes into one signature string."""
-    rows_per_band = k // bands
-    banded = sigs.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-    return banded.groupBy(id_col, "band").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                lambda s: s.minhash.cast("string"),
-            ),
-            ",",
-        ).alias("band_sig")
+    """(doc, band, band_sig) rows: each band concatenates its r
+    minhash columns — a stack over the wide signature row, no second
+    aggregation."""
+    r = k // bands
+    # stack(bands, band0, sig0, band1, sig1, ...) unpivots the wide row
+    stack_args = []
+    for band in range(bands):
+        sig_expr = "concat_ws(','," + ",".join(
+            f"cast(mh{band * r + j} as string)" for j in range(r)
+        ) + ")"
+        stack_args.append(f"{band}")
+        stack_args.append(sig_expr)
+    return sigs.selectExpr(
+        id_col, f"stack({bands}, {', '.join(stack_args)}) AS (band, band_sig)"
     )
 
 
@@ -177,20 +201,33 @@ def minhash_lsh_near_dups(
 
 
 def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """32-bit SimHash per document over distinct lowercase tokens."""
+    """32-bit SimHash per document over distinct lowercase tokens.
+
+    One aggregation with 32 conditional-sum columns (one per bit)
+    instead of exploding every token 32× — the shuffle carries
+    n_tokens rows with 32 ints, not 32·n_tokens rows, and there is a
+    single groupBy instead of two.
+    """
     toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
     tok = docs.select(id_col, F.explode(toks).alias("token"))
-    h = _md5_long(F.col("token"))
-    bit = F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit")
-    expanded = tok.select(id_col, h.alias("h"), bit)
-    # shiftright/shiftleft take a literal shift in the Python API —
-    # use SQL expressions so the shift amount can be the bit column.
-    contrib = F.when(F.expr("shiftright(h, bit) & 1") == 1, 1).otherwise(-1)
-    bitsum = expanded.groupBy(id_col, "bit").agg(F.sum(contrib).alias("s"))
-    bitval = F.when(
-        F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
-    ).otherwise(F.lit(0).cast("bigint"))
-    return bitsum.groupBy(id_col).agg(F.sum(bitval).alias("simhash"))
+    hashed = tok.select(id_col, _md5_long(F.col("token")).alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.expr(f"shiftright(h, {b}) & 1") == 1, 1).otherwise(-1)
+        ).alias(f"_s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agged = hashed.groupBy(id_col).agg(*bit_sums)
+    simhash = sum(
+        (
+            F.when(F.col(f"_s{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+            for b in range(SIMHASH_BITS)
+        ),
+        F.lit(0).cast("bigint"),
+    )
+    return agged.select(id_col, simhash.alias("simhash"))
 
 
 def simhash_near_dups(

@@ -155,23 +155,46 @@ def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.jaccard_pairs(DD.shingles(docs).localCheckpoint(), threshold=0.5)
 
 
+def _minhash_oracle_fragments() -> tuple[str, str]:
+    """(mh column list, band UNION ALL select) mirroring
+    dedup.minhash_signatures / lsh_band_signatures."""
+    r = DD.MINHASH_K // DD.LSH_BANDS
+    mins = ", ".join(
+        "MIN((h0 * {a} + {b}) % {p}) AS mh{i}".format(a=a, b=b, p=DD.MINHASH_PRIME, i=i)
+        for i, (a, b) in enumerate(DD._minhash_params(DD.MINHASH_K))
+    )
+    band_selects = []
+    for band in range(DD.LSH_BANDS):
+        cols = " || ',' || ".join(
+            "CAST(mh{idx} AS VARCHAR)".format(idx=band * r + j) for j in range(r)
+        )
+        band_selects.append(
+            "SELECT doc_id, {band} AS band, {cols} AS band_sig FROM mh".format(
+                band=band, cols=cols
+            )
+        )
+    return mins, " UNION ALL ".join(band_selects)
+
+
+_MH_MINS, _MH_BANDS = _minhash_oracle_fragments()
+
+
 @query(
     "doc_minhash_lsh_near_dup",
     oracle=f"""
     WITH {_SHINGLES_SQL},
-    seeded AS (
-      SELECT doc_id, shingle, UNNEST(range(0, {DD.MINHASH_K})) AS seed FROM sh
+    hashed AS (
+      SELECT doc_id,
+             try_cast(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT)
+               & {(1 << 30) - 1} AS h0
+      FROM sh
     ),
     mh AS (
-      SELECT doc_id, seed,
-             MIN(try_cast(('0x' || substring(md5(seed::VARCHAR || ':' || shingle), 1, 15))
-                 AS BIGINT)) AS minhash
-      FROM seeded GROUP BY doc_id, seed
+      SELECT doc_id, {_MH_MINS}
+      FROM hashed GROUP BY doc_id
     ),
     sigs AS (
-      SELECT doc_id, CAST(seed // {DD.MINHASH_K // DD.LSH_BANDS} AS INTEGER) AS band,
-             string_agg(minhash::VARCHAR, ',' ORDER BY seed) AS band_sig
-      FROM mh GROUP BY 1, 2
+      {_MH_BANDS}
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
