@@ -1,0 +1,85 @@
+"""Connected components over a pair graph — the correct cluster
+semantics for near-duplicate resolution (a pair list is a graph; a
+dup GROUP is its connected component).
+
+Iterative label propagation, same discipline as the hierarchy
+closure: state referenced once per iteration, eager localCheckpoint
+to cut lineage, bounded iterations (diameter of dup clusters is
+small in practice; cap documented). No GraphX/graphframes needed —
+pure DataFrame joins, which also means AQE handles the skew when one
+giant cluster dominates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_ITERATIONS = 10
+
+
+def connected_components(
+    pairs: DataFrame, i_col: str = "i", j_col: str = "j", max_iter: int = MAX_ITERATIONS
+) -> DataFrame:
+    """(node, component) with component = min node id reachable.
+
+    Label propagation to fixpoint: every node repeatedly adopts the
+    smallest label among itself and its neighbors. Converges in
+    O(diameter) iterations; each iteration is one join + one
+    aggregation on the edge list.
+    """
+    edges = (
+        pairs.select(F.col(i_col).alias("a"), F.col(j_col).alias("b"))
+        .unionByName(pairs.select(F.col(j_col).alias("a"), F.col(i_col).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("component").alias("neighbor_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("neighbor_component"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .isEmpty()
+        )
+        labels = new_labels
+        if changed:
+            break
+    return labels
+
+
+def dedup_survivors(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Cluster-correct dedup: group docs by connected component of the
+    near-dup graph, keep the min id per component; singletons (no
+    pairs) survive unchanged. Adds ``survivor`` boolean."""
+    comps = connected_components(pairs)
+    joined = docs.join(comps, docs[id_col] == comps.node, "left")
+    keep = (
+        comps.groupBy("component").agg(F.min("node").alias("_keeper"))
+    )
+    joined = joined.join(keep, "component", "left")
+    return joined.withColumn(
+        "survivor", F.col("node").isNull() | (F.col(id_col) == F.col("_keeper"))
+    ).drop("node", "component", "_keeper")

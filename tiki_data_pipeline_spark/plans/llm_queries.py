@@ -360,6 +360,74 @@ def embedding_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_bucketed_topk(emb, _QUERY_IDS, k=5)
 
 
+@query(
+    "corpus_dedup_pipeline",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    fp AS (
+      SELECT doc_id,
+             md5(trim(REGEXP_REPLACE(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+      FROM documents
+    ),
+    exact_pairs AS (
+      SELECT a.doc_id AS i, b.doc_id AS j
+      FROM fp a JOIN fp b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+    ),
+    common AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    near_pairs AS (
+      SELECT i, j FROM (
+        SELECT c.i, c.j,
+               c.n_common / CAST(na.n_shingles + nb.n_shingles - c.n_common AS DOUBLE)
+                 AS jac
+        FROM common c
+        JOIN sh_counts na ON na.doc_id = c.i
+        JOIN sh_counts nb ON nb.doc_id = c.j
+      ) t WHERE jac >= 0.9
+    ),
+    all_pairs AS (SELECT i, j FROM exact_pairs UNION SELECT i, j FROM near_pairs)
+    SELECT d.doc_id, d.lang,
+           d.doc_id NOT IN (SELECT j FROM all_pairs) AS survivor
+    FROM documents d
+    """,
+)
+def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed dedup pass: exact fingerprint pairs ∪ 3-gram Jaccard
+    ≥ 0.9 pairs → greedy survivor rule (drop every greater id of a
+    pair). The SQL-expressible greedy pass; cluster-correct resolution
+    (connected components) is operators/graph.dedup_survivors, tested
+    separately."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        F.md5(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+        ).alias("fingerprint"),
+    )
+    a = fp.select(F.col("doc_id").alias("i"), "fingerprint")
+    b = fp.select(F.col("doc_id").alias("j"), "fingerprint")
+    exact_pairs = a.join(b, "fingerprint").filter(F.col("i") < F.col("j")).select(
+        "i", "j"
+    )
+    near_pairs = DD.jaccard_pairs(
+        DD.shingles(docs).localCheckpoint(), threshold=0.9
+    ).select("i", "j")
+    dropped = (
+        exact_pairs.unionByName(near_pairs).select(F.col("j").alias("_dropped")).distinct()
+    )
+    return (
+        docs.join(F.broadcast(dropped), docs.doc_id == F.col("_dropped"), "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.col("_dropped").isNull().alias("survivor"),
+        )
+    )
+
+
 @query("embedding_ann_ivf_topk")
 def embedding_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5 via IVF inverted lists (nprobe=2 of 16 centroids);
