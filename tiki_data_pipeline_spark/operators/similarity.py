@@ -246,19 +246,7 @@ def ivf_train(
         F.col("id").cast("int").alias("cid"), F.col("v").alias("cv")
     )
     for _ in range(iters):
-        cross = base.crossJoin(F.broadcast(centroids))
-        assigned = (
-            cross.groupBy("id")
-            .agg(
-                F.min(
-                    F.struct(
-                        _sq_dist(F.col("v"), F.col("cv")).alias("d"),
-                        F.col("cid").alias("cid"),
-                    )
-                ).alias("m")
-            )
-            .select("id", F.col("m.cid").alias("cid"))
-        )
+        assigned = assign_to_centroids(base, centroids)
         with_vec = assigned.join(base, "id")
         per_dim = (
             with_vec.select("cid", F.posexplode("v").alias("pos", "x"))
@@ -275,6 +263,35 @@ def ivf_train(
             )
         ).localCheckpoint()
     return centroids
+
+
+def assign_to_centroids(base: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(id, cid) nearest-centroid assignment, numpy-vectorized.
+
+    The centroid matrix is k×dim — a broadcast-sized table by IVF's
+    construction — so collecting it to ship inside the Arrow UDF is
+    the same pattern as F.broadcast, but the distance computation
+    becomes one (batch × k) matrix product per Arrow batch instead of
+    per-row higher-order-function evaluation (~10× on wide vectors).
+    Ties break toward the lowest cid (argmin order = cid order).
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = sorted(centroids.collect(), key=lambda r: r["cid"])
+    cids = np.array([r["cid"] for r in rows], dtype=np.int64)
+    cmat = np.array([r["cv"] for r in rows], dtype=np.float64)
+
+    def assign(batches):
+        for pdf in batches:
+            m = np.array(list(pdf["v"]), dtype=np.float64)
+            # |x-c|² = |x|² − 2x·c + |c|²; |x|² constant per row → argmin
+            d = -2.0 * (m @ cmat.T) + (cmat * cmat).sum(axis=1)
+            yield pd.DataFrame(
+                {"id": pdf["id"], "cid": cids[np.argmin(d, axis=1)]}
+            )
+
+    return base.mapInPandas(assign, schema="id long, cid int")
 
 
 def ivf_topk(
@@ -296,17 +313,7 @@ def ivf_topk(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
     )
     centroids = ivf_train(embeddings, k=n_centroids, id_col=id_col, vec_col=vec_col)
-    cross = base.crossJoin(F.broadcast(centroids))
-    assigned = (
-        cross.groupBy("id")
-        .agg(
-            F.min(
-                F.struct(_sq_dist(F.col("v"), F.col("cv")).alias("d"), F.col("cid"))
-            ).alias("m")
-        )
-        .select("id", F.col("m.cid").alias("cid"))
-        .join(base, "id")
-    )
+    assigned = assign_to_centroids(base, centroids).join(base, "id")
     queries = base.filter(F.col("id").isin(query_ids)).select(
         F.col("id").alias("query_id"), F.col("v").alias("qv")
     )
