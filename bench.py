@@ -45,13 +45,21 @@ def main() -> None:
     QUERIES["q1_pricing_summary"](spark, SF_DIR).count()
 
     timings: dict[str, float] = {}
+    failures: list[str] = []
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
-        n = QUERIES[name](spark, SF_DIR).count()
+        try:
+            n = QUERIES[name](spark, SF_DIR).count()
+        except Exception as exc:  # one broken query must not kill the run
+            failures.append(name)
+            print(f"# {name}: FAILED ({exc})", file=sys.stderr)
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    if failures:
+        print(f"# failed queries: {failures}", file=sys.stderr)
     print(
         json.dumps(
             {

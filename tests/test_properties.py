@@ -1,0 +1,110 @@
+"""Property-based tests (hypothesis) for the scalar parse functions —
+the testing depth SURVEY §5 notes the reference lacks.
+
+Spark calls are batched: hypothesis generates PYTHON inputs, the
+whole case list runs as ONE DataFrame job per property against the
+pure-Python expected values.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from tiki_data_pipeline_spark.functions import scalars as S
+from tiki_data_pipeline_spark.functions.urls import canonicalize_url
+
+
+def _batch_eval(spark, fn, cases: list[str]):
+    df = spark.createDataFrame([(c,) for c in cases], "raw string")
+    return [r["out"] for r in df.select(fn(F.col("raw")).alias("out")).collect()]
+
+
+def test_parse_sales_count_property(spark):
+    import random
+
+    rng = random.Random(7)
+    cases, expected = [], []
+    for _ in range(300):
+        n = rng.randrange(0, 10_000)
+        frac = rng.choice(["", f".{rng.randrange(1, 10)}"])
+        suffix = rng.choice(["", "k", "m", "K", "M"])
+        pad = rng.choice(["", " ", "đã bán "])
+        raw = f"{pad}{n}{frac}{suffix}"
+        mult = {"": 1, "k": 1000, "m": 1000000}[suffix.lower()]
+        # half-up like Spark's ROUND — python round() is banker's
+        import math
+
+        want = math.floor(float(f"{n}{frac}") * mult + 0.5)
+        cases.append(raw)
+        expected.append(want)
+    got = _batch_eval(spark, S.parse_sales_count, cases)
+    assert got == expected
+
+
+def test_parse_price_property(spark):
+    import random
+
+    rng = random.Random(11)
+    cases, expected = [], []
+    for _ in range(300):
+        n = rng.randrange(0, 10**9)
+        s = f"{n:,}".replace(",", rng.choice([".", ","]))
+        raw = s + rng.choice(["₫", " đ", "", " VND"])
+        cases.append(raw)
+        expected.append(n)
+    got = _batch_eval(spark, S.parse_price, cases)
+    assert got == expected
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(
+        alphabet=st.characters(
+            whitelist_categories=["Ll", "Lu", "Nd"], whitelist_characters=":/?&=._-"
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_canonicalize_is_idempotent(raw):
+    url = "https://tiki.vn/" + raw
+    once = canonicalize_url(url)
+    assert once is not None
+    assert canonicalize_url(once) == once
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=0, max_value=10**7), st.sampled_from(["", "k", "m"]))
+def test_parse_sales_pure_python_model(n, suffix):
+    """The regex model agrees with exact integer math inside the
+    operator's documented domain (crawl counts ≤ 10⁷ — beyond ~2^53
+    the float multiply would drift, which is out of scope)."""
+    raw = f"{n}{suffix}"
+    m = re.search(r"([0-9]+(?:[.,][0-9]+)?)\s*([km]?)", raw.lower())
+    assert m is not None
+    mult = {"": 1, "k": 1000, "m": 1000000}[m.group(2)]
+    want = round(float(m.group(1).replace(",", ".")) * mult)
+    assert want == n * mult
+
+
+def test_transform_invariants(spark):
+    """Transform output invariants: unique keys, typed columns
+    non-negative, validity rules hold."""
+    from tiki_data_pipeline_spark import fixtures as FX
+    from tiki_data_pipeline_spark import transform as TR
+
+    out = TR.transform_products(FX.raw_products_df(spark))
+    rows = out.collect()
+    ids = [r["product_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+    for r in rows:
+        assert r["price"] > 0
+        assert r["original_price"] is None or r["price"] <= r["original_price"]
+        assert r["rating_average"] is None or 0 <= r["rating_average"] <= 5
+        assert r["url"].startswith("http")
+        assert re.fullmatch(r"[0-9]+", r["product_id"])
