@@ -58,6 +58,29 @@ def test_dedup_stream_first_per_key(spark):
     assert n == distinct_keys
 
 
+def test_stream_stream_interval_join_matches_batch(spark):
+    from pyspark.sql import functions as F
+
+    stream = jobs.events_stream(spark, SF)
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    clicks = stream.filter(F.col("event_type") == "click")
+    joined = jobs.purchase_click_interval_join(purchases, clicks)
+    jobs.run_to_memory(joined, "ssj_out", "append")
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql("SELECT * FROM ssj_out").collect()
+    }
+
+    batch = _batch_events(spark)
+    bp = jobs.purchase_click_interval_join(
+        batch.filter(F.col("event_type") == "purchase"),
+        batch.filter(F.col("event_type") == "click"),
+    )
+    want = {(r["purchase_id"], r["click_id"]) for r in bp.collect()}
+    assert got == want
+    assert len(got) > 0
+
+
 def test_watermark_finalizes_windows_once(spark, tmp_path):
     """Two micro-batches (maxFilesPerTrigger=1): batch 1 = the RECENT
     half (advances the watermark to max(ts)−1h), batch 2 = the OLD

@@ -174,6 +174,48 @@ def events_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_purchase_click_interval_join",
+    oracle="""
+    SELECT p.user_id,
+           p.event_id AS purchase_id, c.event_id AS click_id,
+           p.ts AS purchase_ts, c.ts AS click_ts
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL '1 hour' AND c.ts < p.ts
+    """,
+)
+def events_purchase_click_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: every click within the hour BEFORE a same-user
+    purchase — the batch twin of the streaming stream-stream join
+    (tested with watermarks in tests/test_streaming.py). The time
+    bound is what makes the streaming state finite."""
+    events = load_table(spark, sf_dir, "events")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") < F.col("purchase_ts")),
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        "purchase_ts",
+        "click_ts",
+    )
+
+
+@query(
     "events_dedup_first_per_key",
     oracle="""
     SELECT user_id, event_type, event_id, ts

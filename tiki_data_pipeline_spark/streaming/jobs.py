@@ -98,6 +98,35 @@ def dedup_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def purchase_click_interval_join(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
+    """Stream-stream inner join: clicks within the hour before a
+    same-user purchase. Watermarks on BOTH sides + the time-interval
+    condition bound the join state (clicks older than
+    purchase_ts − 1h − watermark can be evicted)."""
+    p = purchases.withWatermark("ts", WATERMARK).select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = clicks.withWatermark("ts", WATERMARK).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") < F.col("purchase_ts")),
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        "purchase_ts",
+        "click_ts",
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     """Drive a streaming DataFrame to completion into a memory sink;
     returns the query handle (stopped). Results: SELECT * FROM name."""
