@@ -61,3 +61,21 @@ def test_or_join_is_not_nested_loop(spark):
     plan = _plan(spark, "or_join_part_lineitem")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_plan_summary_utility(spark):
+    from tiki_data_pipeline_spark.monitoring import assert_scalable, plan_summary
+
+    df = QUERIES["q5_region_revenue"](spark, SF)
+    s = plan_summary(df)
+    assert s["n_scans"] == 6
+    assert s["joins"].get("BroadcastHashJoin", 0) >= 4
+    assert not s["python_eval"]
+    # codegen spans only materialize in the string after AQE executes
+    # the final plan, so no assertion on codegen_stages here
+    assert any("ASIA" in p for p in s["pushed_filters"])
+    assert_scalable(df)
+
+    q1 = QUERIES["q1_pricing_summary"](spark, SF)
+    # one scan, one partial/final agg boundary → exactly 1 exchange
+    assert_scalable(q1, max_exchanges=1)
