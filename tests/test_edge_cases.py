@@ -1,0 +1,72 @@
+"""Empty-input robustness: every operator family must return an
+empty (but correctly-schemed) result on empty input, not throw —
+at scale, empty partitions and empty incremental batches are the
+common case, not the exception."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tiki_data_pipeline_spark import fixtures as FX
+from tiki_data_pipeline_spark import transform as TR
+from tiki_data_pipeline_spark.operators import dedup as DD
+from tiki_data_pipeline_spark.operators import hierarchy as H
+from tiki_data_pipeline_spark.operators import history as HI
+from tiki_data_pipeline_spark.operators import merge as ME
+from tiki_data_pipeline_spark.operators.graph import connected_components, dedup_survivors
+
+
+def _empty_like(spark, df):
+    return spark.createDataFrame([], df.schema)
+
+
+def test_transform_empty(spark):
+    raw = _empty_like(spark, FX.raw_products_df(spark))
+    out = TR.transform_products(raw)
+    assert out.count() == 0
+    assert "product_id" in out.columns
+
+
+def test_hierarchy_empty(spark):
+    cats = _empty_like(spark, FX.categories_df(spark))
+    assert H.ancestor_paths(cats).count() == 0
+    assert H.with_leaf_flag(cats).count() == 0
+    assert H.missing_parents(cats).count() == 0
+
+
+def test_dedup_empty(spark):
+    docs = spark.createDataFrame([], "doc_id bigint, text string")
+    assert DD.shingles(docs).count() == 0
+    assert DD.exact_dedup(docs).count() == 0
+    assert DD.minhash_lsh_near_dups(docs).count() == 0
+    assert DD.simhash_signatures(docs).count() == 0
+
+
+def test_graph_empty(spark):
+    pairs = spark.createDataFrame([], "i bigint, j bigint")
+    assert connected_components(pairs).count() == 0
+    docs = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id bigint, text string")
+    result = dedup_survivors(docs, pairs)
+    assert result.filter(F.col("survivor")).count() == 2
+
+
+def test_history_empty(spark):
+    hist = _empty_like(spark, FX.crawl_history_df(spark))
+    assert HI.latest_per_product(hist).count() == 0
+    assert HI.with_change_columns(hist).count() == 0
+    assert HI.cdc_append_rows(hist).count() == 0
+
+
+def test_upsert_empty_sides(spark):
+    cur = spark.createDataFrame(
+        [("1", "a", 10)], "product_id string, name string, price bigint"
+    )
+    empty = _empty_like(spark, cur)
+    # empty incoming: everything preserved, nothing new
+    merged = ME.upsert_preserve_nonnull(cur, empty, "product_id", ["name"])
+    rows = merged.collect()
+    assert len(rows) == 1 and not rows[0]["is_new"]
+    # empty current: everything inserted as new
+    merged2 = ME.upsert_preserve_nonnull(empty, cur, "product_id", ["name"])
+    rows2 = merged2.collect()
+    assert len(rows2) == 1 and rows2[0]["is_new"]
