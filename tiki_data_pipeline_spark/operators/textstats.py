@@ -94,6 +94,45 @@ def lang_guess(text: Column) -> Column:
     return best
 
 
+# GPT-2-style (simplified) token pattern: contraction suffixes,
+# space-prefixed letter runs, digit runs, punctuation runs. RE2 and
+# Java regex agree on \p{L}/\p{N} here.
+BPE_TOKEN_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count via the GPT-2-style pre-tokenizer regex —
+    the cheap token estimator for training-data budgeting (the exact
+    BPE merge table isn't needed to size a corpus)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), F.lit(0)))
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_size: int = 32,
+    stride: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping token-window chunking (LLM pre-training prep):
+    windows of ``chunk_size`` whitespace tokens every ``stride``
+    tokens; the final windows may be shorter. One explode, no UDF."""
+    with_toks = docs.select(
+        id_col, F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("toks")
+    ).filter(F.size("toks") > 0)
+    starts = F.sequence(F.lit(1), F.size("toks"), F.lit(stride))
+    exploded = with_toks.select(
+        id_col, "toks", F.explode(starts).alias("start")
+    )
+    chunk = F.slice(F.col("toks"), F.col("start"), chunk_size)
+    return exploded.select(
+        id_col,
+        (((F.col("start") - 1) / stride).cast("int")).alias("chunk_id"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """md5 of whitespace-normalized lowercase text (document identity
     for exact dedup; F10-style keying)."""

@@ -95,6 +95,54 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_token_counts",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(LEN(string_split_regex(lower(trim(text)), '\s+')) AS INTEGER)
+             AS ws_tokens,
+           CAST(LEN(regexp_extract_all(text,
+             '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))
+             AS INTEGER) AS bpe_tokens
+    FROM documents
+    """,
+)
+def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways (brief: whitespace + BPE-ish regex):
+    the corpus-budgeting estimators, JVM-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TS.token_count(F.col("text")).alias("ws_tokens"),
+        TS.bpe_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+@query(
+    "doc_chunking",
+    oracle="""
+    WITH dtoks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents WHERE LEN(string_split_regex(lower(trim(text)), '\\s+')) > 0
+    ),
+    exploded AS (
+      SELECT doc_id, toks, UNNEST(range(1, LEN(toks) + 1, 24)) AS start
+      FROM dtoks
+    )
+    SELECT doc_id,
+           CAST((start - 1) // 24 AS INTEGER) AS chunk_id,
+           CAST(LEN(toks[start : start + 31]) AS INTEGER) AS n_chunk_tokens,
+           array_to_string(toks[start : start + 31], ' ') AS chunk_text
+    FROM exploded
+    """,
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (32-token windows, stride
+    24) — pre-training data prep as one explode."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TS.chunk_documents(docs, chunk_size=32, stride=24)
+
+
 # ---------------------------------------------------------------- dedup
 
 @query(
