@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Scale-up stress harness: synthesize an N× copy of sf0.1 (shifted
+keys) under /tmp and run the headline queries against it, printing
+per-query timings. Evidence that the plans scale near-linearly —
+run after significant plan changes.
+
+Usage: python tools/stress_scale.py [N]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from tiki_data_pipeline_spark.session import get_spark
+
+SRC = "/root/testdata/sf0.1"
+
+STRESS_QUERIES = [
+    "q1_pricing_summary",
+    "q5_region_revenue",
+    "vw_top_products_revenue",
+    "latest_order_per_customer",
+    "doc_exact_dedup",
+    "doc_text_stats",
+    "doc_minhash_lsh_near_dup",
+]
+
+
+def build(spark, dst: str, n: int) -> None:
+    reps = spark.range(n).withColumnRenamed("id", "rep")
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SRC}/orders.parquet")
+    cust = spark.read.parquet(f"{SRC}/customer.parquet")
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    (
+        li.crossJoin(reps)
+        .withColumn("l_orderkey", F.col("l_orderkey") + F.col("rep") * 10_000_000)
+        .drop("rep")
+        .write.parquet(f"{dst}/lineitem.parquet")
+    )
+    (
+        orders.crossJoin(reps)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.col("rep") * 10_000_000)
+        .withColumn("o_custkey", F.col("o_custkey") + F.col("rep") * 1500)
+        .drop("rep")
+        .write.parquet(f"{dst}/orders.parquet")
+    )
+    (
+        cust.crossJoin(reps)
+        .withColumn("c_custkey", F.col("c_custkey") + F.col("rep") * 1500)
+        .drop("rep")
+        .write.parquet(f"{dst}/customer.parquet")
+    )
+    (
+        docs.crossJoin(reps)
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * 10000)
+        .drop("rep")
+        .write.parquet(f"{dst}/documents.parquet")
+    )
+    for t in ["region", "nation", "supplier", "part", "events", "embeddings"]:
+        spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{dst}/{t}.parquet"
+        )
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    dst = f"/tmp/sf_stress_{n}x"
+    spark = get_spark(app_name=f"stress{n}x")
+    if not os.path.isdir(dst):
+        os.makedirs(dst)
+        build(spark, dst, n)
+        print(f"generated {n}x dataset at {dst}")
+
+    from tiki_data_pipeline_spark.plans.queries import QUERIES
+
+    for q in STRESS_QUERIES:
+        t0 = time.perf_counter()
+        rows = QUERIES[q](spark, dst).count()
+        print(f"{q}: {time.perf_counter() - t0:.2f}s ({rows} rows) at {n}x")
+
+
+if __name__ == "__main__":
+    main()
