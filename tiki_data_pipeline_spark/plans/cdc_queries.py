@@ -5,7 +5,7 @@ crawl_history + products fixtures.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from tiki_data_pipeline_spark import fixtures as FX
@@ -151,6 +151,67 @@ def incremental_crawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     history = FX.crawl_history_df(spark)
     return HI.crawl_priority(products, history, _NOW).select(
         "product_id", "last_crawled_at", "price_change_count", "priority"
+    )
+
+
+@query(
+    "history_sales_velocity",
+    oracle=f"""
+    WITH {FX.crawl_history_cte()},
+    recentered AS (
+      SELECT product_id,
+             CAST(epoch(crawled_at) AS BIGINT)
+               - MIN(CAST(epoch(crawled_at) AS BIGINT))
+                   OVER (PARTITION BY product_id) AS x,
+             CAST(sales_count AS BIGINT) AS y
+      FROM crawl_history
+    ),
+    sums AS (
+      SELECT product_id, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM recentered GROUP BY product_id
+    )
+    SELECT product_id, n,
+           CASE WHEN n >= 2 AND n * sxx - sx * sx <> 0
+                THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / CAST(n * sxx - sx * sx AS DOUBLE) * 86400.0, 4)
+           END AS sales_per_day
+    FROM sums
+    """,
+)
+def history_sales_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 sales_velocity — least-squares sales-per-day slope per
+    product over its history. Integer sums over RECENTERED epochs
+    (x − min x per product keeps n·Σx² inside bigint), one final
+    double division shared bit-for-bit by both engines."""
+    history = FX.crawl_history_df(spark)
+    w = W.partitionBy("product_id")
+    epoch = F.unix_timestamp("crawled_at").cast("bigint")
+    recentered = history.select(
+        "product_id",
+        (epoch - F.min(epoch).over(w)).alias("x"),
+        F.col("sales_count").cast("bigint").alias("y"),
+    )
+    sums = recentered.groupBy("product_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / denom.cast("double")
+        * 86400.0
+    )
+    return sums.select(
+        "product_id",
+        "n",
+        F.when((F.col("n") >= 2) & (denom != 0), F.round(slope, 4)).alias(
+            "sales_per_day"
+        ),
     )
 
 
