@@ -66,6 +66,45 @@ def test_write_partitioned_prunes(spark, tmp_path):
     assert "PartitionFilters" in plan or "part=1" in plan
 
 
+def test_write_sorted_ranges_are_disjoint(spark, tmp_path):
+    from tiki_data_pipeline_spark.io import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    out = str(tmp_path / "sorted")
+    FS.write_sorted(li, out, ["l_shipdate"], n_partitions=4)
+    back = spark.read.parquet(out)
+    assert back.count() == li.count()
+    # per-file min/max ranges must be disjoint (that's what enables
+    # row-group skipping)
+    ranges = (
+        back.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(F.min("l_shipdate").alias("mn"), F.max("l_shipdate").alias("mx"))
+        .collect()
+    )
+    spans = sorted((r["mn"], r["mx"]) for r in ranges)
+    for (_, prev_max), (next_min, _) in zip(spans, spans[1:]):
+        assert prev_max <= next_min
+
+
+def test_register_query_views(spark):
+    from tiki_data_pipeline_spark.plans.views import register_query_views
+
+    names = register_query_views(
+        spark, "/root/testdata/sf0.001", ["vw_daily_sales", "topk_brands"]
+    )
+    assert names == ["vw_daily_sales", "topk_brands"]
+    n = spark.sql(
+        "SELECT COUNT(*) AS n FROM vw_daily_sales WHERE revenue > 0"
+    ).collect()[0]["n"]
+    assert n > 0
+    joined = spark.sql(
+        "SELECT b.p_brand, d.revenue FROM topk_brands b "
+        "CROSS JOIN (SELECT MAX(revenue) AS revenue FROM vw_daily_sales) d LIMIT 3"
+    )
+    assert joined.count() == 3
+
+
 def test_compact_parquet(spark, tmp_path):
     out = str(tmp_path / "fragmented")
     # 16 fragments

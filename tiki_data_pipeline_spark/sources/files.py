@@ -64,6 +64,22 @@ def write_partitioned(
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
+def write_sorted(
+    df: DataFrame, path: str, sort_cols: list[str], n_partitions: int | None = None
+) -> None:
+    """Range-partition + sort-within-partitions before writing: each
+    parquet file covers a disjoint range of ``sort_cols``, so its
+    row-group min/max statistics prune scans with predicates on those
+    columns — the 100 TB cousin of an index."""
+    n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.repartitionByRange(n, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def compact_parquet(spark: SparkSession, path: str, target_files: int) -> None:
     """Small-files compaction: rewrite a parquet dataset into
     ``target_files`` files. The 100 TB failure mode this prevents:
