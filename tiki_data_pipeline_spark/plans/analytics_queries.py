@@ -70,6 +70,28 @@ def lineitem_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orders_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS: per-status, per-priority, and grand
+    total in one pass (SQL form — the DataFrame API only exposes
+    rollup/cube)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
     "lineitem_cube_quantity",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
