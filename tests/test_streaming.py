@@ -48,6 +48,27 @@ def test_session_counts_stream_matches_batch(spark):
     assert len(got) > 0
 
 
+def test_sliding_window_stream_matches_batch(spark):
+    from pyspark.sql import functions as F
+
+    def sliding(df):
+        return (
+            df.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+
+    stream = jobs.events_stream(spark, SF)
+    jobs.run_to_memory(sliding(stream), "sliding_out", "complete")
+    got = {
+        (r["ws"], r["n"]) for r in spark.sql("SELECT * FROM sliding_out").collect()
+    }
+    want = {(r["ws"], r["n"]) for r in sliding(_batch_events(spark)).collect()}
+    assert got == want
+    assert len(got) > 0
+
+
 def test_dedup_stream_first_per_key(spark):
     stream = jobs.events_stream(spark, SF)
     jobs.run_to_memory(jobs.dedup_stream(stream), "dedup_out", "append")
