@@ -40,12 +40,19 @@ closure AS (
     oracle=f"""
     WITH RECURSIVE {FX.categories_cte()},
     {_WALK_SQL}
-    SELECT url, path FROM closure
+    SELECT url, array_to_string(path, ' > ') AS path FROM closure
     """,
 )
 def category_path_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G1 — ancestor-path materialization (cycle-guarded, ≤10 hops)."""
-    return H.ancestor_paths(FX.categories_df(spark))
+    """G1 — ancestor-path materialization (cycle-guarded, ≤10 hops).
+
+    The closure paths are arrays internally; the QUERY projects them to
+    a ' > '-joined string (closure paths are always non-empty) so the
+    result is hashable by row-canonicalizers that can't sort lists.
+    """
+    return H.ancestor_paths(FX.categories_df(spark)).select(
+        "url", F.concat_ws(" > ", "path").alias("path")
+    )
 
 
 @query(
@@ -53,7 +60,7 @@ def category_path_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH RECURSIVE {FX.categories_cte()},
     {_WALK_SQL}
-    SELECT url, path,
+    SELECT url, array_to_string(path, ' > ') AS path,
            CAST(LEN(path) AS INTEGER) AS level,
            path[1] AS root_category_name,
            path[1] AS level_1, path[2] AS level_2, path[3] AS level_3,
@@ -63,7 +70,8 @@ def category_path_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def category_level_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G5 — level_1..level_5 pivot over the closure paths."""
-    return H.with_level_pivot(H.ancestor_paths(FX.categories_df(spark)))
+    out = H.with_level_pivot(H.ancestor_paths(FX.categories_df(spark)))
+    return out.withColumn("path", F.concat_ws(" > ", "path"))
 
 
 @query(
@@ -103,8 +111,10 @@ def category_missing_parents(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_WALK_SQL},
     roots AS (SELECT DISTINCT name FROM categories WHERE parent_url IS NULL)
     SELECT c.url,
-           (CASE WHEN c.path[1] IN (SELECT name FROM roots) THEN c.path
-                 ELSE list_prepend('Root', c.path) END)[1:5] AS repaired_path
+           array_to_string(
+             (CASE WHEN c.path[1] IN (SELECT name FROM roots) THEN c.path
+                   ELSE list_prepend('Root', c.path) END)[1:5],
+             ' > ') AS repaired_path
     FROM closure c
     """,
 )
@@ -113,7 +123,9 @@ def category_path_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     cats = FX.categories_df(spark)
     paths = H.ancestor_paths(cats)
     known_roots = cats.filter(F.col("parent_url").isNull()).select("name")
-    return H.repair_paths(paths, known_roots)
+    return H.repair_paths(paths, known_roots).withColumn(
+        "repaired_path", F.concat_ws(" > ", "repaired_path")
+    )
 
 
 @query(

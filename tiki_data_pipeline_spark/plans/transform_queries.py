@@ -127,13 +127,29 @@ products AS (
     "transform_products",
     oracle=f"""
     WITH {PRODUCTS_CTE}
-    SELECT * FROM products
+    SELECT {', '.join(c for c in _FINAL_COLS if c != 'category_path')},
+           CASE WHEN category_path IS NULL THEN NULL
+                ELSE COALESCE(array_to_string(category_path, ' > '), '') END
+             AS category_path
+    FROM products
     """,
 )
 def transform_products_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full transform stage on the dirty fixture (P1+P2+P3+validate+D2)."""
+    """Full transform stage on the dirty fixture (P1+P2+P3+validate+D2).
+
+    ``category_path`` is array<string> in the engine API; the QUERY
+    projects it to a ' > '-joined string so row canonicalizers that
+    can't hash lists still work. NULL array → NULL string on both
+    engines (Spark concat_ws would silently fold NULL to ''; DuckDB
+    array_to_string folds empty to NULL — both are guarded)."""
     raw = FX.raw_products_df(spark)
-    return TR.transform_products(raw).select(*_FINAL_COLS)
+    out = TR.transform_products(raw).select(*_FINAL_COLS)
+    return out.withColumn(
+        "category_path",
+        F.when(
+            F.col("category_path").isNull(), F.lit(None).cast("string")
+        ).otherwise(F.concat_ws(" > ", "category_path")),
+    )
 
 
 @query(
