@@ -160,15 +160,25 @@ def _plane_component(plane: Column | int, dim_index: Column) -> Column:
 
 
 def lsh_bucket(v: Column, n_planes: int = N_PLANES) -> Column:
-    """Random-hyperplane LSH bucket id (0 .. 2^n_planes - 1)."""
+    """Random-hyperplane LSH bucket id (0 .. 2^n_planes - 1).
+
+    NB: the per-plane weight lambda must take exactly ONE parameter —
+    Spark's higher-order ``transform`` passes (element, index) to
+    binary lambdas, so a ``lambda i, _p=p`` default-arg closure would
+    silently bind ``_p`` to the array index instead of the plane.
+    """
     bucket = F.lit(0)
     for p in range(n_planes):
+
+        def _weights(i: Column, _p: int = p) -> Column:
+            return _plane_component(_p, i)
+
         proj = F.aggregate(
             F.zip_with(
                 v,
                 F.transform(
                     F.sequence(F.lit(1), F.size(v)),
-                    lambda i, _p=p: _plane_component(_p, i),
+                    lambda i: _weights(i),
                 ),
                 lambda x, w: x * w,
             ),
@@ -179,22 +189,61 @@ def lsh_bucket(v: Column, n_planes: int = N_PLANES) -> Column:
     return bucket
 
 
+def probe_masks(n_planes: int, radius: int) -> list[int]:
+    """All XOR masks with popcount ≤ radius — the multi-probe set."""
+    masks = [0]
+    if radius >= 1:
+        masks += [1 << a for a in range(n_planes)]
+    if radius >= 2:
+        masks += [
+            (1 << a) | (1 << b)
+            for a in range(n_planes)
+            for b in range(a + 1, n_planes)
+        ]
+    return masks
+
+
 def lsh_bucketed_topk(
     embeddings: DataFrame,
     query_ids: list[int],
     k: int = 5,
     n_planes: int = N_PLANES,
+    probe_radius: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """ANN: top-k by cosine among candidates in the query's LSH bucket."""
+    """ANN: top-k by cosine among candidates in buckets within Hamming
+    ``probe_radius`` of the query's LSH bucket (multi-probe LSH).
+
+    A single 8-bit bucket holds ~n/256 of the corpus — too few
+    candidates for usable recall — so each query probes the
+    ``1 + C(8,1) + C(8,2) = 37`` buckets whose codes differ in ≤ 2
+    bits (~14% of the corpus vs 100% for brute force). The probe set
+    is exploded on the (tiny, broadcast) query side, so the corpus
+    side stays a pure bucket equi-join: at 100 TB, with the corpus
+    written partitioned by bucket, this is partition pruning.
+    """
     from pyspark.sql import Window as W
 
     base = embeddings.select(
         id_col, as_double(F.col(vec_col)).alias("v")
     ).withColumn("bucket", lsh_bucket(F.col("v"), n_planes))
-    queries = base.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), "bucket"
+    queries = (
+        base.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"), F.col("v").alias("qv"), "bucket"
+        )
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.array(
+                    *[
+                        F.col("bucket").bitwiseXOR(F.lit(m))
+                        for m in probe_masks(n_planes, probe_radius)
+                    ]
+                )
+            ),
+        )
     )
     pairs = base.join(
         F.broadcast(queries), ["bucket"]

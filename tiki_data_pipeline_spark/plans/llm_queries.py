@@ -399,9 +399,40 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.label_centroid_stats(load_table(spark, sf_dir, "embeddings"))
 
 
-# ANN via LSH buckets: rows-only (the bucketing is oracle-hostile SQL);
-# recall vs the brute-force baseline is asserted in tests.
-@query("embedding_ann_lsh_topk")
+# ANN via LSH buckets. The hyperplane components are md5-derived by
+# construction (operators/similarity.py:_plane_component), so the
+# bucket assignment is exactly reproducible in DuckDB: per plane p and
+# 1-based dim i, weight = hex(md5(p || '_' || i)[:15]) / 2^59 - 1.
+_LSH_BUCKET_SQL = " + ".join(
+    "(CASE WHEN list_sum(list_transform(generate_series(1, len(v)), i -> "
+    f"v[i] * (CAST(concat('0x', substring(md5(concat({p}, '_', i)), 1, 15)) "
+    "AS BIGINT) / 576460752303423488.0 - 1.0))) > 0 "
+    f"THEN {1 << p} ELSE 0 END)"
+    for p in range(SIM.N_PLANES)
+)
+
+
+@query(
+    "embedding_ann_lsh_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {_LSH_BUCKET_SQL} AS bucket FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b
+          WHERE vec_id IN ({', '.join(map(str, _QUERY_IDS))})),
+    scored AS (
+      SELECT q.query_id, b.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.qv, b.v), 6) AS cosine_sim
+      FROM q JOIN b
+        ON bit_count(xor(b.bucket::BIGINT, q.bucket::BIGINT)) <= 2
+       AND b.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+      FROM scored
+    ) t WHERE rn <= 5
+    """,
+)
 def embedding_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5 within random-hyperplane LSH buckets (scale path)."""
     emb = load_table(spark, sf_dir, "embeddings")
