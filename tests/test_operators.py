@@ -94,3 +94,34 @@ def test_simhash_is_deterministic(spark):
     b = {r["doc_id"]: r["simhash"] for r in DD.simhash_signatures(docs).collect()}
     assert a == b
     assert all(0 <= v < 2**32 for v in a.values())
+
+
+def test_simhash_pigeonhole_matches_allpairs(spark):
+    """The blocked equi-join pair scan must find exactly the pairs the
+    naive all-pairs scan finds (pigeonhole completeness), and its plan
+    must not contain a nested-loop join."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF, "documents")
+    sigs = DD.simhash_signatures(docs).localCheckpoint()
+    naive = (
+        sigs.select(F.col("doc_id").alias("i"), F.col("simhash").alias("sig_i"))
+        .join(
+            sigs.select(
+                F.col("doc_id").alias("j"), F.col("simhash").alias("sig_j")
+            ),
+            F.col("i") < F.col("j"),
+        )
+        .withColumn(
+            "hamming", F.bit_count(F.col("sig_i").bitwiseXOR(F.col("sig_j")))
+        )
+        .filter(F.col("hamming") <= 3)
+        .select("i", "j", "hamming")
+    )
+    blocked = DD.simhash_near_dups(docs, max_hamming=3)
+    truth = {(r["i"], r["j"], r["hamming"]) for r in naive.collect()}
+    got = {(r["i"], r["j"], r["hamming"]) for r in blocked.collect()}
+    assert got == truth
+    plan = blocked._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

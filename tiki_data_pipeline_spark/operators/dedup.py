@@ -235,17 +235,58 @@ def simhash_near_dups(
 ) -> DataFrame:
     """Pairs with SimHash Hamming distance ≤ max_hamming.
 
-    Pair generation here is a full self-join (fine to ~10⁴ docs); the
-    100 TB path buckets signatures by 4 prefix blocks (pigeonhole: a
-    ≤3-bit difference leaves ≥1 of 4 blocks identical) before joining.
+    Pigeonhole blocking: the 32-bit signature splits into
+    ``max_hamming + 1`` bit-blocks; two signatures differing in
+    ≤ max_hamming bits must agree on at least one whole block, so an
+    equi-join on ``(block_idx, block_val)`` finds every qualifying
+    pair while touching only same-block candidates — the shuffle
+    carries (block, id, sig) rows, not the O(n²) cross product a
+    non-equi ``i < j`` self-join degenerates to. Candidates are
+    deduped (a pair can collide on several blocks) and verified with
+    the exact popcount.
     """
     sigs = simhash_signatures(docs, id_col=id_col, text_col=text_col)
-    a = sigs.select(F.col(id_col).alias("i"), F.col("simhash").alias("sig_i"))
-    b = sigs.select(F.col(id_col).alias("j"), F.col("simhash").alias("sig_j"))
+    n_blocks = max_hamming + 1
+    block_bits = SIMHASH_BITS // n_blocks
+    mask = (1 << block_bits) - 1
+    blocks = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(blk).alias("block_idx"),
+                        F.shiftright(F.col("simhash"), blk * block_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("block_val"),
+                    )
+                    for blk in range(n_blocks)
+                ]
+            )
+        ).alias("blk"),
+    ).select(id_col, "simhash", "blk.block_idx", "blk.block_val")
+    a = blocks.select(
+        F.col(id_col).alias("i"),
+        F.col("simhash").alias("sig_i"),
+        "block_idx",
+        "block_val",
+    )
+    b = blocks.select(
+        F.col(id_col).alias("j"),
+        F.col("simhash").alias("sig_j"),
+        "block_idx",
+        "block_val",
+    )
+    candidates = (
+        a.join(b, ["block_idx", "block_val"])
+        .filter(F.col("i") < F.col("j"))
+        .select("i", "j", "sig_i", "sig_j")
+        .distinct()
+    )
     ham = F.bit_count(F.col("sig_i").bitwiseXOR(F.col("sig_j")))
     return (
-        a.join(b, F.col("i") < F.col("j"))
-        .withColumn("hamming", ham)
+        candidates.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("i", "j", "hamming")
     )
