@@ -96,6 +96,22 @@ def test_simhash_is_deterministic(spark):
     assert all(0 <= v < 2**32 for v in a.values())
 
 
+def test_lsh_blocked_near_dup_subset_recall(spark):
+    """LSH-blocked pair join reports only true pairs (exact cosine
+    verified) and keeps recall ≥ 0.7 vs the exact join: radius-2
+    emission covers every pair whose bucket codes differ in ≤ 4 of 8
+    bits."""
+    emb = load_table(spark, SF, "embeddings")
+    exact = SIM.near_dup_pairs(emb, threshold=0.45)
+    lsh = SIM.near_dup_pairs(emb, threshold=0.45, blocking="lsh")
+    truth = {(r["i"], r["j"]) for r in exact.collect()}
+    got = {(r["i"], r["j"]) for r in lsh.collect()}
+    assert got <= truth, "LSH blocking invented a pair"
+    if truth:
+        recall = len(truth & got) / len(truth)
+        assert recall >= 0.7, f"LSH-blocked recall collapsed: {recall}"
+
+
 def test_simhash_pigeonhole_matches_allpairs(spark):
     """The blocked equi-join pair scan must find exactly the pairs the
     naive all-pairs scan finds (pigeonhole completeness), and its plan

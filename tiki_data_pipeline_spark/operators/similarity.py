@@ -78,27 +78,67 @@ def near_dup_pairs(
     block_size: int = 512,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    blocking: str = "exact",
+    n_planes: int = N_PLANES,
+    emit_radius: int = 2,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (i < j, cos ≥ threshold).
 
-    Blocked matrix multiplication: vectors are grouped into blocks,
-    every block pair is one task computing a numpy cosine matrix
-    (Arrow-batched — row-at-a-time higher-order expressions are ~100×
-    slower for all-pairs work). Pair count is O(n²/2) regardless; the
-    100 TB path first partitions by ``lsh_bucket`` so only same-bucket
-    blocks ever meet — identical semantics on surviving pairs.
+    Blocked matrix multiplication: vectors are grouped into chunks,
+    each qualifying chunk pair is one task computing a numpy cosine
+    matrix (Arrow-batched — row-at-a-time higher-order expressions are
+    ~100× slower for all-pairs work).
+
+    ``blocking`` picks which chunk pairs meet:
+
+    - ``"exact"`` — every chunk pair. Exact join semantics (this is
+      what the SQL oracle checks), but O(n²) work: the right answer
+      up to ~10⁶ vectors, not the 100 TB path.
+    - ``"lsh"`` — the scale path: each vector is emitted into every
+      LSH bucket within Hamming ``emit_radius`` of its own, and only
+      same-bucket chunks meet, so two vectors ever meet iff their
+      bucket codes differ in ≤ 2·emit_radius bits. This is an
+      *approximate* join — reported pairs are always true (cosine is
+      verified exactly), but a pair whose buckets differ in more bits
+      is never seen. Measured on the synthetic fixtures at the query
+      threshold (0.45): recall 0.88 at sf0.1, 0.71 at sf0.001 —
+      the classic ANN trade; work drops from all n²/2 pairs to the
+      ~C(8,≤2)=37-replica bucket join. True near-dup thresholds
+      (cos ≥ 0.9 ⇒ small angles) collide on far more blocks.
     """
     import pandas as pd
 
     base = embeddings.select(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
-    ).withColumn("block", F.floor(F.col("id") / F.lit(block_size)).cast("int"))
-    blocks = base.groupBy("block").agg(
+    ).withColumn("chunk", F.floor(F.col("id") / F.lit(block_size)).cast("int"))
+    if blocking == "lsh":
+        base = (
+            base.withColumn("_b0", lsh_bucket(F.col("v"), n_planes))
+            .withColumn(
+                "bkt",
+                F.explode(
+                    F.array(
+                        *[
+                            F.col("_b0").bitwiseXOR(F.lit(m))
+                            for m in probe_masks(n_planes, emit_radius)
+                        ]
+                    )
+                ),
+            )
+            .drop("_b0")
+        )
+    else:
+        base = base.withColumn("bkt", F.lit(0))
+    blocks = base.groupBy("bkt", "chunk").agg(
         F.collect_list(F.struct(F.col("id"), F.col("v"))).alias("items")
     )
-    a = blocks.select(F.col("block").alias("ba"), F.col("items").alias("items_a"))
-    b = blocks.select(F.col("block").alias("bb"), F.col("items").alias("items_b"))
-    block_pairs = a.join(b, F.col("ba") <= F.col("bb"))
+    a = blocks.select(
+        F.col("bkt"), F.col("chunk").alias("ba"), F.col("items").alias("items_a")
+    )
+    b = blocks.select(
+        F.col("bkt"), F.col("chunk").alias("bb"), F.col("items").alias("items_b")
+    )
+    block_pairs = a.join(b, "bkt").filter(F.col("ba") <= F.col("bb"))
 
     thr = float(threshold)
 
@@ -138,9 +178,13 @@ def near_dup_pairs(
                     }
                 )
 
-    return block_pairs.mapInPandas(
+    pairs = block_pairs.mapInPandas(
         compute, schema="i long, j long, cosine_sim double"
     )
+    if blocking == "lsh":
+        # a pair can collide in several shared probe buckets
+        pairs = pairs.dropDuplicates(["i", "j"])
+    return pairs
 
 
 def _plane_component(plane: Column | int, dim_index: Column) -> Column:

@@ -385,6 +385,17 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.near_dup_pairs(emb, threshold=0.45)
 
 
+# Approximate (LSH-blocked) near-dup join: the 100 TB path. Rows-only
+# by design — only same-probe-bucket chunks meet, so recall < 1 is the
+# contract, not a bug (subset-of-exact + recall floor pinned in
+# tests/test_operators.py::test_lsh_blocked_near_dup_subset_recall).
+@query("embedding_near_dup_lsh")
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-blocked approximate near-dup pairs (cos ≥ 0.45)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.near_dup_pairs(emb, threshold=0.45, blocking="lsh")
+
+
 @query(
     "embedding_label_stats",
     oracle="""
