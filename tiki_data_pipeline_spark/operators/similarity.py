@@ -323,39 +323,71 @@ def ivf_train(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF coarse quantizer: k centroids via deterministic Lloyd
-    iterations (init = the first k vectors by id — seed-free).
+    iterations (init = the first k vectors in id order — robust to
+    sparse / non-zero-based ids, unlike a ``filter(id < k)``).
 
-    All-DataFrame: assignment is a broadcast cross join + argmin
-    (min over (dist, cid) structs); the update step is a posexplode →
-    per-(cluster, dim) mean → array reassembly. Centroids are a
-    broadcast-sized dim by construction (k ≪ n), which is exactly why
-    IVF scales: the full corpus is only ever scanned with a broadcast
-    of k rows.
+    Each Lloyd pass is ONE corpus scan: a mapInPandas batch computes
+    nearest-centroid assignments (one (batch × k) matrix product) AND
+    emits per-centroid numpy partial sums — ≤ k rows per batch — so
+    the shuffle carries n_batches·k tiny (cid, sum_vec, count) rows
+    instead of the n·dim rows a posexplode update would. The final
+    merge is a k-group element-wise fold. Centroids are broadcast-
+    sized by construction (k ≪ n), which is why IVF scales.
     """
+    from pyspark.sql import Window as W
+
     base = embeddings.select(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
     )
-    centroids = base.filter(F.col("id") < k).select(
-        F.col("id").cast("int").alias("cid"), F.col("v").alias("cv")
+    centroids = (
+        base.orderBy("id")
+        .limit(k)
+        .withColumn("cid", (F.row_number().over(W.orderBy("id")) - 1).cast("int"))
+        .select("cid", F.col("v").alias("cv"))
     )
     for _ in range(iters):
-        assigned = assign_to_centroids(base, centroids)
-        with_vec = assigned.join(base, "id")
-        per_dim = (
-            with_vec.select("cid", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cid", "pos")
-            .agg(F.avg("x").alias("mx"))
-        )
-        centroids = (
-            per_dim.groupBy("cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "mx"))),
-                    lambda s: s.mx,
-                ).alias("cv")
-            )
-        ).localCheckpoint()
+        centroids = _lloyd_update(base, centroids)
     return centroids
+
+
+def _lloyd_update(base: DataFrame, centroids: DataFrame) -> DataFrame:
+    """One Lloyd iteration: per-batch numpy partial sums → k-group merge."""
+    import numpy as np
+    import pandas as pd
+
+    rows = sorted(centroids.collect(), key=lambda r: r["cid"])
+    cids = np.array([r["cid"] for r in rows], dtype=np.int64)
+    cmat = np.array([r["cv"] for r in rows], dtype=np.float64)
+
+    def partial_sums(batches):
+        for pdf in batches:
+            m = np.array(list(pdf["v"]), dtype=np.float64)
+            d = -2.0 * (m @ cmat.T) + (cmat * cmat).sum(axis=1)
+            a = np.argmin(d, axis=1)
+            out_cid, out_sum, out_cnt = [], [], []
+            for ci in np.unique(a):
+                sel = m[a == ci]
+                out_cid.append(int(cids[ci]))
+                out_sum.append(sel.sum(axis=0))
+                out_cnt.append(len(sel))
+            yield pd.DataFrame(
+                {"cid": out_cid, "sum_v": out_sum, "cnt": out_cnt}
+            )
+
+    partials = base.mapInPandas(
+        partial_sums, schema="cid int, sum_v array<double>, cnt long"
+    )
+    merged = partials.groupBy("cid").agg(
+        F.collect_list("sum_v").alias("svs"), F.sum("cnt").alias("cnt")
+    )
+    total = F.aggregate(
+        F.col("svs"),
+        F.transform(F.element_at("svs", 1), lambda x: x * 0.0),
+        lambda acc, x: F.zip_with(acc, x, lambda p, q: p + q),
+    )
+    return merged.select(
+        "cid", F.transform(total, lambda s: s / F.col("cnt")).alias("cv")
+    )
 
 
 def assign_to_centroids(base: DataFrame, centroids: DataFrame) -> DataFrame:
