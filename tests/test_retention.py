@@ -1,0 +1,45 @@
+"""M7 retention: real partition moves/drops (reference
+postgres_storage.py:1799-1857 cleanup_old_history)."""
+
+from __future__ import annotations
+
+from tiki_data_pipeline_spark import fixtures as FX
+from tiki_data_pipeline_spark.operators.history import apply_retention
+
+
+def test_apply_retention_moves_and_drops_partitions(spark, tmp_path):
+    hist = FX.crawl_history_df(spark)
+    base = str(tmp_path / "crawl_history")
+    arch = str(tmp_path / "crawl_history_archive")
+    result = apply_retention(spark, hist, base, arch, FX.HISTORY_NOW)
+
+    # now = 2025-01-20 → delete cutoff month 2024-01, archive cutoff 2024-07
+    assert result["deleted_months"] == ["2023-06", "2023-12"]
+    assert result["archived_months"] == ["2024-05"]
+    # 2024-07 straddles the archive cutoff (conservative keep)
+    assert result["kept_months"] == ["2024-07", "2024-12", "2025-01"]
+
+    kept = spark.read.parquet(base)
+    archived = spark.read.parquet(arch)
+    # archived rows land in the archive dataset...
+    assert {r["history_id"] for r in archived.collect()} == {12}
+    # ...expired rows are gone everywhere
+    kept_ids = {r["history_id"] for r in kept.collect()}
+    assert kept_ids.isdisjoint({15, 16})
+    # and nothing else was lost: kept + archived = original - deleted
+    all_ids = {r[0] for r in FX.HISTORY_ROWS}
+    assert kept_ids | {12} == all_ids - {15, 16}
+
+
+def test_apply_retention_is_idempotent_on_kept_months(spark, tmp_path):
+    hist = FX.crawl_history_df(spark)
+    base = str(tmp_path / "h")
+    arch = str(tmp_path / "a")
+    apply_retention(spark, hist, base, arch, FX.HISTORY_NOW)
+    # re-applying over the surviving rows changes nothing further
+    # (checkpoint: the overwrite would otherwise clobber its own input)
+    kept = spark.read.parquet(base).drop("month").localCheckpoint()
+    result = apply_retention(spark, kept, base, arch + "2", FX.HISTORY_NOW)
+    assert result["deleted_months"] == []
+    assert result["archived_months"] == []
+    assert result["kept_months"] == ["2024-07", "2024-12", "2025-01"]

@@ -109,6 +109,68 @@ def retention_buckets(history: DataFrame, now: str) -> DataFrame:
     return history.withColumn("retention_bucket", bucket)
 
 
+def apply_retention(
+    spark,
+    history: DataFrame,
+    base_path: str,
+    archive_path: str,
+    now: str,
+    archive_months: int = 6,
+    delete_months: int = 12,
+) -> dict:
+    """M7 — enforce the retention policy with partition operations
+    (reference postgres_storage.py:1799-1857 ``cleanup_old_history``:
+    archive 6-12-month rows into ``crawl_history_archive``, delete
+    >12-month rows).
+
+    The history dataset is written partitioned by ``month``
+    (``yyyy-MM`` of ``crawled_at``), so retention is metadata work,
+    not row scans: an entirely-expired month partition is dropped, an
+    entirely-archivable one is MOVED (directory rename) into the
+    archive dataset. Months straddling a cutoff stay in place —
+    conservative by design; they roll over on a later run. At 100 TB
+    this is the only shape that works: the move/drop cost is O(months
+    touched), independent of row count.
+
+    Returns ``{"kept_months": [...], "archived_months": [...],
+    "deleted_months": [...]}``. ``history`` must not be a lazy read of
+    ``base_path`` itself (the overwrite would clobber its own input) —
+    checkpoint first when re-applying in place.
+    """
+    import shutil
+    from datetime import datetime
+    from pathlib import Path
+
+    hist = history.withColumn("month", F.date_format("crawled_at", "yyyy-MM"))
+    hist.write.mode("overwrite").partitionBy("month").parquet(base_path)
+
+    def _shift_month(ts: datetime, months: int) -> str:
+        y, m = ts.year, ts.month - months
+        while m <= 0:
+            y, m = y - 1, m + 12
+        return f"{y:04d}-{m:02d}"
+
+    now_dt = datetime.fromisoformat(now)
+    delete_cutoff = _shift_month(now_dt, delete_months)
+    archive_cutoff = _shift_month(now_dt, archive_months)
+
+    result: dict = {"kept_months": [], "archived_months": [], "deleted_months": []}
+    base = Path(base_path)
+    arch = Path(archive_path)
+    arch.mkdir(parents=True, exist_ok=True)
+    for part_dir in sorted(base.glob("month=*")):
+        month = part_dir.name.split("=", 1)[1]
+        if month < delete_cutoff:
+            shutil.rmtree(part_dir)
+            result["deleted_months"].append(month)
+        elif month < archive_cutoff:
+            shutil.move(str(part_dir), str(arch / part_dir.name))
+            result["archived_months"].append(month)
+        else:
+            result["kept_months"].append(month)
+    return result
+
+
 def crawl_priority(
     products: DataFrame, history: DataFrame, now: str, limit: int = 10
 ) -> DataFrame:

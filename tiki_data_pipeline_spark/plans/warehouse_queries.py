@@ -203,6 +203,213 @@ def warehouse_kpi_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.crossJoin(l)
 
 
+# ---------------------------------------------------------------- dims
+# Reference star schema: dim_product / dim_category / dim_seller /
+# dim_brand / dim_date / dim_price_segment, each with a SERIAL
+# surrogate key (TIKI_WAREHOUSE_DATABASE_SCHEMA_VI.md:1173-1320).
+# Surrogate keys here are DENSE_RANK over the natural key's stable
+# order — deterministic, and dims are small by definition so the
+# single-partition window is not a scale concern (at 100 TB dims are
+# still ≪ executor memory; facts never get a window).
+
+
+@query(
+    "dim_product_build",
+    oracle="""
+    SELECT DENSE_RANK() OVER (ORDER BY p_partkey) AS product_sk,
+           p_partkey AS product_id, p_name AS product_name,
+           p_brand AS brand, p_type AS category_id
+    FROM part
+    """,
+)
+def dim_product_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dim_product with surrogate keys (reference dim_product:
+    TIKI_WAREHOUSE_DATABASE_SCHEMA_VI.md:1259-1272)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        F.dense_rank().over(W.orderBy("p_partkey")).cast("bigint").alias("product_sk"),
+        F.col("p_partkey").alias("product_id"),
+        F.col("p_name").alias("product_name"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_type").alias("category_id"),
+    )
+
+
+@query(
+    "dim_brand_build",
+    oracle="""
+    SELECT DENSE_RANK() OVER (ORDER BY brand_name) AS brand_sk, brand_name
+    FROM (SELECT DISTINCT p_brand AS brand_name FROM part) t
+    """,
+)
+def dim_brand_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dim_brand: distinct natural keys + surrogate keys (reference
+    dim_brand: TIKI_WAREHOUSE_DATABASE_SCHEMA_VI.md:1207-1215)."""
+    part = load_table(spark, sf_dir, "part")
+    brands = part.select(F.col("p_brand").alias("brand_name")).distinct()
+    return brands.select(
+        F.dense_rank().over(W.orderBy("brand_name")).cast("bigint").alias("brand_sk"),
+        "brand_name",
+    )
+
+
+@query(
+    "dim_seller_build",
+    oracle="""
+    SELECT DENSE_RANK() OVER (ORDER BY s_suppkey) AS seller_sk,
+           s_suppkey AS seller_id, s_name AS seller_name,
+           n_name AS seller_nation
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    """,
+)
+def dim_seller_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dim_seller enriched with the nation name via a broadcast join
+    (reference dim_seller: TIKI_WAREHOUSE_DATABASE_SCHEMA_VI.md:1221-1231)."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        supplier.join(
+            F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+        )
+        .select(
+            F.dense_rank()
+            .over(W.orderBy("s_suppkey"))
+            .cast("bigint")
+            .alias("seller_sk"),
+            F.col("s_suppkey").alias("seller_id"),
+            F.col("s_name").alias("seller_name"),
+            F.col("n_name").alias("seller_nation"),
+        )
+    )
+
+
+@query(
+    "dim_category_build",
+    oracle="""
+    SELECT DENSE_RANK() OVER (ORDER BY category_id) AS category_sk,
+           category_id,
+           STRING_SPLIT(category_id, '/')[1] AS level_1,
+           STRING_SPLIT(category_id, '/')[2] AS level_2,
+           STRING_SPLIT(category_id, '/')[3] AS level_3
+    FROM (SELECT DISTINCT p_type || '/' || p_brand AS category_id FROM part) t
+    """,
+)
+def dim_category_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dim_category: a path id split into level_1..level_N columns,
+    mirroring the reference's level_1..level_5 denormalized path
+    (TIKI_WAREHOUSE_DATABASE_SCHEMA_VI.md:1237-1253). The two-level
+    p_type/p_brand taxonomy stands in for the category path; level_3
+    is NULL via null-tolerant indexing, exactly like the reference's
+    sparse deeper levels."""
+    part = load_table(spark, sf_dir, "part")
+    cats = part.select(
+        F.concat_ws("/", "p_type", "p_brand").alias("category_id")
+    ).distinct()
+    parts = F.split(F.col("category_id"), "/")
+    return cats.select(
+        F.dense_rank().over(W.orderBy("category_id")).cast("bigint").alias("category_sk"),
+        "category_id",
+        F.get(parts, 0).alias("level_1"),
+        F.get(parts, 1).alias("level_2"),
+        F.get(parts, 2).alias("level_3"),
+    )
+
+
+# Part-retail-price segments (testdata p_retailprice spans 900-1000);
+# the reference's six fixed VND bands map to five fixed bands here.
+_PART_SEGMENTS = [
+    ("P1_entry", 0.0, 920.0),
+    ("P2_value", 920.0, 940.0),
+    ("P3_core", 940.0, 960.0),
+    ("P4_plus", 960.0, 980.0),
+    ("P5_premium", 980.0, 1e18),
+]
+
+_PART_SEGMENT_COLS = [
+    ("segment_name", "VARCHAR"), ("min_price", "DOUBLE"), ("max_price", "DOUBLE"),
+]
+
+
+@query(
+    "dim_price_segment_build",
+    oracle=f"""
+    WITH {FX.values_cte('seg', _PART_SEGMENT_COLS, _PART_SEGMENTS)}
+    SELECT DENSE_RANK() OVER (ORDER BY segment_name) AS price_segment_sk,
+           segment_name, min_price, max_price
+    FROM seg
+    """,
+)
+def dim_price_segment_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dim_price_segment: the fixed band table with surrogate keys
+    (reference dim_price_segment with its six static bands,
+    TIKI_WAREHOUSE_DATABASE_SCHEMA_VI.md:1173-1188)."""
+    seg = spark.createDataFrame(
+        _PART_SEGMENTS, schema="segment_name string, min_price double, max_price double"
+    )
+    return seg.select(
+        F.dense_rank()
+        .over(W.orderBy("segment_name"))
+        .cast("bigint")
+        .alias("price_segment_sk"),
+        "segment_name",
+        "min_price",
+        "max_price",
+    )
+
+
+@query(
+    "vw_price_segment_analysis",
+    oracle=f"""
+    WITH {FX.values_cte('seg', _PART_SEGMENT_COLS, _PART_SEGMENTS)}
+    SELECT segment_name,
+           COUNT(DISTINCT p_partkey) AS product_count,
+           {X.o_avg_money_2dp('p_retailprice')} AS avg_price,
+           {X.o_div_round(f"SUM({X.o_cents('l_extendedprice')} * (100 - {X.o_hundredths('l_discount')}))", "100", 100)} AS total_revenue,
+           {X.o_div_round(f"SUM({X.o_hundredths('l_discount')}) * 100", "COUNT(*)", 100)} AS avg_discount_pct
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN seg ON p_retailprice >= min_price AND p_retailprice < max_price
+    GROUP BY segment_name
+    """,
+)
+def vw_price_segment_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-price-segment rollup (reference vw_price_segment_analysis:
+    TIKI_WAREHOUSE_DATABASE_SCHEMA_VI.md:1374-1387): product count,
+    average price, revenue and average discount per fixed band. The
+    segment dim is broadcast; the fact side aggregates in one pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    seg = spark.createDataFrame(
+        _PART_SEGMENTS, schema="segment_name string, min_price double, max_price double"
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(seg),
+            (F.col("p_retailprice") >= F.col("min_price"))
+            & (F.col("p_retailprice") < F.col("max_price")),
+        )
+        .groupBy("segment_name")
+        .agg(
+            F.countDistinct("p_partkey").alias("product_count"),
+            F.sum(X.cents(F.col("p_retailprice"))).alias("_spc"),
+            F.sum(
+                X.cents(F.col("l_extendedprice"))
+                * (100 - X.hundredths(F.col("l_discount")))
+            ).alias("_sdp"),
+            F.sum(X.hundredths(F.col("l_discount"))).alias("_sdh"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .selectExpr(
+            "segment_name",
+            "product_count",
+            X.div_round_expr("_spc", "_n", 100) + " AS avg_price",
+            X.div_round_expr("_sdp", "100", 100) + " AS total_revenue",
+            X.div_round_expr("_sdh * 100", "_n", 100) + " AS avg_discount_pct",
+        )
+    )
+
+
 _SCD_EFFECTIVE = "2025-01-20 00:00:00"
 
 _SCD_DIM_ROWS = [
