@@ -136,46 +136,139 @@ def dlq_error_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return route_failures(failures)
 
 
-# S4 — regex extraction of simple fields from raw HTML snippets
-# (reference crawl_products_detail.py:864-1106 falls back to CSS
-# selectors; the engine's batch path extracts the regular fields with
-# regexp_extract, keeping the scan JVM-side).
+# S4 — selector-chain extraction from raw HTML snippets (reference
+# crawl_products_detail.py:864-1106: per-field ordered CSS-selector
+# lists, first hit wins). The batch twin is a per-field COALESCE over
+# ordered regexp_extract patterns — same first-match-wins semantics,
+# fully JVM-side. Patterns use only RE2-safe syntax so the DuckDB
+# oracle runs the identical chain.
+
+# One pattern list per field, mirroring the reference's selector order.
+_NAME_CHAIN = [
+    '<h1 data-view-id="pdp_product_name"[^>]*>([^<]+)',
+    '<h1 class="product-name"[^>]*>([^<]+)',
+    "<h1[^>]*>([^<]+)",
+]
+_PRICE_CHAIN = [
+    'data-view-id="pdp_product_price"[^>]*>([0-9.,]+)',
+    'class="[^"]*current-price[^"]*"[^>]*>([0-9.,]+)',
+    'class="[^"]*price-current[^"]*"[^>]*>([0-9.,]+)',
+]
+_ORIG_PRICE_CHAIN = [
+    'class="[^"]*list-price[^"]*"[^>]*>([0-9.,]+)',
+    'class="[^"]*original-price[^"]*"[^>]*>([0-9.,]+)',
+    'class="[^"]*price-old[^"]*"[^>]*>([0-9.,]+)',
+]
+_RATING_CHAIN = [
+    'data-view-id="pdp_rating_score"[^>]*>([0-9][0-9., /]*)',
+    'class="[^"]*rating[^"]*"[^>]*>([0-9][0-9., /]*)',
+]
+_SELLER_CHAIN = [
+    'data-view-id="pdp_seller_name"[^>]*>([^<]+)',
+    'class="[^"]*seller-name[^"]*"[^>]*>([^<]+)',
+    'href="/seller/[^"]*"[^>]*>([^<]+)',
+]
 
 _HTML_ROWS = [
-    (1, '<div class="product"><h1 class="title">Tai nghe ABC</h1>'
-        '<span class="price" data-price="389000">389.000₫</span>'
-        '<a class="seller" href="/seller/s1">Shop Chính Hãng</a></div>'),
-    (2, '<div class="product"><h1 class="title">Áo thun</h1>'
-        '<span class="price" data-price="150000">150.000₫</span></div>'),
-    (3, '<div class="empty">no product here</div>'),
+    # every primary selector hits; official seller
+    (1, '<h1 data-view-id="pdp_product_name">Tai nghe ABC</h1>'
+        '<div data-view-id="pdp_product_price">389.000₫</div>'
+        '<div class="product-price__list-price">500.000₫</div>'
+        '<div data-view-id="pdp_rating_score">4.8 / 5</div>'
+        '<a data-view-id="pdp_seller_name">Tiki Trading</a>'),
+    # primaries all miss; 2nd-choice selectors hit
+    (2, '<h1 class="product-name">Áo thun</h1>'
+        '<span class="current-price">150.000₫</span>'
+        '<span class="price-old">200.000₫</span>'
+        '<span class="rating-summary">4.2</span>'
+        '<a href="/seller/s9">Shop Chính Hãng</a>'),
+    # only the last-resort selectors hit; no seller at all
+    (3, '<h1>Sách X</h1><span class="price-current">95.000₫</span>'),
+    # no product markup → all NULL
+    (4, '<div class="empty">no product here</div>'),
 ]
+
+
+def _sql_chain(patterns: list[str], digits: bool = False) -> str:
+    parts = ", ".join(
+        f"NULLIF(TRIM(REGEXP_EXTRACT(html, '{p}', 1)), '')" for p in patterns
+    )
+    chain = f"COALESCE({parts})"
+    if digits:
+        return f"TRY_CAST(NULLIF(REGEXP_REPLACE({chain}, '[^0-9]', '', 'g'), '') AS BIGINT)"
+    return chain
+
+
+def _spark_chain(patterns: list[str], digits: bool = False):
+    chain = F.coalesce(
+        *[
+            F.nullif(F.trim(F.regexp_extract("html", p, 1)), F.lit(""))
+            for p in patterns
+        ]
+    )
+    if digits:
+        return F.nullif(
+            F.regexp_replace(chain, "[^0-9]", ""), F.lit("")
+        ).try_cast("bigint")
+    return chain
 
 
 @query(
     "html_field_extraction",
     oracle=f"""
-    WITH {FX.values_cte('pages', [('page_id', 'INTEGER'), ('html', 'VARCHAR')], _HTML_ROWS)}
-    SELECT page_id,
-           NULLIF(REGEXP_EXTRACT(html, '<h1 class="title">([^<]+)</h1>', 1), '') AS title,
-           TRY_CAST(NULLIF(REGEXP_EXTRACT(html, 'data-price="([0-9]+)"', 1), '')
-                    AS BIGINT) AS price,
-           NULLIF(REGEXP_EXTRACT(html, 'class="seller"[^>]*>([^<]+)</a>', 1), '') AS seller
-    FROM pages
+    WITH {FX.values_cte('pages', [('page_id', 'INTEGER'), ('html', 'VARCHAR')], _HTML_ROWS)},
+    fields AS (
+      SELECT page_id,
+             {_sql_chain(_NAME_CHAIN)} AS title,
+             {_sql_chain(_PRICE_CHAIN, digits=True)} AS price,
+             {_sql_chain(_ORIG_PRICE_CHAIN, digits=True)} AS original_price,
+             TRY_CAST(REGEXP_EXTRACT({_sql_chain(_RATING_CHAIN)},
+                      '([0-9]+[.]?[0-9]*)', 1) AS DOUBLE) AS rating,
+             {_sql_chain(_SELLER_CHAIN)} AS seller
+      FROM pages
+    )
+    SELECT page_id, title, price, original_price,
+           CASE WHEN price IS NOT NULL AND original_price IS NOT NULL
+                     AND original_price > 0
+                THEN ROUND((original_price - price) * 1000 / original_price / 10.0, 1)
+           END AS discount_percent,
+           rating, seller,
+           COALESCE(lower(seller) LIKE '%official%'
+                    OR lower(seller) LIKE '%chính hãng%'
+                    OR lower(seller) LIKE '%tiki%', FALSE) AS is_official
+    FROM fields
     """,
 )
 def html_field_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S4 — simple-field extraction from raw HTML via regexp_extract
-    (the declarative slice of the reference's selector chains)."""
+    """S4 — selector-chain field extraction: per-field ordered
+    fallback chains with first-match-wins semantics (reference
+    crawl_products_detail.py:864-1106), plus the derived
+    discount_percent and is_official columns the reference computes
+    from the extracted fields."""
     pages = spark.createDataFrame(_HTML_ROWS, "page_id int, html string")
+    price = _spark_chain(_PRICE_CHAIN, digits=True)
+    orig = _spark_chain(_ORIG_PRICE_CHAIN, digits=True)
+    seller = _spark_chain(_SELLER_CHAIN)
+    # exact integer tenths: (orig-price)*1000/orig is integer division-
+    # free in double only at the final /10, matching the oracle
+    discount = F.when(
+        price.isNotNull() & orig.isNotNull() & (orig > 0),
+        F.round((orig - price) * 1000 / orig / 10.0, 1),
+    )
     return pages.select(
         "page_id",
-        F.nullif(
-            F.regexp_extract("html", r'<h1 class="title">([^<]+)</h1>', 1), F.lit("")
-        ).alias("title"),
-        F.nullif(F.regexp_extract("html", r'data-price="([0-9]+)"', 1), F.lit(""))
-        .try_cast("bigint")
-        .alias("price"),
-        F.nullif(
-            F.regexp_extract("html", r'class="seller"[^>]*>([^<]+)</a>', 1), F.lit("")
-        ).alias("seller"),
+        _spark_chain(_NAME_CHAIN).alias("title"),
+        price.alias("price"),
+        orig.alias("original_price"),
+        discount.alias("discount_percent"),
+        F.regexp_extract(_spark_chain(_RATING_CHAIN), r"([0-9]+[.]?[0-9]*)", 1)
+        .try_cast("double")
+        .alias("rating"),
+        seller.alias("seller"),
+        F.coalesce(
+            F.lower(seller).contains("official")
+            | F.lower(seller).contains("chính hãng")
+            | F.lower(seller).contains("tiki"),
+            F.lit(False),
+        ).alias("is_official"),
     )
