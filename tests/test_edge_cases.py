@@ -70,3 +70,32 @@ def test_upsert_empty_sides(spark):
     merged2 = ME.upsert_preserve_nonnull(empty, cur, "product_id", ["name"])
     rows2 = merged2.collect()
     assert len(rows2) == 1 and rows2[0]["is_new"]
+
+
+def test_scd2_duplicate_incoming_keys_yield_one_current_version(spark):
+    from tiki_data_pipeline_spark.operators.scd import scd2_apply
+
+    dim = spark.createDataFrame(
+        [("1", "a", 10, "2024-01-01 00:00:00", None, True)],
+        "product_id string, name string, price bigint, valid_from string,"
+        " valid_to string, is_current boolean",
+    ).selectExpr(
+        "product_id", "name", "price",
+        "CAST(valid_from AS TIMESTAMP) AS valid_from",
+        "CAST(valid_to AS TIMESTAMP) AS valid_to", "is_current",
+    )
+    incoming = spark.createDataFrame(
+        [("1", "a", 20), ("1", "a", 30), ("2", "b", 5), ("2", "b", 5)],
+        "product_id string, name string, price bigint",
+    )
+    out = scd2_apply(
+        dim, incoming, "product_id", ["name", "price"], "2024-06-01 00:00:00"
+    ).collect()
+    current = [r for r in out if r["is_current"]]
+    # exactly one open version per key, deterministic winner (lowest
+    # tracked tuple: price 20 for key 1)
+    assert sorted((r["product_id"], r["price"]) for r in current) == [
+        ("1", 20), ("2", 5),
+    ]
+    closed = [r for r in out if not r["is_current"]]
+    assert len(closed) == 1 and closed[0]["price"] == 10

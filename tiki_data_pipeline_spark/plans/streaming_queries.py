@@ -117,10 +117,14 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch twin of streaming ``session_window``."""
     events = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # gap in MICROSECONDS: a seconds-truncated cast would call a
+    # 30m00.4s gap between sub-second timestamps exactly 1800s (same
+    # session) while the oracle's full-precision interval compare — and
+    # the streaming session_window twin — would split it.
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
     flagged = events.withColumn(
         "new_session",
-        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0),
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
     )
     sessions = flagged.withColumn(
         "session_id",

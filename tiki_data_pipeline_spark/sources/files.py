@@ -85,12 +85,20 @@ def compact_parquet(spark: SparkSession, path: str, target_files: int) -> None:
     ``target_files`` files. The 100 TB failure mode this prevents:
     thousands of KB-sized files from fine-grained incremental appends
     turn every scan into a metadata storm. ``coalesce`` (no shuffle)
-    merges partitions; staged write + swap keeps the rewrite atomic
-    from the reader's perspective."""
+    merges partitions. The swap renames the live dir aside, moves the
+    staged rewrite into place, then deletes the old copy — a valid
+    dataset exists at ``path`` at all times except during one rename,
+    and a crash mid-swap leaves both copies on disk (never zero)."""
     import shutil
 
     df = spark.read.parquet(path)
     staging = path + ".compacting"
     df.coalesce(target_files).write.mode("overwrite").parquet(staging)
-    shutil.rmtree(path)
-    shutil.move(staging, path)
+    old = path + ".old"
+    shutil.move(path, old)
+    try:
+        shutil.move(staging, path)
+    except Exception:
+        shutil.move(old, path)  # roll back: restore the primary copy
+        raise
+    shutil.rmtree(old)
