@@ -241,9 +241,10 @@ def simhash_near_dups(
     equi-join on ``(block_idx, block_val)`` finds every qualifying
     pair while touching only same-block candidates — the shuffle
     carries (block, id, sig) rows, not the O(n²) cross product a
-    non-equi ``i < j`` self-join degenerates to. Candidates are
-    deduped (a pair can collide on several blocks) and verified with
-    the exact popcount.
+    non-equi ``i < j`` self-join degenerates to. A pair colliding on
+    several blocks is kept only at its LOWEST equal block (a pure
+    column predicate over the two signatures), so no distinct shuffle
+    is needed before the exact-popcount verification.
     """
     sigs = simhash_signatures(docs, id_col=id_col, text_col=text_col)
     n_blocks = max_hamming + 1
@@ -278,11 +279,19 @@ def simhash_near_dups(
         "block_idx",
         "block_val",
     )
+    def _blk(sig: Column, blk: int) -> Column:
+        return F.shiftright(sig, blk * block_bits).bitwiseAND(F.lit(mask))
+
+    earlier_equal = F.lit(False)
+    for blk in range(n_blocks - 1):
+        earlier_equal = earlier_equal | (
+            (F.col("block_idx") > blk)
+            & (_blk(F.col("sig_i"), blk) == _blk(F.col("sig_j"), blk))
+        )
     candidates = (
         a.join(b, ["block_idx", "block_val"])
-        .filter(F.col("i") < F.col("j"))
+        .filter((F.col("i") < F.col("j")) & ~earlier_equal)
         .select("i", "j", "sig_i", "sig_j")
-        .distinct()
     )
     ham = F.bit_count(F.col("sig_i").bitwiseXOR(F.col("sig_j")))
     return (

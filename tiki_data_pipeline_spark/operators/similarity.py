@@ -52,15 +52,23 @@ def brute_force_topk(
     """Exact top-k cosine neighbors for each query vector."""
     from pyspark.sql import Window as W
 
-    base = embeddings.select(id_col, as_double(F.col(vec_col)).alias("v"))
+    # norms are precomputed once per vector (same doubles as computing
+    # them inside the per-pair cosine: dot/(norm_q · norm_v))
+    base = embeddings.select(
+        id_col, as_double(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", _norm(F.col("v")))
     queries = base.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
     )
     pairs = base.join(F.broadcast(queries), F.col(id_col) != F.col("query_id"))
     scored = pairs.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cosine_sim"),
+        F.round(
+            _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
+        ).alias("cosine_sim"),
     )
     w = W.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
@@ -112,8 +120,9 @@ def near_dup_pairs(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
     ).withColumn("chunk", F.floor(F.col("id") / F.lit(block_size)).cast("int"))
     if blocking == "lsh":
+        dim = _vec_dim(embeddings, vec_col)
         base = (
-            base.withColumn("_b0", lsh_bucket(F.col("v"), n_planes))
+            base.withColumn("_b0", lsh_bucket(F.col("v"), dim, n_planes))
             .withColumn(
                 "bkt",
                 F.explode(
@@ -187,45 +196,40 @@ def near_dup_pairs(
     return pairs
 
 
-def _plane_component(plane: Column | int, dim_index: Column) -> Column:
+def _plane_weight(plane: int, dim_index: int) -> float:
     """Deterministic pseudo-random hyperplane component in [-1, 1):
-    md5-derived 60-bit value scaled. Reproducible in DuckDB."""
-    p = F.lit(plane) if isinstance(plane, int) else plane
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(p.cast("string"), F.lit("_"), dim_index.cast("string"))),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    return h / F.lit(float(2**59)) - 1.0
+    md5-derived 60-bit value scaled. The formula is pure — identical
+    in Python hashlib, Spark (conv(substring(md5(p || '_' || i),1,15),
+    16,10) / 2^59 - 1) and DuckDB, bit-for-bit — so weights are
+    computed ONCE driver-side and embedded as literals instead of
+    evaluating 8 planes × dim md5 expressions per row."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{plane}_{dim_index}".encode()).hexdigest()[:15], 16)
+    return h / float(2**59) - 1.0
 
 
-def lsh_bucket(v: Column, n_planes: int = N_PLANES) -> Column:
+def _vec_dim(df: DataFrame, vec_col: str) -> int:
+    """Vector dimensionality, from the first row (one tiny job)."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    return int(row["d"]) if row is not None else 1
+
+
+def lsh_bucket(v: Column, dim: int, n_planes: int = N_PLANES) -> Column:
     """Random-hyperplane LSH bucket id (0 .. 2^n_planes - 1).
 
-    NB: the per-plane weight lambda must take exactly ONE parameter —
-    Spark's higher-order ``transform`` passes (element, index) to
-    binary lambdas, so a ``lambda i, _p=p`` default-arg closure would
-    silently bind ``_p`` to the array index instead of the plane.
+    Plane weights are embedded as literal arrays (computed driver-side
+    from the same md5 formula the DuckDB oracle evaluates): the
+    projection is one zip_with fold per plane over constants, instead
+    of n_planes × dim md5 expression evaluations per row.
     """
     bucket = F.lit(0)
     for p in range(n_planes):
-
-        def _weights(i: Column, _p: int = p) -> Column:
-            return _plane_component(_p, i)
-
+        weights = F.array(
+            *[F.lit(_plane_weight(p, i)) for i in range(1, dim + 1)]
+        )
         proj = F.aggregate(
-            F.zip_with(
-                v,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(v)),
-                    lambda i: _weights(i),
-                ),
-                lambda x, w: x * w,
-            ),
+            F.zip_with(v, weights, lambda x, w: x * w),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -269,13 +273,19 @@ def lsh_bucketed_topk(
     """
     from pyspark.sql import Window as W
 
-    base = embeddings.select(
-        id_col, as_double(F.col(vec_col)).alias("v")
-    ).withColumn("bucket", lsh_bucket(F.col("v"), n_planes))
+    dim = _vec_dim(embeddings, vec_col)
+    base = (
+        embeddings.select(id_col, as_double(F.col(vec_col)).alias("v"))
+        .withColumn("bucket", lsh_bucket(F.col("v"), dim, n_planes))
+        .withColumn("nrm", _norm(F.col("v")))
+    )
     queries = (
         base.filter(F.col(id_col).isin(query_ids))
         .select(
-            F.col(id_col).alias("query_id"), F.col("v").alias("qv"), "bucket"
+            F.col(id_col).alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            "bucket",
         )
         .withColumn(
             "bucket",
@@ -295,7 +305,9 @@ def lsh_bucketed_topk(
     scored = pairs.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cosine_sim"),
+        F.round(
+            _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
+        ).alias("cosine_sim"),
     )
     w = W.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
@@ -436,11 +448,13 @@ def ivf_topk(
 
     base = embeddings.select(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
-    )
+    ).withColumn("nrm", _norm(F.col("v")))
     centroids = ivf_train(embeddings, k=n_centroids, id_col=id_col, vec_col=vec_col)
     assigned = assign_to_centroids(base, centroids).join(base, "id")
     queries = base.filter(F.col("id").isin(query_ids)).select(
-        F.col("id").alias("query_id"), F.col("v").alias("qv")
+        F.col("id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
     )
     q_cross = queries.crossJoin(F.broadcast(centroids))
     wq = W.partitionBy("query_id").orderBy(
@@ -449,13 +463,15 @@ def ivf_topk(
     probes = (
         q_cross.withColumn("_rn", F.row_number().over(wq))
         .filter(F.col("_rn") <= nprobe)
-        .select("query_id", "qv", "cid")
+        .select("query_id", "qv", "qn", "cid")
     )
     candidates = probes.join(assigned, "cid").filter(F.col("id") != F.col("query_id"))
     scored = candidates.select(
         "query_id",
         F.col("id").alias("neighbor_id"),
-        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cosine_sim"),
+        F.round(
+            _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
+        ).alias("cosine_sim"),
     )
     w = W.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
