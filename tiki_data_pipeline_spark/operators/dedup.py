@@ -160,13 +160,16 @@ def minhash_lsh_near_dups(
     bands: int = LSH_BANDS,
     id_col: str = "doc_id",
     text_col: str = "text",
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash+LSH pipeline: shingle → minhash → band → bucket
-    join → exact-Jaccard verification of candidates."""
-    # The shingle set feeds three subtrees (minhash, counts, verify
-    # join); localCheckpoint materializes it once instead of
-    # re-running the explode+distinct per subtree.
-    sh = shingles(docs, n=n, id_col=id_col, text_col=text_col).localCheckpoint()
+    join → exact-Jaccard verification of candidates. Pass a
+    pre-materialized ``sh`` to share the shingle set across queries."""
+    if sh is None:
+        # The shingle set feeds three subtrees (minhash, counts, verify
+        # join); localCheckpoint materializes it once instead of
+        # re-running the explode+distinct per subtree.
+        sh = shingles(docs, n=n, id_col=id_col, text_col=text_col).localCheckpoint()
     bands_df = lsh_band_signatures(minhash_signatures(sh, k=k, id_col=id_col), bands=bands, k=k, id_col=id_col)
     left = bands_df.select(F.col(id_col).alias("i"), "band", "band_sig")
     right = bands_df.select(F.col(id_col).alias("j"), "band", "band_sig")
@@ -198,6 +201,59 @@ def minhash_lsh_near_dups(
         .filter(F.col("jaccard") >= threshold)
         .select("i", "j", "jaccard")
     )
+
+
+# Rabin-Karp polynomial rolling hash: base/modulus sized so every
+# intermediate (acc·B + h) stays < 2^52 — exact in BIGINT and in
+# doubles, hence identical in Spark and DuckDB.
+ROLLING_BASE = 1_000_003
+ROLLING_MOD = 2147483647  # 2^31 − 1
+_TOKEN_MASK = (1 << 30) - 1
+
+
+def rolling_fingerprint(
+    docs: DataFrame,
+    sketch_k: int = 8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sh: DataFrame | None = None,
+) -> DataFrame:
+    """Document fingerprinting via rolling hashes:
+
+    - ``content_fp`` — polynomial rolling hash folded over the whole
+      normalized token sequence (one pass, order-sensitive): the
+      whole-document identity fingerprint.
+    - ``sketch`` — bottom-k of the per-n-gram hashes: a fixed-size
+      resemblance sketch (two documents' sketches overlap roughly in
+      proportion to their shingle Jaccard), the winnowing-style
+      fingerprint used to pre-cluster near-dups without pairwise work.
+
+    Both are pure column expressions — the scan shuffles only
+    (doc_id, fp, k·bigint) rows.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    tok_hashes = F.transform(
+        toks, lambda t: _md5_long(t).bitwiseAND(F.lit(_TOKEN_MASK))
+    )
+    content_fp = F.aggregate(
+        tok_hashes,
+        F.lit(0).cast("bigint"),
+        lambda acc, h: (acc * ROLLING_BASE + h) % ROLLING_MOD,
+    )
+    with_fp = docs.select(id_col, content_fp.alias("content_fp"))
+    if sh is None:
+        sh = shingles(docs, n=n, id_col=id_col, text_col=text_col)
+    sketches = (
+        sh.select(
+            id_col, (_md5_long(F.col("shingle")) % ROLLING_MOD).alias("h")
+        )
+        .groupBy(id_col)
+        .agg(
+            F.slice(F.array_sort(F.collect_set("h")), 1, sketch_k).alias("sketch")
+        )
+    )
+    return with_fp.join(sketches, id_col, "left")
 
 
 def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

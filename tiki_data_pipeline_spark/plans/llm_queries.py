@@ -160,6 +160,25 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.exact_dedup(load_table(spark, sf_dir, "documents"))
 
 
+# Three dedup queries consume the same distinct-shingle set over the
+# same documents table; memoize the materialized set per (application,
+# sf_dir) so the explode+distinct runs once per session, not per query.
+_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
+    df = _SHINGLE_CACHE.get(key)
+    if df is None:
+        df = DD.shingles(load_table(spark, sf_dir, "documents")).localCheckpoint()
+        for k in list(_SHINGLE_CACHE):  # old sessions' checkpoints are dead
+            if k[0] != app_id:
+                del _SHINGLE_CACHE[k]
+        _SHINGLE_CACHE[key] = df
+    return df
+
+
 _SHINGLES_SQL = """
 dtoks AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
@@ -175,6 +194,52 @@ sh AS (
 ),
 sh_counts AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id)
 """
+
+
+@query(
+    "doc_rolling_fingerprints",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    tokh AS (
+      SELECT doc_id,
+             list_transform(string_split_regex(lower(trim(text)), '\\s+'),
+               t -> try_cast(('0x' || substring(md5(t), 1, 15)) AS BIGINT)
+                    & {DD._TOKEN_MASK}) AS hs
+      FROM documents
+    ),
+    fp AS (
+      SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+               (a, b) -> (a * {DD.ROLLING_BASE} + b) % {DD.ROLLING_MOD})
+               AS content_fp
+      FROM tokh
+    ),
+    sk AS (
+      SELECT doc_id,
+             list_sort(list(DISTINCT
+               try_cast(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT)
+               % {DD.ROLLING_MOD}))[1:8] AS sketch
+      FROM sh GROUP BY doc_id
+    )
+    SELECT f.doc_id, f.content_fp,
+           COALESCE(array_to_string(sk.sketch, ','), '') AS sketch
+    FROM fp f LEFT JOIN sk ON sk.doc_id = f.doc_id
+    """,
+)
+def doc_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprints: whole-document polynomial
+    rolling hash + bottom-8 n-gram hash sketch (winnowing-style
+    resemblance fingerprint). The sketch array is projected to a
+    comma-joined string so row canonicalizers can hash it."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = DD.rolling_fingerprint(docs, sketch_k=8, sh=_shingles_cached(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "content_fp",
+        F.concat_ws(
+            ",", F.transform("sketch", lambda x: x.cast("string"))
+        ).alias("sketch"),
+    )
 
 
 @query(
@@ -198,9 +263,7 @@ sh_counts AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id)
 )
 def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs via inverted-index join."""
-    docs = load_table(spark, sf_dir, "documents")
-    # shingles feed 3 subtrees (counts + both join sides): materialize once
-    return DD.jaccard_pairs(DD.shingles(docs).localCheckpoint(), threshold=0.5)
+    return DD.jaccard_pairs(_shingles_cached(spark, sf_dir), threshold=0.5)
 
 
 def _minhash_oracle_fragments() -> tuple[str, str]:
@@ -270,7 +333,9 @@ def doc_minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) + LSH(4 bands) candidate generation with exact
     Jaccard verification ≥ 0.7 — the scale path for near-dedup."""
     docs = load_table(spark, sf_dir, "documents")
-    return DD.minhash_lsh_near_dups(docs, threshold=0.7)
+    return DD.minhash_lsh_near_dups(
+        docs, threshold=0.7, sh=_shingles_cached(spark, sf_dir)
+    )
 
 
 @query(
@@ -503,7 +568,7 @@ def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "i", "j"
     )
     near_pairs = DD.jaccard_pairs(
-        DD.shingles(docs).localCheckpoint(), threshold=0.9
+        _shingles_cached(spark, sf_dir), threshold=0.9
     ).select("i", "j")
     dropped = (
         exact_pairs.unionByName(near_pairs).select(F.col("j").alias("_dropped")).distinct()
