@@ -95,6 +95,48 @@ def ancestor_paths(
     return state.select(F.col("anchor_url").alias("url"), "path")
 
 
+def bfs_descendants(
+    categories: DataFrame, root_urls: list[str], max_level: int = 3
+) -> DataFrame:
+    """S11 — level-by-level BFS discovery from a root set (reference
+    crawl_categories_optimized.py:303-428: per-level frontier queue,
+    visited-set, ``max_level`` cap). Batch twin: the frontier is a
+    DataFrame; each level is one join ``parent_url = frontier.url``
+    plus an anti-join against the visited set; a node discovered
+    through several parents — or re-reachable through a cycle — is
+    kept at its FIRST (minimum) level, exactly the visited-set
+    semantics of the crawl.
+
+    Output: (url, name, level). Category dims are bounded, so the
+    frontier side broadcasts; the per-level ``count()`` is the
+    frontier-empty check the reference's queue loop does natively.
+    """
+    edges = categories.select("url", "name", "parent_url")
+    frontier = (
+        edges.filter(F.col("url").isin(root_urls))
+        .select("url", "name", F.lit(0).alias("level"))
+        .localCheckpoint()
+    )
+    out = frontier
+    for lvl in range(1, max_level + 1):
+        children = (
+            edges.join(
+                F.broadcast(frontier.select(F.col("url").alias("_purl"))),
+                edges.parent_url == F.col("_purl"),
+            )
+            .select("url", "name", F.lit(lvl).alias("level"))
+            .distinct()
+        )
+        new = children.join(
+            out.select("url"), "url", "left_anti"
+        ).localCheckpoint()
+        if new.isEmpty():
+            break
+        out = out.unionByName(new).localCheckpoint()
+        frontier = new
+    return out
+
+
 def with_level_pivot(paths: DataFrame, max_levels: int = 5) -> DataFrame:
     """G5 — level_1..level_N pivot + level + root name
     (reference postgres_storage.py:726-753)."""

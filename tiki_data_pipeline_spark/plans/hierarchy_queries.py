@@ -93,6 +93,34 @@ def category_level_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "category_bfs_descendants",
+    oracle=f"""
+    WITH RECURSIVE {FX.categories_cte()},
+    bfs AS (
+      SELECT url, name, 0 AS level FROM categories WHERE parent_url IS NULL
+      UNION ALL
+      SELECT c.url, c.name, b.level + 1
+      FROM bfs b JOIN categories c ON c.parent_url = b.url
+      WHERE b.level < 3
+    )
+    SELECT url, name, CAST(MIN(level) AS INTEGER) AS level
+    FROM bfs GROUP BY url, name
+    """,
+)
+def category_bfs_descendants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 — BFS category discovery from the root set, ≤3 levels;
+    first-discovery (minimum) level wins, as with the crawl's
+    visited-set. The oracle's recursive CTE is level-capped, so a
+    cyclic fixture edge terminates there too."""
+    cats = FX.categories_df(spark)
+    roots = [
+        r["url"]
+        for r in cats.filter(F.col("parent_url").isNull()).select("url").collect()
+    ]
+    return H.bfs_descendants(cats, roots, max_level=3)
+
+
+@query(
     "category_leaf_detection",
     oracle=f"""
     WITH {FX.categories_cte()}
