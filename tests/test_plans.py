@@ -79,3 +79,22 @@ def test_plan_summary_utility(spark):
     q1 = QUERIES["q1_pricing_summary"](spark, SF)
     # one scan, one partial/final agg boundary → exactly 1 exchange
     assert_scalable(q1, max_exchanges=1)
+
+
+def test_ann_lsh_topk_is_bucket_equi_join(spark):
+    # multi-probe LSH must stay a bucket equi-join: the probe set is
+    # exploded on the broadcast query side, never a nested loop
+    plan = _plan(spark, "embedding_ann_lsh_topk")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lsh_blocked_near_dup_has_no_nested_loop(spark):
+    plan = _plan(spark, "embedding_near_dup_lsh")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dim_seller_broadcasts_nation(spark):
+    plan = _plan(spark, "dim_seller_build")
+    assert "BroadcastHashJoin" in plan
