@@ -112,10 +112,8 @@ def bfs_descendants(
     frontier-empty check the reference's queue loop does natively.
     """
     edges = categories.select("url", "name", "parent_url")
-    frontier = (
-        edges.filter(F.col("url").isin(root_urls))
-        .select("url", "name", F.lit(0).alias("level"))
-        .localCheckpoint()
+    frontier = edges.filter(F.col("url").isin(root_urls)).select(
+        "url", "name", F.lit(0).alias("level")
     )
     out = frontier
     for lvl in range(1, max_level + 1):
@@ -127,12 +125,16 @@ def bfs_descendants(
             .select("url", "name", F.lit(lvl).alias("level"))
             .distinct()
         )
+        # only the new frontier is checkpointed (one eager job per
+        # level — it feeds the emptiness check, the union AND the next
+        # join); the accumulated output is a union of checkpointed
+        # pieces, so its plan stays shallow without its own checkpoint
         new = children.join(
             out.select("url"), "url", "left_anti"
         ).localCheckpoint()
         if new.isEmpty():
             break
-        out = out.unionByName(new).localCheckpoint()
+        out = out.unionByName(new)
         frontier = new
     return out
 
