@@ -382,13 +382,18 @@ def vw_price_segment_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg = spark.createDataFrame(
         _PART_SEGMENTS, schema="segment_name string, min_price double, max_price double"
     )
+    # the range join runs on the PART side (price is a part attribute):
+    # a nested-loop over |part| x 5 rows, not over the fact — then the
+    # segmented dim broadcast-equi-joins into lineitem. Ranging after
+    # the fact join would drag every fact row through the interpreted
+    # nested loop (measured 22 s vs 2 s at 10x sf0.1).
+    part_seg = part.join(
+        F.broadcast(seg),
+        (F.col("p_retailprice") >= F.col("min_price"))
+        & (F.col("p_retailprice") < F.col("max_price")),
+    ).select("p_partkey", "p_retailprice", "segment_name")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(
-            F.broadcast(seg),
-            (F.col("p_retailprice") >= F.col("min_price"))
-            & (F.col("p_retailprice") < F.col("max_price")),
-        )
+        li.join(F.broadcast(part_seg), li.l_partkey == F.col("p_partkey"))
         .groupBy("segment_name")
         .agg(
             F.countDistinct("p_partkey").alias("product_count"),

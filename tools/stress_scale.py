@@ -30,6 +30,11 @@ STRESS_QUERIES = [
     "doc_exact_dedup",
     "doc_text_stats",
     "doc_minhash_lsh_near_dup",
+    "doc_rolling_fingerprints",
+    "vw_price_segment_analysis",
+    # NB: doc_simhash_near_dup output grows with the SQUARE of the
+    # duplicate multiplicity under synthetic N× replication (every
+    # copy pairs with every other) — run it at small N only.
 ]
 
 
