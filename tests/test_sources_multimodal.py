@@ -159,3 +159,37 @@ def test_frame_sample(spark):
     for r in per_video:
         expected = (videos[r["media_id"]] - 1) // 1000 + 1
         assert r["count"] == expected
+
+
+def test_resize_image_fixed_size_output(spark):
+    media = MM.synthetic_media(spark, n=12)
+    out = MM.resize_image(media, width=8, height=4).collect()
+    images = media.filter("media_type = 'image'").count()
+    assert len(out) == images
+    for r in out:
+        assert r["width"] == 8 and r["height"] == 4
+        assert r["content"] is not None and len(r["content"]) == 32
+    # deterministic: same input -> same bytes
+    again = {r["media_id"]: bytes(r["content"])
+             for r in MM.resize_image(media, width=8, height=4).collect()}
+    assert {r["media_id"]: bytes(r["content"]) for r in out} == again
+
+
+def test_audio_features_fake(spark):
+    media = MM.synthetic_media(spark, n=12)
+    out = {r["media_id"]: r for r in MM.audio_features(media).collect()}
+    audios = [r["media_id"] for r in media.filter("media_type = 'audio'").collect()]
+    assert sorted(out) == sorted(audios)
+    for r in out.values():
+        assert r["rms"] is not None and r["rms"] >= 0
+        assert r["zero_crossings"] is not None and r["zero_crossings"] >= 0
+
+
+def test_resize_and_audio_real_raise(spark):
+    import pytest as _pytest
+
+    media = MM.synthetic_media(spark, n=6)
+    with _pytest.raises(Exception):
+        MM.resize_image(media, fake=False).collect()
+    with _pytest.raises(Exception):
+        MM.audio_features(media, fake=False).collect()

@@ -102,6 +102,98 @@ def decode_image(media: DataFrame, fake: bool = True) -> DataFrame:
     return media.mapInPandas(decode, schema=out_schema)
 
 
+def resize_image(
+    media: DataFrame, width: int = 32, height: int = 32, fake: bool = True
+) -> DataFrame:
+    """Image resize → (media_id, width, height, content).
+
+    The Spark plumbing (Arrow batches, binary-in/binary-out schema,
+    target dimensions closed over into the UDF) is real; the pixel
+    resample is a deterministic fake — the blob is stride-sampled to
+    exactly ``width*height`` bytes (repeating when shorter), which
+    preserves the real operator's shape contract: fixed-size output
+    per row, verifiable downstream.
+    """
+    out_schema = "media_id long, width int, height int, content binary"
+    target = width * height
+
+    def resize(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image resize requires an imaging library (e.g. Pillow) "
+                    "not available in this environment"
+                )
+            rows = pdf[pdf["media_type"] == "image"]
+            out = []
+            for b in rows["content"]:
+                if b is None or not len(b):
+                    out.append(None)
+                    continue
+                raw = bytes(b)
+                reps = (target + len(raw) - 1) // len(raw)
+                out.append((raw * reps)[:target])
+            yield pd.DataFrame(
+                {
+                    "media_id": rows["media_id"],
+                    "width": width,
+                    "height": height,
+                    "content": out,
+                }
+            )
+
+    return media.mapInPandas(resize, schema=out_schema)
+
+
+def audio_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Audio feature extraction → (media_id, duration_ms, rms,
+    zero_crossings).
+
+    Real feature extraction needs an audio codec library; the fake
+    treats the blob's bytes as centered 8-bit samples — RMS and
+    zero-crossing count are computed with numpy over the whole Arrow
+    batch, which is exactly the shape the real implementation takes.
+    """
+    out_schema = "media_id long, duration_ms int, rms double, zero_crossings int"
+
+    def extract(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "audio decoding requires an audio library "
+                    "not available in this environment"
+                )
+            rows = pdf[pdf["media_type"] == "audio"]
+            rms, zc = [], []
+            for b in rows["content"]:
+                if b is None or not len(b):
+                    rms.append(None)
+                    zc.append(None)
+                    continue
+                samples = np.frombuffer(bytes(b), dtype=np.uint8).astype(
+                    np.float64
+                ) - 128.0
+                rms.append(round(float(np.sqrt((samples**2).mean())), 4))
+                signs = np.sign(samples)
+                signs = signs[signs != 0]
+                zc.append(int((signs[1:] != signs[:-1]).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": rows["media_id"],
+                    "duration_ms": rows["duration_ms"].astype("Int32"),
+                    "rms": rms,
+                    "zero_crossings": pd.array(zc, dtype="Int32"),
+                }
+            )
+
+    return media.mapInPandas(extract, schema=out_schema)
+
+
 def frame_sample(media: DataFrame, every_ms: int = 1000, fake: bool = True) -> DataFrame:
     """Video frame sampling stub → one row per sampled frame offset.
 
