@@ -583,6 +583,97 @@ def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "corpus_dedup_staged",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(trim(REGEXP_REPLACE(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, doc_id = MIN(doc_id) OVER (PARTITION BY fingerprint)
+               AS exact_survivor
+      FROM fp
+    ),
+    surv_docs AS (
+      SELECT d.* FROM documents d
+      JOIN ranked r ON r.doc_id = d.doc_id AND r.exact_survivor
+    ),
+    dtoks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM surv_docs
+    ),
+    sh0 AS (
+      SELECT doc_id, toks, UNNEST(range(1, len(toks) - 1)) AS i
+      FROM dtoks WHERE len(toks) >= 3
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+      FROM sh0
+    ),
+    sh_counts AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    near_dropped AS (
+      SELECT DISTINCT j FROM (
+        SELECT c.j,
+               c.n_common / CAST(na.n_shingles + nb.n_shingles - c.n_common AS DOUBLE)
+                 AS jac
+        FROM common c
+        JOIN sh_counts na ON na.doc_id = c.i
+        JOIN sh_counts nb ON nb.doc_id = c.j
+      ) t WHERE jac >= 0.9
+    )
+    SELECT r.doc_id,
+           CASE WHEN NOT r.exact_survivor THEN 'exact'
+                WHEN r.doc_id IN (SELECT j FROM near_dropped) THEN 'near'
+           END AS dropped_by,
+           r.exact_survivor
+             AND r.doc_id NOT IN (SELECT j FROM near_dropped) AS survivor
+    FROM ranked r
+    """,
+)
+def corpus_dedup_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STAGED dedup composition — the shape that survives 100 TB:
+    exact fingerprint dedup first (cheapest, kills every identical
+    copy with one hash groupBy), then the O(pairs) near-dup pass runs
+    ONLY over exact survivors, so its inverted-index join never sees
+    the duplicate mass that would square its candidate count (see
+    NOTES.md: pair output grows with the square of duplicate
+    multiplicity). Output: per-document survivor flag + which stage
+    dropped it."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+    ranked = docs.select("doc_id", "text", fp.alias("fingerprint")).withColumn(
+        "exact_survivor",
+        F.col("doc_id") == F.min("doc_id").over(W.partitionBy("fingerprint")),
+    )
+    survivors = ranked.filter(F.col("exact_survivor")).select("doc_id", "text")
+    near_dropped = (
+        DD.jaccard_pairs(DD.shingles(survivors).localCheckpoint(), threshold=0.9)
+        .select(F.col("j").alias("_nd"))
+        .distinct()
+    )
+    return (
+        ranked.join(
+            F.broadcast(near_dropped), ranked.doc_id == F.col("_nd"), "left"
+        )
+        .select(
+            "doc_id",
+            F.when(~F.col("exact_survivor"), "exact")
+            .when(F.col("_nd").isNotNull(), "near")
+            .alias("dropped_by"),
+            (F.col("exact_survivor") & F.col("_nd").isNull()).alias("survivor"),
+        )
+    )
+
+
 @query("embedding_ann_ivf_topk")
 def embedding_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5 via IVF inverted lists (nprobe=2 of 16 centroids);
