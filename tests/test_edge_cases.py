@@ -99,3 +99,34 @@ def test_scd2_duplicate_incoming_keys_yield_one_current_version(spark):
     ]
     closed = [r for r in out if not r["is_current"]]
     assert len(closed) == 1 and closed[0]["price"] == 10
+
+
+def test_bfs_descendants_empty_roots_and_no_children(spark):
+    cats = FX.categories_df(spark)
+    # no roots at all -> empty result with the right schema
+    out = H.bfs_descendants(cats, [], max_level=3)
+    assert out.count() == 0
+    assert set(out.columns) == {"url", "name", "level"}
+    # a leaf as the root -> just the root at level 0
+    leaf = [r["url"] for r in H.with_leaf_flag(cats).filter("is_leaf").limit(1).collect()]
+    only = H.bfs_descendants(cats, leaf, max_level=3).collect()
+    assert len(only) == 1 and only[0]["level"] == 0
+
+
+def test_simhash_near_dups_empty(spark):
+    docs = _empty_like(
+        spark, spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    )
+    assert DD.simhash_near_dups(docs).count() == 0
+
+
+def test_rolling_fingerprint_empty_and_short_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "one two")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in DD.rolling_fingerprint(docs).collect()}
+    # <3 tokens -> no shingles -> NULL sketch; content_fp still defined
+    assert rows[2]["sketch"] is None
+    assert rows[1]["content_fp"] is not None
+    empty = _empty_like(spark, docs)
+    assert DD.rolling_fingerprint(empty).count() == 0
