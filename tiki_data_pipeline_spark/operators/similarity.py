@@ -120,24 +120,10 @@ def near_dup_pairs(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
     ).withColumn("chunk", F.floor(F.col("id") / F.lit(block_size)).cast("int"))
     if blocking == "lsh":
-        dim = _vec_dim(embeddings, vec_col)
-        base = (
-            base.withColumn("_b0", lsh_bucket(F.col("v"), dim, n_planes))
-            .withColumn(
-                "bkt",
-                F.explode(
-                    F.array(
-                        *[
-                            F.col("_b0").bitwiseXOR(F.lit(m))
-                            for m in probe_masks(n_planes, emit_radius)
-                        ]
-                    )
-                ),
-            )
-            .drop("_b0")
+        return _lsh_near_dup_pairs(
+            base, embeddings, threshold, vec_col, n_planes, emit_radius
         )
-    else:
-        base = base.withColumn("bkt", F.lit(0))
+    base = base.withColumn("bkt", F.lit(0))
     blocks = base.groupBy("bkt", "chunk").agg(
         F.collect_list(F.struct(F.col("id"), F.col("v"))).alias("items")
     )
@@ -187,13 +173,78 @@ def near_dup_pairs(
                     }
                 )
 
-    pairs = block_pairs.mapInPandas(
+    return block_pairs.mapInPandas(
         compute, schema="i long, j long, cosine_sim double"
     )
-    if blocking == "lsh":
-        # a pair can collide in several shared probe buckets
-        pairs = pairs.dropDuplicates(["i", "j"])
-    return pairs
+
+
+def _lsh_near_dup_pairs(
+    base: DataFrame,
+    embeddings: DataFrame,
+    threshold: float,
+    vec_col: str,
+    n_planes: int,
+    emit_radius: int,
+) -> DataFrame:
+    """LSH-blocked pair generation: one numpy pass assigns buckets and
+    emits each vector into every probe bucket; each bucket group then
+    computes its all-pairs cosine matrix via ``applyInPandas`` — the
+    canonical per-bucket shape, with no struct-list collect and no
+    block-pair join. A pair colliding in several shared buckets is
+    deduped once at the end.
+    """
+    import numpy as np
+    import pandas as pd
+
+    dim = _vec_dim(embeddings, vec_col)
+    wmat = np.array(
+        [[_plane_weight(p, i) for i in range(1, dim + 1)] for p in range(n_planes)]
+    )
+    masks = np.array(probe_masks(n_planes, emit_radius), dtype=np.int64)
+    bitvals = 1 << np.arange(n_planes, dtype=np.int64)
+    thr = float(threshold)
+
+    def emit_probes(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(list(pdf["v"]), dtype=np.float64)
+            b0 = ((m @ wmat.T > 0) * bitvals).sum(axis=1)
+            reps = len(masks)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy().repeat(reps),
+                    "v": [v for v in pdf["v"] for _ in range(reps)],
+                    "bkt": np.bitwise_xor(
+                        b0.repeat(reps), np.tile(masks, len(pdf))
+                    ),
+                }
+            )
+
+    probed = base.select("id", "v").mapInPandas(
+        emit_probes, schema="id long, v array<double>, bkt long"
+    )
+
+    def pairs_in_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy()
+        m = np.array(list(pdf["v"]), dtype=np.float64)
+        norm = m / np.linalg.norm(m, axis=1, keepdims=True)
+        cos = np.round(norm @ norm.T, 4)
+        ii, jj = np.nonzero(cos >= thr)
+        keep = ids[ii] < ids[jj]
+        return pd.DataFrame(
+            {
+                "i": ids[ii][keep],
+                "j": ids[jj][keep],
+                "cosine_sim": cos[ii, jj][keep],
+            }
+        )
+
+    return (
+        probed.groupBy("bkt")
+        .applyInPandas(pairs_in_bucket, schema="i long, j long, cosine_sim double")
+        .dropDuplicates(["i", "j"])
+    )
 
 
 def _plane_weight(plane: int, dim_index: int) -> float:
