@@ -1,0 +1,260 @@
+"""Training-data curation operators: benchmark decontamination,
+repetition (Gopher-style) filters, deterministic stratified sampling,
+sequence packing, and corpus mix weighting.
+
+These are the corpus-preparation steps a large-scale pretraining
+pipeline runs AFTER dedup (``operators/dedup.py``) and text scoring
+(``operators/textstats.py``): remove eval-set contamination, drop
+degenerate repetitive documents, rebalance languages/sources, and
+pack documents into fixed-length training sequences.
+
+Scale design:
+
+- **Decontamination** — the benchmark n-gram set is tiny (eval suites
+  are MBs) next to the corpus, so it is broadcast; the corpus-side
+  shingle scan stays map-side and only matching grams reach the
+  per-doc count shuffle. No O(corpus × benchmark) anywhere.
+- **Repetition stats** — pure per-row array expressions (no explode,
+  no shuffle): duplicate-token and top-bigram fractions come from
+  higher-order functions over the token array, so the filter is a
+  narrow map at any scale.
+- **Stratified sampling** — a deterministic md5-hash Bernoulli per
+  stratum: map-side filter, zero shuffle, reproducible across runs
+  and engines (no RNG state).
+- **Sequence packing** — a global cumulative sum would serialize on
+  one window partition; instead documents are hash-sharded and packed
+  per shard (standard practice — each shard is an independent token
+  stream), so the window runs at shard parallelism.
+
+All hashes derive from md5 so the DuckDB oracles reproduce them
+bit-for-bit. Flags are emitted as INTEGER 0/1 and fractions as
+integer comparisons (no float thresholds to disagree on).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 56 bits of md5 — headroom for ×10 rate math without bigint overflow.
+_H56_MAX = 1 << 56
+
+
+def md5_h56(col: Column, salt: str) -> Column:
+    """Deterministic 56-bit uniform hash of ``salt:value`` — identical
+    in DuckDB via try_cast('0x' || substring(md5(...),1,14) AS BIGINT)."""
+    key = F.concat(F.lit(salt + ":"), col.cast("string"))
+    return F.conv(F.substring(F.md5(key), 1, 14), 16, 10).cast("bigint")
+
+
+def contamination_stats(
+    sh: DataFrame,
+    bench_pred: Column,
+    id_col: str = "doc_id",
+    threshold_pct: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus document, how many of its
+    distinct n-gram shingles appear in ANY benchmark document.
+
+    ``sh`` is a distinct (doc_id, shingle) set (``dedup.shingles``);
+    ``bench_pred`` partitions it into benchmark (True) vs corpus.
+    A document is contaminated when ≥ ``threshold_pct`` % of its
+    grams are benchmark grams (integer comparison, no float).
+
+    Reference analogue: the reference pipeline's seen-URL / crawl
+    blocklist joins (src/pipelines/crawl/crawl_products_detail.py);
+    semantics here follow public benchmark-overlap decontamination
+    practice (GPT-3 appendix C style n-gram overlap).
+    """
+    bench = F.broadcast(sh.filter(bench_pred).select("shingle").distinct())
+    corpus = sh.filter(~bench_pred)
+    totals = corpus.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        corpus.join(bench, "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    n_cont = F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("bigint")
+    return (
+        totals.join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            n_cont.alias("n_contaminated"),
+            (n_cont * 100 >= F.col("n_grams") * threshold_pct)
+            .cast("int")
+            .alias("is_contaminated"),
+        )
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality stats, computed per-row with
+    higher-order array functions (narrow map, no shuffle):
+
+    - duplicate-token fraction: 1 - distinct/total tokens;
+    - top-bigram fraction: occurrences of the most frequent bigram
+      over all bigrams.
+
+    ``flag_repetitive`` (0/1) trips when duplicate tokens ≥ 50% or
+    the top bigram covers ≥ 20% of bigrams — integer comparisons.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = docs.select(id_col, toks.alias("toks")).filter(F.size("toks") >= 2)
+    t = F.col("toks")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+    )
+    base = base.withColumn("grams", grams)
+    g = F.col("grams")
+    top_bigram = F.array_max(
+        F.transform(
+            F.array_distinct(g),
+            lambda gram: F.size(F.filter(g, lambda x: x == gram)),
+        )
+    )
+    n_tokens = F.size(t).cast("bigint")
+    n_distinct = F.size(F.array_distinct(t)).cast("bigint")
+    n_bigrams = F.size(g).cast("bigint")
+    top = top_bigram.cast("bigint")
+    return base.select(
+        id_col,
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        n_bigrams.alias("n_bigrams"),
+        top.alias("top_bigram_count"),
+        (
+            ((n_tokens - n_distinct) * 2 >= n_tokens)
+            | (top * 5 >= n_bigrams)
+        )
+        .cast("int")
+        .alias("flag_repetitive"),
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates_tenths: dict[str, int],
+    strata_col: str = "lang",
+    default_tenths: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified Bernoulli sample: keep a row when its
+    56-bit md5 hash falls under the stratum's rate (in tenths, so the
+    keep test is exact integer math: h*10 < rate*2^56).
+
+    Used to rebalance a corpus (e.g. downsample a dominant language)
+    reproducibly — same rows survive on every run and in the oracle.
+    """
+    h = md5_h56(F.col(id_col), "strat")
+    rate = F.lit(default_tenths)
+    for k, v in sorted(rates_tenths.items()):
+        rate = F.when(F.col(strata_col) == k, F.lit(v)).otherwise(rate)
+    return docs.filter(h * 10 < rate.cast("bigint") * _H56_MAX)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 2048,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy sequence packing: hash-shard documents into ``n_shards``
+    independent token streams, order each stream deterministically by
+    hash, and assign every document the training sequence its first
+    token lands in (offset // seq_len over a per-shard running sum).
+
+    Shard-local windows keep the cumulative sum parallel — a single
+    global ORDER BY would bottleneck one task at 100 TB.
+    """
+    h = md5_h56(F.col(id_col), "pack")
+    n_tokens = F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).cast(
+        "bigint"
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.pmod(h, F.lit(n_shards)).cast("int").alias("shard"),
+        h.alias("h"),
+        n_tokens.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return base.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        (cum - F.col("n_tokens")).alias("tok_offset"),
+        F.floor((cum - F.col("n_tokens")) / seq_len).alias("seq_id"),
+    )
+
+
+def mix_weights(
+    docs: DataFrame,
+    target_ppm: dict[str, int],
+    strata_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus mixing weights: per stratum, the sampling weight (ppm,
+    integer) that would reshape the token distribution to the target
+    shares. weight_ppm = total_tokens * target_ppm // stratum_tokens.
+
+    The per-stratum aggregate is one map-side-combinable shuffle; the
+    grand total is a window over the handful of stratum rows.
+    """
+    n_tokens = F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).cast(
+        "bigint"
+    )
+    per = docs.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tokens).alias("stratum_tokens"),
+    )
+    target = F.lit(0)
+    for k, v in sorted(target_ppm.items()):
+        target = F.when(F.col(strata_col) == k, F.lit(v)).otherwise(target)
+    total = F.sum("stratum_tokens").over(Window.partitionBy())
+    return per.select(
+        strata_col,
+        "n_docs",
+        "stratum_tokens",
+        F.floor(total * target.cast("bigint") / F.col("stratum_tokens")).alias(
+            "weight_ppm"
+        ),
+    )
+
+
+def word_entropy(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document unigram entropy (bits), a CCNet-style degenerate-
+    text signal: H = log2(n) - sum(c·log2 c)/n over token counts.
+
+    Computed per-row from the token array (narrow, no shuffle); the
+    distinct-token list is SORTED before summation so Spark and the
+    oracle add the identical float sequence, then rounded to 4dp.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = docs.select(id_col, toks.alias("toks")).filter(F.size("toks") >= 1)
+    t = F.col("toks")
+    counts = F.transform(
+        F.array_sort(F.array_distinct(t)),
+        lambda g: F.size(F.filter(t, lambda x: x == g)).cast("double"),
+    )
+    s = F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, c: acc + c * F.log2(c),
+    )
+    n = F.size(t).cast("double")
+    return base.select(
+        id_col,
+        F.size(t).cast("int").alias("n_tokens"),
+        F.round(F.log2(n) - s / n, 4).alias("entropy_bits"),
+    )

@@ -1,0 +1,200 @@
+"""Oracle-checked training-data curation queries: benchmark
+decontamination, Gopher-style repetition filtering, deterministic
+stratified sampling, sequence packing, corpus mix weighting, and
+unigram entropy — over the driver's ``documents`` table.
+
+These extend the dedup/similarity family (``plans/llm_queries.py``)
+with the corpus-shaping steps that follow dedup in a pretraining
+pipeline. All hashes are md5-derived and all thresholds are integer
+comparisons so DuckDB reproduces every row bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tiki_data_pipeline_spark.io import load_table
+from tiki_data_pipeline_spark.operators import curation as CU
+from tiki_data_pipeline_spark.plans.llm_queries import _SHINGLES_SQL, _shingles_cached
+from tiki_data_pipeline_spark.plans.registry import query
+
+_H56 = "try_cast(('0x' || substring(md5({key}), 1, 14)) AS BIGINT)"
+_H56_MAX = 72057594037927936  # 2^56
+_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
+
+# Stratum rates for the sampling/mixing queries: downsample the
+# dominant language, equal 20% token-share targets across the five.
+_SAMPLE_TENTHS = {"en": 3, "de": 8, "es": 8, "fr": 8, "zh": 8}
+_TARGET_PPM = {"en": 200000, "de": 200000, "es": 200000, "fr": 200000, "zh": 200000}
+
+_RATE_CASE = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(_SAMPLE_TENTHS.items()))
+    + " ELSE 10 END"
+)
+_TARGET_CASE = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(_TARGET_PPM.items()))
+    + " ELSE 0 END"
+)
+
+
+@query(
+    "doc_decontamination",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
+    corpus AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 20 <> 0),
+    hits AS (
+      SELECT c.doc_id, COUNT(*) AS n_contaminated
+      FROM corpus c JOIN bench b ON c.shingle = b.shingle
+      GROUP BY 1
+    ),
+    totals AS (SELECT doc_id, COUNT(*) AS n_grams FROM corpus GROUP BY 1)
+    SELECT t.doc_id,
+           CAST(t.n_grams AS BIGINT) AS n_grams,
+           CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+           CAST(CASE WHEN COALESCE(h.n_contaminated, 0) * 100 >= t.n_grams * 5
+                     THEN 1 ELSE 0 END AS INTEGER) AS is_contaminated
+    FROM totals t LEFT JOIN hits h ON h.doc_id = t.doc_id
+    """,
+)
+def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with id % 20 == 0 act as the
+    held-out eval set; every other document reports how many of its
+    3-gram shingles collide with the benchmark gram set (broadcast
+    join — eval suites are tiny next to a 100 TB corpus)."""
+    sh = _shingles_cached(spark, sf_dir)
+    return CU.contamination_stats(sh, F.col("doc_id") % 20 == 0)
+
+
+@query(
+    "doc_repetition_filter",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+      WHERE LEN({_TOKS}) >= 2
+    ),
+    g AS (
+      SELECT doc_id, toks,
+             list_transform(range(1, LEN(toks)),
+                            i -> toks[i] || ' ' || toks[i + 1]) AS grams
+      FROM base
+    ),
+    stats AS (
+      SELECT doc_id,
+        CAST(LEN(toks) AS BIGINT) AS n_tokens,
+        CAST(LEN(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+        CAST(LEN(grams) AS BIGINT) AS n_bigrams,
+        CAST(list_max(list_transform(list_distinct(grams),
+               gr -> LEN(list_filter(grams, x -> x = gr)))) AS BIGINT)
+          AS top_bigram_count
+      FROM g
+    )
+    SELECT doc_id, n_tokens, n_distinct_tokens, n_bigrams, top_bigram_count,
+           CAST(CASE WHEN (n_tokens - n_distinct_tokens) * 2 >= n_tokens
+                       OR top_bigram_count * 5 >= n_bigrams
+                     THEN 1 ELSE 0 END AS INTEGER) AS flag_repetitive
+    FROM stats
+    """,
+)
+def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: duplicate-token fraction and
+    top-bigram fraction per document, as narrow array expressions."""
+    return CU.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE {_H56.format(key="'strat:' || CAST(doc_id AS VARCHAR)")} * 10
+          < ({_RATE_CASE}) * {_H56_MAX}
+    """,
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: md5-Bernoulli keep at 30% for
+    the dominant language, 80% elsewhere — a map-side filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    return CU.stratified_sample(docs, _SAMPLE_TENTHS).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@query(
+    "doc_sequence_packing",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             {_H56.format(key="'pack:' || CAST(doc_id AS VARCHAR)")} AS h,
+             CAST(LEN({_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    sharded AS (
+      SELECT doc_id, CAST(h % 8 AS INTEGER) AS shard, h, n_tokens FROM base
+    ),
+    packed AS (
+      SELECT doc_id, shard, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM sharded
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(cum - n_tokens AS BIGINT) AS tok_offset,
+           CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_id
+    FROM packed
+    """,
+)
+def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing into 2048-token sequences over 8
+    hash-sharded token streams (shard-parallel running sums)."""
+    return CU.pack_sequences(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "corpus_mix_weights",
+    oracle=f"""
+    WITH per AS (
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(LEN({_TOKS})) AS BIGINT) AS stratum_tokens
+      FROM documents GROUP BY lang
+    )
+    SELECT lang, n_docs, stratum_tokens,
+           CAST((SUM(stratum_tokens) OVER ()) * ({_TARGET_CASE})
+                // stratum_tokens AS BIGINT) AS weight_ppm
+    FROM per
+    """,
+)
+def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix rebalancing weights: integer ppm sampling weight
+    per stratum toward equal 20% token shares."""
+    return CU.mix_weights(load_table(spark, sf_dir, "documents"), _TARGET_PPM)
+
+
+@query(
+    "doc_word_entropy",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+      WHERE LEN({_TOKS}) >= 1
+    )
+    SELECT doc_id,
+      CAST(LEN(toks) AS INTEGER) AS n_tokens,
+      ROUND(
+        log2(CAST(LEN(toks) AS DOUBLE))
+        - list_reduce(
+            list_prepend(CAST(0 AS DOUBLE),
+              list_transform(list_sort(list_distinct(toks)),
+                gr -> CAST(LEN(list_filter(toks, x -> x = gr)) AS DOUBLE))),
+            (a, b) -> a + b * log2(b)
+          ) / LEN(toks),
+        4) AS entropy_bits
+    FROM base
+    """,
+)
+def doc_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram entropy per document (CCNet-style degenerate-text
+    signal), folded over the SORTED distinct-token list so both
+    engines sum the identical float sequence."""
+    return CU.word_entropy(load_table(spark, sf_dir, "documents"))

@@ -20,5 +20,6 @@ import tiki_data_pipeline_spark.plans.warehouse_queries  # noqa: F401, E402
 import tiki_data_pipeline_spark.plans.extras_queries  # noqa: F401, E402
 import tiki_data_pipeline_spark.plans.analytics_queries  # noqa: F401, E402
 import tiki_data_pipeline_spark.plans.repair_queries  # noqa: F401, E402
+import tiki_data_pipeline_spark.plans.curation_queries  # noqa: F401, E402
 
 __all__ = ["QUERIES", "ORACLES"]
