@@ -113,6 +113,22 @@ def test_bfs_descendants_empty_roots_and_no_children(spark):
     assert len(only) == 1 and only[0]["level"] == 0
 
 
+def test_bfs_eager_lazy_identity(spark):
+    """The lazy (join-chain + min-level groupBy) and eager (visited-set
+    anti-join loop) strategies must produce the identical node set and
+    first-discovery levels — including through the cyclic fixture edge."""
+    cats = FX.categories_df(spark)
+    lazy = {
+        (r["url"], r["level"])
+        for r in H.bfs_descendants(cats, None, max_level=3, eager=False).collect()
+    }
+    eager = {
+        (r["url"], r["level"])
+        for r in H.bfs_descendants(cats, None, max_level=3, eager=True).collect()
+    }
+    assert lazy == eager and lazy
+
+
 def test_simhash_near_dups_empty(spark):
     docs = _empty_like(
         spark, spark.createDataFrame([(1, "x")], "doc_id long, text string")

@@ -96,7 +96,10 @@ def ancestor_paths(
 
 
 def bfs_descendants(
-    categories: DataFrame, root_urls: list[str], max_level: int = 3
+    categories: DataFrame,
+    root_urls: list[str] | None = None,
+    max_level: int = 3,
+    eager: bool | None = None,
 ) -> DataFrame:
     """S11 — level-by-level BFS discovery from a root set (reference
     crawl_categories_optimized.py:303-428: per-level frontier queue,
@@ -110,12 +113,42 @@ def bfs_descendants(
     Output: (url, name, level). Category dims are bounded, so the
     frontier side broadcasts; the per-level ``count()`` is the
     frontier-empty check the reference's queue loop does natively.
+
+    ``root_urls=None`` roots the scan at parentless nodes with a
+    filter instead of a driver-side collected list.
+
+    Two physical strategies (``eager`` defaults to ``max_level > 3``):
+
+    - **eager** (deep traversals): per-level distinct + anti-join
+      against the visited set, checkpointed each hop with an
+      early-exit at the fixpoint — the visited set is what keeps a
+      deep frontier from re-expanding at 100 TB.
+    - **lazy** (shallow caps): no per-level dedup at all — the level
+      cap bounds any revisit fan-out, so the whole traversal is one
+      declarative plan (level joins + a final min-level aggregate,
+      the visited-set "first discovery wins" semantics as a groupBy)
+      and runs as one job instead of 2·level tiny ones.
     """
+    if eager is None:
+        eager = max_level > 3
     edges = categories.select("url", "name", "parent_url")
-    frontier = edges.filter(F.col("url").isin(root_urls)).select(
-        "url", "name", F.lit(0).alias("level")
+    is_root = (
+        F.col("parent_url").isNull()
+        if root_urls is None
+        else F.col("url").isin(root_urls)
     )
+    frontier = edges.filter(is_root).select("url", "name", F.lit(0).alias("level"))
     out = frontier
+    if not eager:
+        for lvl in range(1, max_level + 1):
+            frontier = edges.join(
+                F.broadcast(frontier.select(F.col("url").alias("_purl"))),
+                edges.parent_url == F.col("_purl"),
+            ).select("url", "name", F.lit(lvl).alias("level"))
+            out = out.unionByName(frontier)
+        return out.groupBy("url", "name").agg(
+            F.min("level").cast("int").alias("level")
+        )
     for lvl in range(1, max_level + 1):
         children = (
             edges.join(

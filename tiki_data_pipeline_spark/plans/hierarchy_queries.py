@@ -112,12 +112,9 @@ def category_bfs_descendants(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-discovery (minimum) level wins, as with the crawl's
     visited-set. The oracle's recursive CTE is level-capped, so a
     cyclic fixture edge terminates there too."""
-    cats = FX.categories_df(spark)
-    roots = [
-        r["url"]
-        for r in cats.filter(F.col("parent_url").isNull()).select("url").collect()
-    ]
-    return H.bfs_descendants(cats, roots, max_level=3)
+    # Roots = parentless nodes, expressed as a filter (no driver-side
+    # collect); max_level=3 keeps the lazy plan shallow → one job.
+    return H.bfs_descendants(FX.categories_df(spark), None, max_level=3)
 
 
 @query(
