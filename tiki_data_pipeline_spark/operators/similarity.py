@@ -408,8 +408,14 @@ def ivf_train(
         .withColumn("cid", (F.row_number().over(W.orderBy("id")) - 1).cast("int"))
         .select("cid", F.col("v").alias("cv"))
     )
+    # Pin each iteration's k×dim result as a LOCAL relation: every
+    # downstream consumer (the next iteration's collect, ivf_topk's
+    # assignment UDF) would otherwise re-execute the whole Lloyd chain
+    # per collect(). k rows round-trip exactly (no float loss).
+    spark = embeddings.sparkSession
     for _ in range(iters):
-        centroids = _lloyd_update(base, centroids)
+        rows = _lloyd_update(base, centroids).collect()
+        centroids = spark.createDataFrame(rows, schema="cid int, cv array<double>")
     return centroids
 
 
