@@ -1,0 +1,108 @@
+"""Semantic tests for the curation operators — hand-built inputs with
+known answers, complementing the oracle-parity checks in
+test_oracle_queries.py."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from tiki_data_pipeline_spark.operators import curation as CU
+from tiki_data_pipeline_spark.operators import dedup as DD
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_contamination_counts_shared_grams(spark):
+    # doc 0 (benchmark, id%20==0) shares its full text with doc 21;
+    # doc 22 is disjoint.
+    docs = _docs(
+        spark,
+        [
+            (0, "alpha beta gamma delta", "en"),
+            (21, "alpha beta gamma delta", "en"),
+            (22, "one two three four five", "en"),
+        ],
+    )
+    sh = DD.shingles(docs)
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in CU.contamination_stats(sh, F.col("doc_id") % 20 == 0).collect()
+    }
+    assert set(out) == {21, 22}  # benchmark doc itself excluded
+    assert out[21]["n_contaminated"] == out[21]["n_grams"] == 2
+    assert out[21]["is_contaminated"] == 1
+    assert out[22]["n_contaminated"] == 0 and out[22]["is_contaminated"] == 0
+
+
+def test_repetition_flags(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "spam spam spam spam spam", "en"),  # one token repeated
+            (2, "the quick brown fox jumps", "en"),  # all distinct
+        ],
+    )
+    out = {r["doc_id"]: r.asDict() for r in CU.repetition_stats(docs).collect()}
+    assert out[1]["flag_repetitive"] == 1
+    assert out[1]["top_bigram_count"] == out[1]["n_bigrams"] == 4
+    assert out[2]["flag_repetitive"] == 0
+    assert out[2]["n_distinct_tokens"] == out[2]["n_tokens"] == 5
+
+
+def test_stratified_sample_rate_bounds_and_determinism(spark):
+    rows = [(i, f"doc number {i}", "en" if i % 2 else "fr") for i in range(200)]
+    docs = _docs(spark, rows)
+    # rate 0 -> stratum vanishes; rate 10 -> stratum fully kept
+    kept = CU.stratified_sample(docs, {"en": 0, "fr": 10}).collect()
+    assert all(r["lang"] == "fr" for r in kept)
+    assert len(kept) == 100
+    # deterministic: identical output across runs
+    a = sorted(r["doc_id"] for r in CU.stratified_sample(docs, {"en": 5}).collect())
+    b = sorted(r["doc_id"] for r in CU.stratified_sample(docs, {"en": 5}).collect())
+    assert a == b
+
+
+def test_pack_sequences_offsets_contiguous(spark):
+    rows = [(i, " ".join(["tok"] * (5 + i % 7)), "en") for i in range(60)]
+    docs = _docs(spark, rows)
+    out = CU.pack_sequences(docs, seq_len=16, n_shards=4).collect()
+    assert len(out) == 60
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r["tok_offset"])
+        # stream starts at 0 and every doc starts where the previous ended
+        assert shard_rows[0]["tok_offset"] == 0
+        for prev, cur in zip(shard_rows, shard_rows[1:]):
+            assert cur["tok_offset"] == prev["tok_offset"] + prev["n_tokens"]
+        for r in shard_rows:
+            assert r["seq_id"] == r["tok_offset"] // 16
+
+
+def test_mix_weights_inverse_to_stratum_size(spark):
+    docs = _docs(
+        spark,
+        [(1, "a b c d", "en"), (2, "a b c d", "en"), (3, "x y z w", "fr")],
+    )
+    out = {
+        r["lang"]: r.asDict()
+        for r in CU.mix_weights(docs, {"en": 500000, "fr": 500000}).collect()
+    }
+    # total 12 tokens; en has 8, fr has 4 -> weights 12*0.5/8 and 12*0.5/4
+    assert out["en"]["weight_ppm"] == 750000
+    assert out["fr"]["weight_ppm"] == 1500000
+
+
+def test_word_entropy_extremes(spark):
+    docs = _docs(
+        spark,
+        [(1, "a a a a", "en"), (2, "a b c d", "en")],
+    )
+    out = {r["doc_id"]: r["entropy_bits"] for r in CU.word_entropy(docs).collect()}
+    assert out[1] == 0.0
+    assert math.isclose(out[2], 2.0, abs_tol=1e-9)

@@ -99,7 +99,10 @@ def repetition_stats(
       over all bigrams.
 
     ``flag_repetitive`` (0/1) trips when duplicate tokens ≥ 50% or
-    the top bigram covers ≥ 20% of bigrams — integer comparisons.
+    the top bigram actually repeats (count ≥ 2) AND covers ≥ 20% of
+    bigrams — integer comparisons; the count≥2 guard keeps short
+    all-distinct documents (where 1 of 4 bigrams is already 25%)
+    from tripping on noise.
     """
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     base = docs.select(id_col, toks.alias("toks")).filter(F.size("toks") >= 2)
@@ -110,11 +113,25 @@ def repetition_stats(
     )
     base = base.withColumn("grams", grams)
     g = F.col("grams")
-    top_bigram = F.array_max(
-        F.transform(
-            F.array_distinct(g),
-            lambda gram: F.size(F.filter(g, lambda x: x == gram)),
-        )
+    # Most-frequent-bigram count = longest equal run in the SORTED gram
+    # list: O(n log n) per row, vs the O(distinct·n) quadratic scan a
+    # per-gram filter would do (~100× on 120-token documents).
+    top_bigram = F.aggregate(
+        F.array_sort(g),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
     n_tokens = F.size(t).cast("bigint")
     n_distinct = F.size(F.array_distinct(t)).cast("bigint")
@@ -128,7 +145,7 @@ def repetition_stats(
         top.alias("top_bigram_count"),
         (
             ((n_tokens - n_distinct) * 2 >= n_tokens)
-            | (top * 5 >= n_bigrams)
+            | ((top >= 2) & (top * 5 >= n_bigrams))
         )
         .cast("int")
         .alias("flag_repetitive"),

@@ -94,7 +94,8 @@ def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, n_tokens, n_distinct_tokens, n_bigrams, top_bigram_count,
            CAST(CASE WHEN (n_tokens - n_distinct_tokens) * 2 >= n_tokens
-                       OR top_bigram_count * 5 >= n_bigrams
+                       OR (top_bigram_count >= 2
+                           AND top_bigram_count * 5 >= n_bigrams)
                      THEN 1 ELSE 0 END AS INTEGER) AS flag_repetitive
     FROM stats
     """,

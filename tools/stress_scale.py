@@ -32,6 +32,14 @@ STRESS_QUERIES = [
     "doc_minhash_lsh_near_dup",
     "doc_rolling_fingerprints",
     "vw_price_segment_analysis",
+    # curation family — all narrow or single-shuffle; packing's window
+    # runs at shard parallelism, decontamination broadcasts the bench set
+    "doc_repetition_filter",
+    "doc_stratified_sample",
+    "doc_sequence_packing",
+    "corpus_mix_weights",
+    "doc_word_entropy",
+    "doc_decontamination",
     # NB: doc_simhash_near_dup output grows with the SQUARE of the
     # duplicate multiplicity under synthetic N× replication (every
     # copy pairs with every other) — run it at small N only.
