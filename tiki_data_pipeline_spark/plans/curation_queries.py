@@ -199,3 +199,134 @@ def doc_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal), folded over the SORTED distinct-token list so both
     engines sum the identical float sequence."""
     return CU.word_entropy(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_sample_fixed_per_stratum",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY {_H56.format(key="'strat:' || CAST(doc_id AS VARCHAR)")},
+                        doc_id) AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang, source FROM ranked WHERE rn <= 50
+    """,
+)
+def doc_sample_fixed_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reservoir-equivalent fixed-N sample: exactly min(N, stratum
+    size) docs per language, deterministically — rank by md5 hash
+    within each stratum and keep the first 50. One window shuffle on
+    the stratum key (each stratum sorts independently at scale)."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = CU.md5_h56(F.col("doc_id"), "strat")
+    rn = F.row_number().over(W.partitionBy("lang").orderBy(h, "doc_id"))
+    return (
+        docs.select("doc_id", "lang", "source", rn.alias("rn"))
+        .filter(F.col("rn") <= 50)
+        .drop("rn")
+    )
+
+
+@query(
+    "corpus_curation_pipeline",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    fp AS (
+      SELECT doc_id,
+             doc_id = MIN(doc_id) OVER (
+               PARTITION BY md5(trim(REGEXP_REPLACE(lower(text), '\\s+', ' ', 'g')))
+             ) AS exact_survivor
+      FROM documents WHERE doc_id % 20 <> 0
+    ),
+    toks2 AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+      WHERE doc_id % 20 <> 0 AND LEN({_TOKS}) >= 2
+    ),
+    g AS (
+      SELECT doc_id, toks,
+             list_transform(range(1, LEN(toks)),
+                            i -> toks[i] || ' ' || toks[i + 1]) AS grams
+      FROM toks2
+    ),
+    rep AS (
+      SELECT doc_id,
+        CAST(LEN(toks) AS BIGINT) AS n_tokens,
+        CAST(LEN(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        CAST(LEN(grams) AS BIGINT) AS n_bigrams,
+        CAST(list_max(list_transform(list_distinct(grams),
+               gr -> LEN(list_filter(grams, x -> x = gr)))) AS BIGINT) AS top
+      FROM g
+    ),
+    repflag AS (
+      SELECT doc_id,
+             CASE WHEN (n_tokens - n_distinct) * 2 >= n_tokens
+                    OR (top >= 2 AND top * 5 >= n_bigrams)
+                  THEN 1 ELSE 0 END AS flag_repetitive
+      FROM rep
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
+    corpus AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 20 <> 0),
+    hits AS (
+      SELECT c.doc_id, COUNT(*) AS n_contaminated
+      FROM corpus c JOIN bench b ON c.shingle = b.shingle GROUP BY 1
+    ),
+    totals AS (SELECT doc_id, COUNT(*) AS n_grams FROM corpus GROUP BY 1),
+    cont AS (
+      SELECT t.doc_id,
+             CASE WHEN COALESCE(h.n_contaminated, 0) * 100 >= t.n_grams * 5
+                  THEN 1 ELSE 0 END AS is_contaminated
+      FROM totals t LEFT JOIN hits h ON h.doc_id = t.doc_id
+    )
+    SELECT f.doc_id,
+           CASE WHEN NOT f.exact_survivor THEN 'exact'
+                WHEN COALESCE(r.flag_repetitive, 0) = 1 THEN 'repetitive'
+                WHEN COALESCE(c.is_contaminated, 0) = 1 THEN 'contaminated'
+           END AS dropped_by,
+           f.exact_survivor
+             AND COALESCE(r.flag_repetitive, 0) = 0
+             AND COALESCE(c.is_contaminated, 0) = 0 AS survivor
+    FROM fp f
+    LEFT JOIN repflag r ON r.doc_id = f.doc_id
+    LEFT JOIN cont c ON c.doc_id = f.doc_id
+    """,
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pass over the corpus (benchmark docs
+    id % 20 == 0 held out): exact dedup -> repetition filter ->
+    benchmark decontamination, each doc tagged with the first stage
+    that dropped it. The staged order mirrors corpus_dedup_staged:
+    the cheapest filter (one hash groupBy) runs first so downstream
+    joins see only survivors' mass at 100 TB."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 != 0)
+    fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+    ranked = docs.select("doc_id", "text").withColumn(
+        "exact_survivor",
+        F.col("doc_id") == F.min("doc_id").over(W.partitionBy(fp)),
+    )
+    rep = CU.repetition_stats(docs).select("doc_id", "flag_repetitive")
+    cont = CU.contamination_stats(
+        _shingles_cached(spark, sf_dir), F.col("doc_id") % 20 == 0
+    ).select("doc_id", "is_contaminated")
+    repf = F.coalesce(F.col("flag_repetitive"), F.lit(0))
+    contf = F.coalesce(F.col("is_contaminated"), F.lit(0))
+    return (
+        ranked.join(rep, "doc_id", "left")
+        .join(cont, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(~F.col("exact_survivor"), "exact")
+            .when(repf == 1, "repetitive")
+            .when(contf == 1, "contaminated")
+            .alias("dropped_by"),
+            (F.col("exact_survivor") & (repf == 0) & (contf == 0)).alias(
+                "survivor"
+            ),
+        )
+    )
