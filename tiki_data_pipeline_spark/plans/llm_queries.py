@@ -450,11 +450,39 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.near_dup_pairs(emb, threshold=0.45)
 
 
-# Approximate (LSH-blocked) near-dup join: the 100 TB path. Rows-only
-# by design — only same-probe-bucket chunks meet, so recall < 1 is the
-# contract, not a bug (subset-of-exact + recall floor pinned in
-# tests/test_operators.py::test_lsh_blocked_near_dup_subset_recall).
-@query("embedding_near_dup_lsh")
+# Signed-random-projection bucket, evaluated from the same md5-derived
+# plane weights the Spark side embeds as literals (similarity.py
+# _plane_weight) — defined here because two oracles below use it.
+_LSH_BUCKET_SQL = " + ".join(
+    "(CASE WHEN list_sum(list_transform(generate_series(1, len(v)), i -> "
+    f"v[i] * (CAST(concat('0x', substring(md5(concat({p}, '_', i)), 1, 15)) "
+    "AS BIGINT) / 576460752303423488.0 - 1.0))) > 0 "
+    f"THEN {1 << p} ELSE 0 END)"
+    for p in range(SIM.N_PLANES)
+)
+
+
+# Approximate (LSH-blocked) near-dup join: the 100 TB path. The probe
+# set (every bucket within Hamming emit_radius=2 of a vector's own
+# bucket) makes the meet condition EXACTLY expressible: two vectors
+# share a probe bucket iff their codes differ in ≤ 2·radius = 4 bits,
+# so the oracle reproduces the approximate join bit-for-bit — recall
+# vs the exact join is the ANN contract, pinned separately in
+# tests/test_operators.py::test_lsh_blocked_near_dup_subset_recall.
+@query(
+    "embedding_near_dup_lsh",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {_LSH_BUCKET_SQL} AS bucket FROM e)
+    SELECT i, j, cosine_sim FROM (
+      SELECT a.vec_id AS i, b2.vec_id AS j,
+             ROUND(list_cosine_similarity(a.v, b2.v), 4) AS cosine_sim
+      FROM b a JOIN b b2
+        ON a.vec_id < b2.vec_id
+       AND bit_count(xor(a.bucket::BIGINT, b2.bucket::BIGINT)) <= 4
+    ) t WHERE cosine_sim >= 0.45
+    """,
+)
 def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-blocked approximate near-dup pairs (cos ≥ 0.45)."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -475,19 +503,9 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.label_centroid_stats(load_table(spark, sf_dir, "embeddings"))
 
 
-# ANN via LSH buckets. The hyperplane components are md5-derived by
-# construction (operators/similarity.py:_plane_component), so the
-# bucket assignment is exactly reproducible in DuckDB: per plane p and
-# 1-based dim i, weight = hex(md5(p || '_' || i)[:15]) / 2^59 - 1.
-_LSH_BUCKET_SQL = " + ".join(
-    "(CASE WHEN list_sum(list_transform(generate_series(1, len(v)), i -> "
-    f"v[i] * (CAST(concat('0x', substring(md5(concat({p}, '_', i)), 1, 15)) "
-    "AS BIGINT) / 576460752303423488.0 - 1.0))) > 0 "
-    f"THEN {1 << p} ELSE 0 END)"
-    for p in range(SIM.N_PLANES)
-)
-
-
+# ANN via LSH buckets: reuses _LSH_BUCKET_SQL (defined above the
+# near-dup query) — per plane p and 1-based dim i,
+# weight = hex(md5(p || '_' || i)[:15]) / 2^59 - 1.
 @query(
     "embedding_ann_lsh_topk",
     oracle=f"""
