@@ -106,3 +106,15 @@ def test_word_entropy_extremes(spark):
     out = {r["doc_id"]: r["entropy_bits"] for r in CU.word_entropy(docs).collect()}
     assert out[1] == 0.0
     assert math.isclose(out[2], 2.0, abs_tol=1e-9)
+
+
+def test_stratified_sample_rate_monotonic(spark):
+    """Same hash, higher rate -> strict superset: h*10 < 3*2^56 implies
+    h*10 < 8*2^56, so raising a stratum's rate only ADDS documents —
+    the property that makes deterministic-hash sampling re-tunable
+    without reshuffling previously selected data."""
+    rows = [(i, f"token salad {i}", "en") for i in range(300)]
+    docs = _docs(spark, rows)
+    low = {r["doc_id"] for r in CU.stratified_sample(docs, {"en": 3}).collect()}
+    high = {r["doc_id"] for r in CU.stratified_sample(docs, {"en": 8}).collect()}
+    assert low < high
