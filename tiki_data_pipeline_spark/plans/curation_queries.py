@@ -218,8 +218,10 @@ def doc_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_sample_fixed_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reservoir-equivalent fixed-N sample: exactly min(N, stratum
     size) docs per language, deterministically — rank by md5 hash
-    within each stratum and keep the first 50. One window shuffle on
-    the stratum key (each stratum sorts independently at scale)."""
+    within each stratum and keep the first 50. Catalyst rewrites the
+    rank filter to WindowGroupLimit (verified in the physical plan):
+    every map task pre-prunes to its local top-50 per stratum, so the
+    stratum shuffle carries ≤ 50·tasks rows at any corpus size."""
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
