@@ -592,7 +592,9 @@ def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_pairs.unionByName(near_pairs).select(F.col("j").alias("_dropped")).distinct()
     )
     return (
-        docs.join(F.broadcast(dropped), docs.doc_id == F.col("_dropped"), "left")
+        # no broadcast hint: the dropped set scales with the duplicate
+        # mass (unbounded at 100 TB) — AQE still broadcasts when small
+        docs.join(dropped, docs.doc_id == F.col("_dropped"), "left")
         .select(
             "doc_id",
             "lang",
@@ -680,7 +682,8 @@ def corpus_dedup_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ranked.join(
-            F.broadcast(near_dropped), ranked.doc_id == F.col("_nd"), "left"
+            # unhinted: near-dropped mass is corpus-dependent; AQE decides
+            near_dropped, ranked.doc_id == F.col("_nd"), "left"
         )
         .select(
             "doc_id",
