@@ -120,7 +120,9 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         customer.join(orders_f, F.col("c_custkey") == F.col("o_custkey"))
         .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(supplier),
+            # unhinted: supplier scales with SF (broadcast would cap at
+            # ~10M rows); AQE still broadcasts it at small factors
+            supplier,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )

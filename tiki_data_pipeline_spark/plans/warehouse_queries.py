@@ -106,7 +106,7 @@ def vw_top_products_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)  # part scales with SF; AQE decides
         .groupBy("p_partkey", "p_name", "p_brand")
         .agg(
             F.sum(
@@ -146,7 +146,7 @@ def vw_category_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)  # part scales with SF; AQE decides
         .groupBy(F.col("p_type").alias("category"))
         .agg(
             F.countDistinct("p_partkey").alias("n_products"),
@@ -393,7 +393,7 @@ def vw_price_segment_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_retailprice") < F.col("max_price")),
     ).select("p_partkey", "p_retailprice", "segment_name")
     return (
-        li.join(F.broadcast(part_seg), li.l_partkey == F.col("p_partkey"))
+        li.join(part_seg, li.l_partkey == F.col("p_partkey"))  # part-sized; AQE decides
         .groupBy("segment_name")
         .agg(
             F.countDistinct("p_partkey").alias("product_count"),
