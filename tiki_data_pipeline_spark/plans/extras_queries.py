@@ -290,4 +290,11 @@ def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99]).alias(
             "price_quantiles"
         ),
+    ).select(
+        "approx_parts",
+        "approx_suppliers",
+        # projected to a scalar so row canonicalizers can hash it
+        F.concat_ws(
+            ",", F.transform("price_quantiles", lambda x: x.cast("string"))
+        ).alias("price_quantiles"),
     )
