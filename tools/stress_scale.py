@@ -40,6 +40,8 @@ STRESS_QUERIES = [
     "corpus_mix_weights",
     "doc_word_entropy",
     "doc_decontamination",
+    "doc_sample_fixed_per_stratum",
+    "corpus_curation_pipeline",
     # NB: doc_simhash_near_dup output grows with the SQUARE of the
     # duplicate multiplicity under synthetic N× replication (every
     # copy pairs with every other) — run it at small N only.
