@@ -1,0 +1,80 @@
+"""Physical-plan regression tests: pin the scale-critical plan
+properties (no nested-loop joins on big relations, parquet pushdown,
+window group-limit pruning) so a future refactor can't silently trade
+a hash join for a BroadcastNestedLoopJoin — the class of regression
+that is invisible at fixture scale and fatal at 100 TB."""
+
+from __future__ import annotations
+
+import pytest
+
+from tiki_data_pipeline_spark.plans.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    return QUERIES[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+# Queries over SF-scaled relations where an accidental nested-loop or
+# cartesian plan would be a 100 TB scale killer. Fixture-dim queries
+# (category_*) are exempt: their inputs are bounded by construction.
+NO_NESTED_LOOP = [
+    "q1_pricing_summary",
+    "q5_region_revenue",
+    "vw_top_products_revenue",
+    "doc_simhash_near_dup",  # pigeonhole equi-join, not an all-pairs scan
+    "doc_minhash_lsh_near_dup",
+    "doc_ngram_jaccard_pairs",
+    "embedding_near_dup_lsh",
+    "doc_decontamination",
+    "corpus_curation_pipeline",
+    "latest_order_per_customer",
+]
+
+
+@pytest.mark.parametrize("name", NO_NESTED_LOOP)
+def test_no_nested_loop_join(spark, name):
+    plan = _plan(spark, name)
+    assert "BroadcastNestedLoopJoin" not in plan, name
+    assert "CartesianProduct" not in plan, name
+
+
+def test_price_segment_ranges_the_dim_not_the_fact(spark):
+    """The segment range join is interpreted (BroadcastNestedLoopJoin)
+    by nature — it must range the PART dim (O(|part|·5), linear) and
+    never the lineitem fact (measured 22 s vs 2 s at 10×; NOTES.md).
+    The fact must enter via a hash equi-join on l_partkey."""
+    plan = _plan(spark, "vw_price_segment_analysis")
+    bnlj = [l for l in plan.splitlines() if "BroadcastNestedLoopJoin" in l]
+    assert len(bnlj) == 1 and "min_price" in bnlj[0]
+    assert "l_partkey" not in bnlj[0]  # the fact never feeds the range scan
+    assert any(
+        "Join" in l and "l_partkey" in l and "NestedLoop" not in l
+        for l in plan.splitlines()
+    )
+
+
+def test_parquet_filter_pushdown(spark):
+    """A filtered fact scan must reach parquet as PushedFilters, and
+    the scan schema must be pruned to the referenced columns."""
+    plan = _plan(spark, "q5_region_revenue")
+    assert "PushedFilters: [" in plan
+    # lineitem scan must not read all 16 columns for this 4-column use
+    for line in plan.splitlines():
+        if "ReadSchema" in line and "l_orderkey" in line:
+            assert "l_comment" not in line and "l_shipmode" not in line
+
+
+def test_window_group_limit_pruning(spark):
+    """rank-filter top-N must compile to WindowGroupLimit so each map
+    task pre-prunes to its local top-N before the stratum shuffle."""
+    assert "WindowGroupLimit" in _plan(spark, "doc_sample_fixed_per_stratum")
+
+
+def test_exchange_count_exact_dedup(spark):
+    """Exact dedup is ONE hash-aggregate shuffle — more exchanges mean
+    someone added an accidental repartition or join."""
+    plan = _plan(spark, "doc_exact_dedup")
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
