@@ -702,3 +702,58 @@ def embedding_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall vs brute force asserted in tests."""
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.ivf_topk(emb, _QUERY_IDS, k=5)
+
+
+@query(
+    "embedding_knn_classify",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e
+          WHERE vec_id IN ({', '.join(map(str, _QUERY_IDS))})),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
+             ROUND(list_cosine_similarity(q.qv, e.v), 6) AS cosine_sim
+      FROM q JOIN e ON e.vec_id <> q.query_id
+    ),
+    topk AS (
+      SELECT query_id, label FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+        FROM scored
+      ) t WHERE rn <= 5
+    ),
+    votes AS (
+      SELECT query_id, label, COUNT(*) AS votes
+      FROM topk GROUP BY query_id, label
+    )
+    SELECT query_id, label AS predicted_label, votes FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY votes DESC, label ASC) AS rn
+      FROM votes
+    ) t WHERE rn = 1
+    """,
+)
+def embedding_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification over the embedding corpus: majority label of
+    the exact top-5 cosine neighbors per query vector, ties broken
+    toward the smallest label. Composes the brute-force top-k (the
+    oracle-checkable baseline); at scale the same vote runs over the
+    IVF/LSH candidate sets."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    topk = SIM.brute_force_topk(emb, _QUERY_IDS, k=5)
+    labeled = topk.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "label"), "neighbor_id"
+    )
+    votes = labeled.groupBy("query_id", "label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("label").asc()
+    )
+    return (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("query_id", F.col("label").alias("predicted_label"), "votes")
+    )
