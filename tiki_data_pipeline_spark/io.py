@@ -47,12 +47,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     ts_nanos_cols = {"ts"} if name == "events" else set()
     for field in df.schema.fields:
-        if field.name in ts_nanos_cols and isinstance(field.dataType, T.LongType):
+        if field.name not in ts_nanos_cols:
+            continue
+        if isinstance(field.dataType, T.LongType):
             # Integer `div`, not `/`: float division loses precision on
             # epoch-nanos magnitudes (2^53 < 1.7e18).
             df = df.withColumn(
                 field.name, F.timestamp_micros(F.expr(f"{field.name} div 1000"))
             )
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            # Newer Spark readers surface parquet TIMESTAMP(NANOS) as
+            # TIMESTAMP_NTZ. Event-time operators (withWatermark,
+            # unix_micros) require the TZ-aware TIMESTAMP type; the
+            # session TZ is pinned to UTC so the cast is value-preserving
+            # and keeps DuckDB-oracle parity (duckdb is UTC-naive).
+            df = df.withColumn(field.name, F.col(field.name).cast(T.TimestampType()))
     return df
 
 

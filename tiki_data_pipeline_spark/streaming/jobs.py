@@ -51,8 +51,14 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         src_dir = path
     raw_schema = spark.read.parquet(src_dir).schema
     stream = spark.readStream.schema(raw_schema).parquet(src_dir)
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # Newer readers surface TIMESTAMP(NANOS) as TIMESTAMP_NTZ, which
+        # withWatermark rejects; session TZ is UTC so the cast is
+        # value-preserving (mirrors io.load_table).
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
