@@ -31,6 +31,66 @@ def test_apply_retention_moves_and_drops_partitions(spark, tmp_path):
     assert kept_ids | {12} == all_ids - {15, 16}
 
 
+def test_apply_retention_merges_late_rows_into_existing_archive_month(
+    spark, tmp_path
+):
+    """Late rows for an already-archived month must MERGE into the
+    existing archive partition — not nest month=X/month=X, not clobber
+    existing archive files, not lose rows."""
+    base = str(tmp_path / "h")
+    arch = str(tmp_path / "a")
+    hist = FX.crawl_history_df(spark)
+    apply_retention(spark, hist, base, arch, FX.HISTORY_NOW)
+    archived_before = {r["history_id"] for r in spark.read.parquet(arch).collect()}
+    assert archived_before == {12}
+
+    # a late row lands for the already-archived month 2024-05
+    late = spark.createDataFrame(
+        [(99, "100004", 125000.0, 125000.0, 0, 210, "2024-05-20 10:00:00")],
+        schema=FX.HISTORY_SPARK_SCHEMA,
+    )
+    from pyspark.sql import functions as F
+
+    late = late.withColumn("crawled_at", F.to_timestamp("crawled_at"))
+    base2 = str(tmp_path / "h2")
+    result = apply_retention(spark, late, base2, arch, FX.HISTORY_NOW)
+    assert result["archived_months"] == ["2024-05"]
+
+    # no nested month=X/month=X anywhere under the archive
+    from pathlib import Path
+
+    nested = list(Path(arch).glob("month=*/month=*"))
+    assert nested == [], f"nested partition dirs: {nested}"
+    # both the original and the late row are readable from the archive
+    archived = {r["history_id"] for r in spark.read.parquet(arch).collect()}
+    assert archived == {12, 99}
+
+
+def test_apply_retention_skips_rewrite_when_layout_exists(spark, tmp_path):
+    """Re-applying retention over an existing month-partitioned dataset
+    must be pure partition metadata work — no full-dataset rewrite (the
+    data files of kept months must be byte-identical afterwards)."""
+    base = str(tmp_path / "h")
+    arch = str(tmp_path / "a")
+    hist = FX.crawl_history_df(spark)
+    apply_retention(spark, hist, base, arch, FX.HISTORY_NOW)
+
+    from pathlib import Path
+
+    def snapshot(p):
+        return {
+            str(f.relative_to(p)): (f.stat().st_size, f.stat().st_mtime_ns)
+            for f in Path(p).rglob("*")
+            if f.is_file()
+        }
+
+    before = snapshot(base)
+    # history arg is ignored when the layout exists — pass anything
+    result = apply_retention(spark, hist, base, arch + "2", FX.HISTORY_NOW)
+    assert result["kept_months"] == ["2024-07", "2024-12", "2025-01"]
+    assert snapshot(base) == before, "kept partitions were rewritten"
+
+
 def test_apply_retention_is_idempotent_on_kept_months(spark, tmp_path):
     hist = FX.crawl_history_df(spark)
     base = str(tmp_path / "h")

@@ -133,16 +133,29 @@ def apply_retention(
     touched), independent of row count.
 
     Returns ``{"kept_months": [...], "archived_months": [...],
-    "deleted_months": [...]}``. ``history`` must not be a lazy read of
-    ``base_path`` itself (the overwrite would clobber its own input) —
-    checkpoint first when re-applying in place.
+    "deleted_months": [...]}``.
+
+    If ``base_path`` is already a ``month=``-partitioned dataset the
+    materialization step is SKIPPED and retention runs directly on the
+    existing partitions — re-applying the policy is pure metadata work
+    (no full-dataset rewrite, which would be absurd at 100 TB).
+    Otherwise ``history`` is first written month-partitioned; in that
+    case it must not be a lazy read of ``base_path`` itself (the
+    overwrite would clobber its own input) — checkpoint first.
+
+    Archiving a month whose partition already exists in the archive
+    (late rows for a previously-archived month) MERGES the data files
+    into the existing partition — never nesting ``month=X/month=X``,
+    never overwriting an existing archive file.
     """
     import shutil
     from datetime import datetime
     from pathlib import Path
 
-    hist = history.withColumn("month", F.date_format("crawled_at", "yyyy-MM"))
-    hist.write.mode("overwrite").partitionBy("month").parquet(base_path)
+    base = Path(base_path)
+    if not any(base.glob("month=*")):
+        hist = history.withColumn("month", F.date_format("crawled_at", "yyyy-MM"))
+        hist.write.mode("overwrite").partitionBy("month").parquet(base_path)
 
     def _shift_month(ts: datetime, months: int) -> str:
         y, m = ts.year, ts.month - months
@@ -155,7 +168,6 @@ def apply_retention(
     archive_cutoff = _shift_month(now_dt, archive_months)
 
     result: dict = {"kept_months": [], "archived_months": [], "deleted_months": []}
-    base = Path(base_path)
     arch = Path(archive_path)
     arch.mkdir(parents=True, exist_ok=True)
     for part_dir in sorted(base.glob("month=*")):
@@ -164,7 +176,23 @@ def apply_retention(
             shutil.rmtree(part_dir)
             result["deleted_months"].append(month)
         elif month < archive_cutoff:
-            shutil.move(str(part_dir), str(arch / part_dir.name))
+            dest = arch / part_dir.name
+            if dest.exists():
+                # Late rows for an already-archived month: merge file-by-
+                # file (shutil.move on an existing dir would NEST
+                # month=X inside month=X, corrupting the layout).
+                for f in sorted(part_dir.iterdir()):
+                    if f.name.startswith(("_", ".")):
+                        continue  # _SUCCESS / checksums: metadata, not data
+                    target = dest / f.name
+                    n = 0
+                    while target.exists():
+                        n += 1
+                        target = dest / f"late-{n:03d}-{f.name}"
+                    shutil.move(str(f), str(target))
+                shutil.rmtree(part_dir)
+            else:
+                shutil.move(str(part_dir), str(dest))
             result["archived_months"].append(month)
         else:
             result["kept_months"].append(month)
