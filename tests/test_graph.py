@@ -42,6 +42,26 @@ def test_connected_components_vs_union_find(spark):
     assert got[21] == 20
 
 
+def test_connected_components_long_chain_converges(spark):
+    """A diameter-12 path graph must resolve to ONE component — plain
+    min-label propagation needs 12 rounds (more than the old cap of
+    10); pointer jumping must get there well inside MAX_ITERATIONS."""
+    chain = [(i, i + 1) for i in range(1, 13)]  # 1-2-...-13, diameter 12
+    pairs = spark.createDataFrame(chain, "i bigint, j bigint")
+    got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert set(got.values()) == {1}
+    assert len(got) == 13
+
+
+def test_connected_components_raises_when_not_converged(spark):
+    import pytest
+
+    chain = [(i, i + 1) for i in range(1, 30)]
+    pairs = spark.createDataFrame(chain, "i bigint, j bigint")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=2)
+
+
 def test_dedup_survivors_on_documents(spark):
     docs = load_table(spark, SF, "documents")
     pairs = DD.jaccard_pairs(DD.shingles(docs).localCheckpoint(), threshold=0.9)

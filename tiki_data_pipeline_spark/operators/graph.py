@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-MAX_ITERATIONS = 10
+MAX_ITERATIONS = 15
 
 
 def connected_components(
@@ -23,10 +23,17 @@ def connected_components(
 ) -> DataFrame:
     """(node, component) with component = min node id reachable.
 
-    Label propagation to fixpoint: every node repeatedly adopts the
-    smallest label among itself and its neighbors. Converges in
-    O(diameter) iterations; each iteration is one join + one
-    aggregation on the edge list.
+    Label propagation + pointer jumping to fixpoint: every node adopts
+    the smallest label among itself and its neighbors, then each label
+    is replaced by ITS label (path halving). The jump makes label
+    distances collapse geometrically, so convergence is O(log diameter)
+    iterations rather than O(diameter) — a diameter-1000 chain (the
+    pathological dup-cluster shape) converges in ~10 rounds. Each
+    iteration is two joins + one aggregation on the edge list.
+
+    Raises ``RuntimeError`` if the fixpoint isn't reached within
+    ``max_iter`` — a silently-unconverged component labeling would
+    split dup clusters and is never acceptable.
     """
     edges = (
         pairs.select(F.col(i_col).alias("a"), F.col(j_col).alias("b"))
@@ -45,27 +52,44 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("component").alias("neighbor_component"))
         )
+        new_labels = labels.join(
+            neighbor_min, labels.node == neighbor_min.a, "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("component"),
+                F.coalesce(F.col("neighbor_component"), F.col("component")),
+            ).alias("component"),
+        )
+        # Pointer jump (path halving): component ← component's own
+        # label. Labels are node ids, so this is a self-join; it is
+        # what turns O(diameter) propagation into O(log diameter).
+        roots = new_labels.select(
+            F.col("node").alias("component"), F.col("component").alias("_root")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            new_labels.join(roots, "component", "left")
             .select(
                 "node",
                 F.least(
                     F.col("component"),
-                    F.coalesce(F.col("neighbor_component"), F.col("component")),
+                    F.coalesce(F.col("_root"), F.col("component")),
                 ).alias("component"),
             )
             .localCheckpoint()
         )
-        changed = (
+        converged = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
             .filter(F.col("n.component") != F.col("o.component"))
             .isEmpty()
         )
         labels = new_labels
-        if changed:
-            break
-    return labels
+        if converged:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations"
+    )
 
 
 def dedup_survivors(
