@@ -98,6 +98,25 @@ def test_mix_weights_inverse_to_stratum_size(spark):
     assert out["fr"]["weight_ppm"] == 1500000
 
 
+def test_mix_weights_exact_beyond_bigint_overflow(spark):
+    """At 100 TB-regime token counts (1e13 per stratum) the
+    total×ppm product exceeds 2^63; the DECIMAL path must match exact
+    Python integer math, not overflow or round through a double."""
+    counts = {"en": 100_000_000_000_123, "vi": 70_000_000_000_077, "fr": 3_000_001}
+    ppm = {"en": 400_000, "vi": 350_000, "fr": 250_000}
+    rows = [(i, lang, n) for i, (lang, n) in enumerate(counts.items())]
+    docs = spark.createDataFrame(rows, "doc_id int, lang string, n_tokens bigint")
+    out = {
+        r["lang"]: r.asDict()
+        for r in CU.mix_weights(docs, ppm, tokens_col="n_tokens").collect()
+    }
+    total = sum(counts.values())
+    assert total * max(ppm.values()) > 2**63  # the overflow regime
+    for lang, n in counts.items():
+        assert out[lang]["stratum_tokens"] == n
+        assert out[lang]["weight_ppm"] == (total * ppm[lang]) // n, lang
+
+
 def test_word_entropy_extremes(spark):
     docs = _docs(
         spark,

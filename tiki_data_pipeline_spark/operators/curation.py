@@ -218,6 +218,7 @@ def mix_weights(
     target_ppm: dict[str, int],
     strata_col: str = "lang",
     text_col: str = "text",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Corpus mixing weights: per stratum, the sampling weight (ppm,
     integer) that would reshape the token distribution to the target
@@ -225,10 +226,23 @@ def mix_weights(
 
     The per-stratum aggregate is one map-side-combinable shuffle; the
     grand total is a window over the handful of stratum rows.
+
+    The total×ppm product is computed in DECIMAL, not BIGINT: at the
+    100 TB regime total_tokens exceeds 9.2e12 and ``total * ppm``
+    overflows 2^63 (and BIGINT/BIGINT division in Spark is DOUBLE,
+    losing exactness past 2^53). decimal(30,0)·decimal(7,0) =
+    decimal(38,0) holds the product exactly.
+
+    ``tokens_col`` takes a precomputed per-doc token count (the
+    production shape — counts come out of the tokenizer run); when
+    omitted, whitespace tokens of ``text_col`` are counted inline.
     """
-    n_tokens = F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).cast(
-        "bigint"
-    )
+    if tokens_col is not None:
+        n_tokens = F.col(tokens_col).cast("bigint")
+    else:
+        n_tokens = F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).cast(
+            "bigint"
+        )
     per = docs.groupBy(strata_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(n_tokens).alias("stratum_tokens"),
@@ -236,14 +250,15 @@ def mix_weights(
     target = F.lit(0)
     for k, v in sorted(target_ppm.items()):
         target = F.when(F.col(strata_col) == k, F.lit(v)).otherwise(target)
-    total = F.sum("stratum_tokens").over(Window.partitionBy())
-    return per.select(
+    tok_dec = F.col("stratum_tokens").cast("decimal(20,0)")
+    total = F.sum(tok_dec).over(Window.partitionBy())  # decimal(30,0)
+    # `div` (integral division) over decimals is exact; floor(a / b)
+    # would round through a lossy decimal quotient first.
+    return per.withColumn("_num", total * target.cast("decimal(7,0)")).select(
         strata_col,
         "n_docs",
         "stratum_tokens",
-        F.floor(total * target.cast("bigint") / F.col("stratum_tokens")).alias(
-            "weight_ppm"
-        ),
+        F.expr("_num div stratum_tokens").cast("bigint").alias("weight_ppm"),
     )
 
 
