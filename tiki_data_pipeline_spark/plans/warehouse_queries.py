@@ -224,10 +224,15 @@ def warehouse_kpi_block(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dim_product_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dim_product with surrogate keys (reference dim_product:
-    TIKI_WAREHOUSE_DATABASE_SCHEMA_VI.md:1259-1272)."""
+    TIKI_WAREHOUSE_DATABASE_SCHEMA_VI.md:1259-1272).
+
+    dim_product is the one SF-SCALED dim, so the SK comes from the
+    distributed two-phase rank — never a single-partition window."""
+    from tiki_data_pipeline_spark.operators.ranking import dense_sk_by_unique_key
+
     part = load_table(spark, sf_dir, "part")
-    return part.select(
-        F.dense_rank().over(W.orderBy("p_partkey")).cast("bigint").alias("product_sk"),
+    return dense_sk_by_unique_key(part, "p_partkey", "product_sk").select(
+        "product_sk",
         F.col("p_partkey").alias("product_id"),
         F.col("p_name").alias("product_name"),
         F.col("p_brand").alias("brand"),
@@ -264,22 +269,22 @@ def dim_brand_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dim_seller_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dim_seller enriched with the nation name via a broadcast join
-    (reference dim_seller: TIKI_WAREHOUSE_DATABASE_SCHEMA_VI.md:1221-1231)."""
+    (reference dim_seller: TIKI_WAREHOUSE_DATABASE_SCHEMA_VI.md:1221-1231).
+
+    supplier scales with SF, so the SK uses the distributed two-phase
+    rank like dim_product."""
+    from tiki_data_pipeline_spark.operators.ranking import dense_sk_by_unique_key
+
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
-    return (
-        supplier.join(
-            F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
-        )
-        .select(
-            F.dense_rank()
-            .over(W.orderBy("s_suppkey"))
-            .cast("bigint")
-            .alias("seller_sk"),
-            F.col("s_suppkey").alias("seller_id"),
-            F.col("s_name").alias("seller_name"),
-            F.col("n_name").alias("seller_nation"),
-        )
+    enriched = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    )
+    return dense_sk_by_unique_key(enriched, "s_suppkey", "seller_sk").select(
+        "seller_sk",
+        F.col("s_suppkey").alias("seller_id"),
+        F.col("s_name").alias("seller_name"),
+        F.col("n_name").alias("seller_nation"),
     )
 
 
