@@ -88,6 +88,36 @@ def test_minhash_finds_high_jaccard_pairs(spark):
         assert recall >= 0.8, f"MinHash-LSH recall too low: {recall}"
 
 
+def test_jaccard_pairs_max_df_identity_and_bounding(spark):
+    """On a clean corpus (no hot shingles) the capped and exact pair
+    sets are identical; on a skewed corpus a single boilerplate
+    shingle shared by every doc stops generating quadratic candidates
+    once capped."""
+    docs = load_table(spark, SF, "documents")
+    sh = DD.shingles(docs).localCheckpoint()
+    max_df_seen = sh.groupBy("shingle").count().agg(F.max("count")).collect()[0][0]
+    exact = {
+        (r["i"], r["j"], r["jaccard"])
+        for r in DD.jaccard_pairs(sh, threshold=0.9).collect()
+    }
+    capped = {
+        (r["i"], r["j"], r["jaccard"])
+        for r in DD.jaccard_pairs(sh, threshold=0.9, max_df=max_df_seen).collect()
+    }
+    assert capped == exact  # cap above the max observed df = no-op
+
+    # skewed: 40 unrelated docs all sharing one boilerplate shingle
+    rows = [(i, f"unique{i}a unique{i}b unique{i}c boiler plate footer") for i in range(40)]
+    skew = spark.createDataFrame(rows, "doc_id bigint, text string")
+    ssh = DD.shingles(skew).localCheckpoint()
+    uncapped = DD.jaccard_pairs(ssh, threshold=0.0)
+    bounded = DD.jaccard_pairs(ssh, threshold=0.0, max_df=5)
+    # the hot shingle ('boiler plate footer' trigram family) links all
+    # 40 docs pairwise when uncapped; capped drops those candidates
+    assert uncapped.count() == 40 * 39 / 2
+    assert bounded.count() == 0
+
+
 def test_simhash_is_deterministic(spark):
     docs = load_table(spark, SF, "documents").limit(50)
     a = {r["doc_id"]: r["simhash"] for r in DD.simhash_signatures(docs).collect()}

@@ -75,10 +75,26 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def jaccard_pairs(
-    sh: DataFrame, threshold: float, id_col: str = "doc_id"
+    sh: DataFrame, threshold: float, id_col: str = "doc_id", max_df: int | None = None
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for every pair sharing ≥1
-    shingle (inverted-index join, no cross product)."""
+    shingle (inverted-index join, no cross product).
+
+    ``max_df`` caps the inverted index: shingles appearing in more
+    than ``max_df`` documents are dropped BEFORE the self-join (and
+    from the per-doc counts, so Jaccard stays self-consistent over the
+    reduced shingle space). A shingle shared by d docs emits d² pair
+    rows — one boilerplate phrase across 1M docs is a 10^12-row join
+    — so at scale the cap is what keeps candidates bounded; it's the
+    stop-word discipline of near-dup detection. Default None = exact."""
+    if max_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle", "left_semi")
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.select(F.col(id_col).alias("i"), "shingle")
     b = sh.select(F.col(id_col).alias("j"), "shingle")
