@@ -88,6 +88,49 @@ def test_minhash_finds_high_jaccard_pairs(spark):
         assert recall >= 0.8, f"MinHash-LSH recall too low: {recall}"
 
 
+def test_lsh_projection_signs_clear_of_zero_and_stable(spark):
+    """Bucket-sign parity guard: numpy BLAS matmul (engine) and a
+    sequential per-dimension fold (the DuckDB oracle's accumulation
+    order) must agree on every projection's SIGN for the fixture
+    corpus, and no projection may sit within a float dead-zone of 0 —
+    a near-zero projection could flip bucket bits between the two
+    accumulation orders and desync oracle parity."""
+    import numpy as np
+
+    emb = load_table(spark, SF, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    dim = len(rows[0]["embedding"])
+    wmat = np.array(
+        [
+            [SIM._plane_weight(p, i) for i in range(1, dim + 1)]
+            for p in range(SIM.N_PLANES)
+        ]
+    )
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    proj_blas = m @ wmat.T
+    proj_seq = np.zeros_like(proj_blas)
+    for d in range(dim):  # oracle-order: accumulate dimension by dimension
+        proj_seq += np.outer(m[:, d], wmat[:, d])
+    assert (np.sign(proj_blas) == np.sign(proj_seq)).all()
+    scale = np.abs(m).sum(axis=1).max()
+    assert np.abs(proj_blas).min() > scale * 1e-12, "projection inside dead-zone"
+
+
+def test_lsh_near_dup_pairs_stable_across_runs(spark):
+    """The LSH pair set must be identical across repeated runs (no
+    hidden nondeterminism in bucket assignment or per-bucket pairing)."""
+    emb = load_table(spark, SF, "embeddings")
+    runs = [
+        {
+            (r["i"], r["j"], r["cosine_sim"])
+            for r in SIM.near_dup_pairs(emb, threshold=0.45, blocking="lsh").collect()
+        }
+        for _ in range(3)
+    ]
+    assert runs[0] == runs[1] == runs[2]
+    assert runs[0], "LSH produced no pairs on the fixture corpus"
+
+
 def test_jaccard_pairs_max_df_identity_and_bounding(spark):
     """On a clean corpus (no hot shingles) the capped and exact pair
     sets are identical; on a skewed corpus a single boilerplate
