@@ -46,6 +46,7 @@ _SENTINELS = [
     "doc_minhash_lsh_near_dup",  # LLM-data dedup
 ]
 _PREVIOUSLY_UNSAMPLED = [
+    "json_recursive_product_search",
     "embedding_near_dup_lsh", "embedding_label_stats",
     "embedding_ann_lsh_topk", "corpus_dedup_pipeline",
     "corpus_dedup_staged", "embedding_ann_ivf_topk",

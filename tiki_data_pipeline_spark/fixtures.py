@@ -333,3 +333,66 @@ def crawl_history_df(spark: SparkSession) -> DataFrame:
 
 def crawl_history_cte() -> str:
     return values_cte("crawl_history", HISTORY_COLUMNS, HISTORY_ROWS)
+
+
+# --------------------------------------------------------------------------
+# __NEXT_DATA__ envelopes — S3 recursive product-list search fixtures
+# (reference crawl_products.py:424-560). Shapes chosen to exercise every
+# branch of the traversal: top-level products, 3-deep descent, the
+# items[0]-heuristic, a failing-heuristic decoy, the props-before-
+# initialState priority, list-in-list traversal, and a no-product payload.
+
+import json as _json
+
+NEXTDATA_PAYLOADS: list[tuple[int, dict]] = [
+    # E1: products at the top level; field fallbacks per item
+    (1, {"products": [
+        {"id": 1, "name": "Áo thun nam", "url": "https://tiki.vn/p/1",
+         "sales_count": "1.2k", "images": [{"url": "http://img.tiki.vn/1.jpg"}]},
+        {"id": 2, "name": "Quần jean", "price": 99000},
+        {"id": 3, "price": 5},            # no name → skipped
+        {"name": "NoId", "price": 1},      # no id → skipped
+    ]}),
+    # E2: 3-deep descent props → pageProps → data
+    (2, {"props": {"pageProps": {"data": {"products": [
+        {"product_id": "P3", "title": "Nồi cơm điện", "quantity_sold": 350},
+    ]}}}}),
+    # E3: items under data, heuristic satisfied by "name"
+    (3, {"data": {"items": [
+        {"sku": "SKU9", "name": "Bàn phím cơ", "sold": 77,
+         "link": "https://tiki.vn/p/sku9"},
+    ]}}),
+    # E4: top-level items FAILS the heuristic (no product-like key in
+    # items[0]); initialState descent finds the real list
+    (4, {"items": [{"foo": 1}], "initialState": {"products": [
+        {"id": 7, "name": "Tủ lạnh", "total_sold": "2,5k"},
+    ]}}),
+    # E5: priority — props is descended before initialState
+    (5, {"props": {"products": [{"id": 10, "name": "Ghế xoay"}]},
+         "initialState": {"products": [{"id": 11, "name": "decoy"}]}}),
+    # E6: product list nested inside a list inside an arbitrary key;
+    # images is NOT a list → image_url '' despite the image_url key
+    # (reference precedence quirk, crawl_products.py:520-526)
+    (6, {"foo": {"bar": [[
+        {"id": 20, "name": "Đèn bàn", "order_count": 5,
+         "images": "not-a-list", "image_url": "http://img.tiki.vn/x.jpg"},
+    ]]}}),
+    # E7: nothing product-like anywhere
+    (7, {"meta": {"count": 3}, "items": "not-a-list"}),
+]
+
+NEXTDATA_COLUMNS = [("envelope_id", "INTEGER"), ("next_data", "VARCHAR")]
+
+NEXTDATA_ROWS: list[tuple] = [
+    (i, _json.dumps(payload, ensure_ascii=False)) for i, payload in NEXTDATA_PAYLOADS
+]
+
+
+def nextdata_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        NEXTDATA_ROWS, schema="envelope_id int, next_data string"
+    )
+
+
+def nextdata_cte() -> str:
+    return values_cte("envelopes", NEXTDATA_COLUMNS, NEXTDATA_ROWS)

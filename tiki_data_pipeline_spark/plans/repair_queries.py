@@ -272,3 +272,96 @@ def html_field_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(False),
         ).alias("is_official"),
     )
+
+
+_SALES_PARSE_SQL = """
+    TRY_CAST(ROUND(
+      TRY_CAST(NULLIF(REPLACE(REGEXP_EXTRACT(LOWER(TRIM(sales_count_raw)),
+          '([0-9]+(?:[.,][0-9]+)?)\\s*([km]?)', 1), ',', '.'), '') AS DOUBLE)
+      * (CASE REGEXP_EXTRACT(LOWER(TRIM(sales_count_raw)),
+              '([0-9]+(?:[.,][0-9]+)?)\\s*([km]?)', 2)
+         WHEN 'k' THEN 1000.0 WHEN 'm' THEN 1000000.0 ELSE 1.0 END)
+    ) AS BIGINT)
+"""
+
+
+@query(
+    "json_recursive_product_search",
+    oracle=f"""
+    WITH {{nextdata_cte}},
+    -- The winning list per envelope is hand-resolved from the
+    -- reference's traversal priority (crawl_products.py:445-521):
+    -- E1 top-level products; E2 props→pageProps→data descent; E3 the
+    -- items[0] heuristic under data; E4 items fails the heuristic so
+    -- initialState wins; E5 props is descended BEFORE initialState;
+    -- E6 list-in-list traversal; E7 nothing. The per-item field
+    -- extraction below is computed independently in SQL.
+    found AS (
+      SELECT envelope_id,
+        CASE envelope_id
+          WHEN 1 THEN next_data->'$.products'
+          WHEN 2 THEN next_data->'$.props.pageProps.data.products'
+          WHEN 3 THEN next_data->'$.data.items'
+          WHEN 4 THEN next_data->'$.initialState.products'
+          WHEN 5 THEN next_data->'$.props.products'
+          WHEN 6 THEN next_data->'$.foo.bar[0]'
+        END AS plist
+      FROM envelopes
+    ),
+    items AS (
+      SELECT envelope_id, UNNEST(CAST(plist AS JSON[])) AS item
+      FROM found WHERE plist IS NOT NULL
+    ),
+    ext AS (
+      SELECT envelope_id,
+        COALESCE(NULLIF(json_extract_string(item, '$.id'), ''),
+                 NULLIF(json_extract_string(item, '$.product_id'), ''),
+                 NULLIF(json_extract_string(item, '$.sku'), '')) AS product_id,
+        COALESCE(NULLIF(json_extract_string(item, '$.name'), ''),
+                 NULLIF(json_extract_string(item, '$.title'), '')) AS name,
+        COALESCE(NULLIF(json_extract_string(item, '$.url'), ''),
+                 NULLIF(json_extract_string(item, '$.link'), '')) AS url0,
+        CASE WHEN json_type(item, '$.images') = 'ARRAY'
+             THEN COALESCE(NULLIF(json_extract_string(item, '$.image_url'), ''),
+                           NULLIF(json_extract_string(item, '$.thumbnail_url'), ''),
+                           json_extract_string(item, '$.images[0].url'), '')
+             ELSE '' END AS image_url,
+        COALESCE(NULLIF(json_extract_string(item, '$.sales_count'), ''),
+                 NULLIF(json_extract_string(item, '$.quantity_sold'), ''),
+                 NULLIF(json_extract_string(item, '$.sold_count'), ''),
+                 NULLIF(json_extract_string(item, '$.total_sold'), ''),
+                 NULLIF(json_extract_string(item, '$.order_count'), ''),
+                 NULLIF(json_extract_string(item, '$.sales_quantity'), ''),
+                 NULLIF(json_extract_string(item, '$.quantity'), ''),
+                 NULLIF(json_extract_string(item, '$.sold'), ''),
+                 NULLIF(json_extract_string(item, '$.total_quantity_sold'), ''))
+          AS sales_count_raw
+      FROM items
+    )
+    SELECT envelope_id, product_id, name,
+      CASE WHEN url0 IS NULL OR NOT starts_with(url0, 'http')
+           THEN 'https://tiki.vn/p/' || product_id ELSE url0 END AS url,
+      image_url,
+      {{sales_parse}} AS sales_count
+    FROM ext
+    WHERE product_id IS NOT NULL AND name IS NOT NULL
+    """.format(nextdata_cte=FX.nextdata_cte(), sales_parse=_SALES_PARSE_SQL),
+)
+def json_recursive_product_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 — recursive __NEXT_DATA__ product-list search (reference
+    crawl_products.py:424-560): key-priority descent to the first
+    product-like list, then per-item field normalization; sales counts
+    parsed by the shared F2 scalar."""
+    from tiki_data_pipeline_spark.functions.scalars import parse_sales_count
+    from tiki_data_pipeline_spark.operators import json_search as JS
+
+    env = FX.nextdata_df(spark)
+    found = JS.search_products(env)
+    return found.select(
+        "envelope_id",
+        "product_id",
+        "name",
+        "url",
+        "image_url",
+        parse_sales_count(F.col("sales_count_raw")).alias("sales_count"),
+    )
