@@ -15,14 +15,21 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Junk seller-name patterns (reference src/pipelines/crawl/config.py:88-116,
-# transformer.py:474-544): UI text scraped instead of a seller name.
-SELLER_JUNK_NAMES = [
-    "đã mua hàng",
+# Junk seller-name SUBSTRING patterns (reference INVALID_SELLER_PATTERNS,
+# src/pipelines/crawl/config.py:88-102; applied with CONTAINS semantics
+# per transformer.py:526-530). The reference list's final entry
+# "Đã mua hàng" is dead code there (compared non-lowercased against a
+# lowercased string) and is subsumed by "đã mua", so it is omitted.
+SELLER_JUNK_PATTERNS = [
+    "đã mua",
+    "đã bán",
+    "sold",
+    "bought",
     "xem thêm",
-    "yêu thích",
-    "chính hãng",
-    "mua ngay",
+    "more info",
+    "chi tiết",
+    "loading",
+    "đang tải",
 ]
 
 
@@ -96,16 +103,28 @@ def strip_brand_prefix(col: Column) -> Column:
 
 
 def clean_seller_name(col: Column) -> Column:
-    """F13 — seller-name validity: length 2..100, not digits-only,
-    not a junk UI string; invalid → NULL.
-    Reference transformer.py:474-544, config.py:88-116."""
+    """F13 — seller-name validity (reference ``_validate_seller_name``,
+    transformer.py:474-544 + config.py:88-116): length 2..100, not
+    digits-only, no junk UI SUBSTRING (contains, not equality), not
+    special-characters-only, not digits-then-text ("1234 đã mua");
+    invalid → NULL.
+
+    ``\\p{L}\\p{N}_`` stands in for Python's unicode ``\\w`` so the
+    special-chars-only rule doesn't nuke Vietnamese names under Java's
+    ASCII-only ``\\w``."""
     t = normalize_text(col)
+    low = F.lower(t)
+    has_junk = F.lit(False)
+    for p in SELLER_JUNK_PATTERNS:
+        has_junk = has_junk | low.contains(p)
     is_junk = (
         t.isNull()
         | (F.length(t) < 2)
         | (F.length(t) > 100)
+        | has_junk
         | t.rlike(r"^[0-9]+$")
-        | F.lower(t).isin(SELLER_JUNK_NAMES)
+        | t.rlike(r"^[^\p{L}\p{N}_]+$")
+        | t.rlike(r"^[0-9]+\s")
     )
     return F.when(~is_junk, t)
 

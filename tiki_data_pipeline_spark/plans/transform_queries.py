@@ -93,7 +93,10 @@ typed AS (
     rating_average, review_count,
     CASE WHEN seller_t IS NULL OR LENGTH(seller_t) < 2 OR LENGTH(seller_t) > 100
               OR REGEXP_MATCHES(seller_t, '^[0-9]+$')
-              OR LOWER(seller_t) IN ('đã mua hàng','xem thêm','yêu thích','chính hãng','mua ngay')
+              OR REGEXP_MATCHES(LOWER(seller_t),
+                 'đã mua|đã bán|sold|bought|xem thêm|more info|chi tiết|loading|đang tải')
+              OR REGEXP_MATCHES(seller_t, '^[^\\p{L}\\p{N}_]+$')
+              OR REGEXP_MATCHES(seller_t, '^[0-9]+\\s')
          THEN NULL ELSE seller_t END AS seller_name,
     seller_id, seller_is_official, brand, stock_available, stock_status, crawled_at
   FROM normalized
