@@ -389,8 +389,17 @@ NEXTDATA_ROWS: list[tuple] = [
 
 
 def nextdata_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
-        NEXTDATA_ROWS, schema="envelope_id int, next_data string"
+    # A JVM-side VALUES relation (one partition, no Python-RDD
+    # deserialization path): createDataFrame on local rows parallelizes
+    # into defaultParallelism pickled partitions, which costs seconds of
+    # Python-worker churn for a 7-row fixture.
+    vals = ",\n".join(
+        f"({i}, '" + payload.replace("'", "''") + "')"
+        for i, payload in NEXTDATA_ROWS
+    )
+    return spark.sql(
+        f"SELECT CAST(envelope_id AS INT) AS envelope_id, next_data"
+        f" FROM (VALUES {vals}) AS t(envelope_id, next_data)"
     )
 
 
