@@ -39,6 +39,30 @@ def sql_literal(v) -> str:
     return "'" + str(v).replace("'", "''") + "'"
 
 
+def jvm_values_df(
+    spark: "SparkSession", columns: list[tuple[str, str]], rows: list[tuple]
+) -> "DataFrame":
+    """Build a fixture DataFrame as a JVM-side VALUES relation.
+
+    ``createDataFrame(local_rows)`` parallelizes into
+    defaultParallelism pickled Python partitions; every job that scans
+    the fixture (each broadcast hop of an iterative join, every
+    action) then pays Python-worker deserialization — seconds of
+    overhead for rows that are pure literals. A ``spark.sql`` VALUES
+    relation is one local JVM relation: no Python tasks, constant-
+    folded by Catalyst. ``columns`` is [(name, SPARK type)].
+    """
+    def lit(v) -> str:
+        if isinstance(v, (list, tuple)):  # Spark array literal syntax
+            return "array(" + ", ".join(lit(x) for x in v) + ")"
+        return sql_literal(v)
+
+    casts = ", ".join(f"CAST({c} AS {t}) AS {c}" for c, t in columns)
+    names = ", ".join(c for c, _ in columns)
+    vals = ",\n".join("(" + ", ".join(lit(v) for v in row) + ")" for row in rows)
+    return spark.sql(f"SELECT {casts} FROM (VALUES {vals}) AS _t({names})")
+
+
 def values_cte(name: str, columns: list[tuple[str, str]], rows: list[tuple]) -> str:
     """Build ``name AS (SELECT CAST(..) ... FROM (VALUES ...))`` SQL.
 
@@ -185,21 +209,67 @@ RAW_PRODUCT_NESTED_SCHEMA = (
 )
 
 
+_RAW_FLAT_SPARK_COLUMNS = [
+    ("ingest_order", "INT"),
+    ("product_id", "STRING"),
+    ("name", "STRING"),
+    ("url", "STRING"),
+    ("category_url", "STRING"),
+    ("category_id", "STRING"),
+    ("category_path", "ARRAY<STRING>"),
+    ("sales_count_raw", "STRING"),
+    ("price_current", "STRING"),
+    ("price_original", "STRING"),
+    ("discount_percent", "DOUBLE"),
+    ("rating_avg", "STRING"),
+    ("rating_count", "STRING"),
+    ("seller_name", "STRING"),
+    ("seller_id", "STRING"),
+    ("seller_official", "BOOLEAN"),
+    ("brand", "STRING"),
+    ("stock_available", "BOOLEAN"),
+    ("stock_status", "STRING"),
+    ("crawled_at", "STRING"),
+]
+
+
 def raw_products_df(spark: SparkSession) -> DataFrame:
-    """Fixture rows in the reference's NESTED shape (pre-flatten)."""
-    nested = [
-        (
-            r[0], r[1], r[2], r[3], r[4], r[5], list(r[6]), r[7],
-            (r[8], r[9], r[10]),
-            (r[11], r[12]),
-            (r[13], r[14], r[15]),
-            r[16],
-            (r[17], r[18]),
-            r[19],
-        )
-        for r in RAW_PRODUCT_ROWS
-    ]
-    return spark.createDataFrame(nested, schema=RAW_PRODUCT_NESTED_SCHEMA)
+    """Fixture rows in the reference's NESTED shape (pre-flatten),
+    built as a JVM VALUES relation + struct() projection (no
+    Python-RDD partitions for literal fixture data)."""
+    from pyspark.sql import functions as F
+
+    flat = jvm_values_df(spark, _RAW_FLAT_SPARK_COLUMNS, RAW_PRODUCT_ROWS)
+    return flat.select(
+        "ingest_order",
+        "product_id",
+        "name",
+        "url",
+        "category_url",
+        "category_id",
+        "category_path",
+        F.col("sales_count_raw").alias("sales_count"),
+        F.struct(
+            F.col("price_current").alias("current_price"),
+            F.col("price_original").alias("original_price"),
+            F.col("discount_percent").alias("discount_percent"),
+        ).alias("price"),
+        F.struct(
+            F.col("rating_avg").alias("average"),
+            F.col("rating_count").alias("total_reviews"),
+        ).alias("rating"),
+        F.struct(
+            F.col("seller_name").alias("name"),
+            F.col("seller_id").alias("seller_id"),
+            F.col("seller_official").alias("is_official"),
+        ).alias("seller"),
+        "brand",
+        F.struct(
+            F.col("stock_available").alias("available"),
+            F.col("stock_status").alias("stock_status"),
+        ).alias("stock"),
+        "crawled_at",
+    )
 
 
 def raw_products_cte() -> str:
@@ -265,8 +335,19 @@ CATEGORY_SPARK_SCHEMA = (
 )
 
 
+_CATEGORY_SPARK_COLUMNS = [
+    ("category_id", "STRING"),
+    ("name", "STRING"),
+    ("url", "STRING"),
+    ("image_url", "STRING"),
+    ("parent_url", "STRING"),
+    ("level", "INT"),
+    ("product_count", "INT"),
+]
+
+
 def categories_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(CATEGORY_ROWS, schema=CATEGORY_SPARK_SCHEMA)
+    return jvm_values_df(spark, _CATEGORY_SPARK_COLUMNS, CATEGORY_ROWS)
 
 
 def categories_cte() -> str:
@@ -324,10 +405,21 @@ HISTORY_SPARK_SCHEMA = (
 )
 
 
+_HISTORY_SPARK_COLUMNS = [
+    ("history_id", "INT"),
+    ("product_id", "STRING"),
+    ("price", "DOUBLE"),
+    ("original_price", "DOUBLE"),
+    ("discount_percent", "INT"),
+    ("sales_count", "INT"),
+    ("crawled_at", "STRING"),
+]
+
+
 def crawl_history_df(spark: SparkSession) -> DataFrame:
     from pyspark.sql import functions as F
 
-    df = spark.createDataFrame(HISTORY_ROWS, schema=HISTORY_SPARK_SCHEMA)
+    df = jvm_values_df(spark, _HISTORY_SPARK_COLUMNS, HISTORY_ROWS)
     return df.withColumn("crawled_at", F.to_timestamp("crawled_at"))
 
 
@@ -389,17 +481,8 @@ NEXTDATA_ROWS: list[tuple] = [
 
 
 def nextdata_df(spark: SparkSession) -> DataFrame:
-    # A JVM-side VALUES relation (one partition, no Python-RDD
-    # deserialization path): createDataFrame on local rows parallelizes
-    # into defaultParallelism pickled partitions, which costs seconds of
-    # Python-worker churn for a 7-row fixture.
-    vals = ",\n".join(
-        f"({i}, '" + payload.replace("'", "''") + "')"
-        for i, payload in NEXTDATA_ROWS
-    )
-    return spark.sql(
-        f"SELECT CAST(envelope_id AS INT) AS envelope_id, next_data"
-        f" FROM (VALUES {vals}) AS t(envelope_id, next_data)"
+    return jvm_values_df(
+        spark, [("envelope_id", "INT"), ("next_data", "STRING")], NEXTDATA_ROWS
     )
 
 
