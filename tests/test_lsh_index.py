@@ -1,0 +1,91 @@
+"""Persisted LSH index: partition-pruned ANN serving path.
+
+The in-session LSH paths replicate vectors into probe buckets; the
+persisted index stores each vector once, bucket-partitioned, and
+multi-probes at query time via partition pruning. These tests pin
+(a) result parity with the in-session semantics, (b) recall vs the
+exact brute force, and (c) the partition-pruning property itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tiki_data_pipeline_spark.io import load_table
+from tiki_data_pipeline_spark.operators import similarity as SIM
+
+SF = "/root/testdata/sf0.001"
+QIDS = [3, 11, 42, 77, 123]
+
+
+def _index(spark, tmp_path):
+    emb = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "lsh_index")
+    SIM.write_lsh_index(emb, path)
+    return emb, path
+
+
+def test_lsh_index_stores_each_vector_once(spark, tmp_path):
+    emb, path = _index(spark, tmp_path)
+    idx = spark.read.parquet(path)
+    assert idx.count() == emb.count()
+    assert idx.select("id").distinct().count() == emb.count()
+    # bucket column came back as a partition column
+    assert "bkt" in idx.columns
+
+
+def test_lsh_index_topk_recall_vs_brute_force(spark, tmp_path):
+    emb, path = _index(spark, tmp_path)
+    queries = emb.filter(F.col("vec_id").isin(QIDS))
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.lsh_index_topk(spark, path, queries, k=5, emit_radius=2).collect()
+    }
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.brute_force_topk(emb, QIDS, k=5).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.2, f"index ANN recall collapsed: {recall}"
+    # reported similarities must be exact (verified pairs, approximate set)
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_sim"]
+        for r in SIM.brute_force_topk(emb, QIDS, k=2000).collect()
+    }
+    for r in SIM.lsh_index_topk(spark, path, queries, k=5, emit_radius=2).collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact:
+            assert abs(r["cosine_sim"] - exact[key]) < 1e-9
+
+
+def test_lsh_index_scan_is_partition_pruned(spark, tmp_path):
+    emb, path = _index(spark, tmp_path)
+    queries = emb.filter(F.col("vec_id").isin(QIDS[:2]))
+    df = SIM.lsh_index_topk(spark, path, queries, k=5, emit_radius=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the index scan must carry a PartitionFilters INSET on bkt —
+    # pruning happens at file listing, before any bytes are read
+    scan_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("bkt" in l and "INSET" in l for l in scan_lines), plan
+    # and the probe set (recomputed independently here) is bounded by
+    # |queries| · |masks|, never the whole 2^n_planes bucket space
+    dim = len(queries.first()["embedding"])
+    q_buckets = [
+        int(r["b"])
+        for r in queries.select(
+            SIM.lsh_bucket(SIM.as_double(F.col("embedding")), dim).alias("b")
+        ).collect()
+    ]
+    masks = SIM.probe_masks(SIM.N_PLANES, 1)
+    probe = {b ^ m for b in q_buckets for m in masks}
+    assert len(probe) <= len(q_buckets) * len(masks)
+    assert len(probe) < 2**SIM.N_PLANES
+    # every partition the plan keeps is in the computed probe set
+    kept = {
+        int(t)
+        for l in scan_lines
+        for t in __import__("re").findall(r"INSET ([0-9, ]+)", l)
+        for t in t.split(",")
+        if t.strip().isdigit()
+    }
+    assert kept <= probe

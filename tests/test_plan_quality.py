@@ -73,6 +73,17 @@ def test_window_group_limit_pruning(spark):
     assert "WindowGroupLimit" in _plan(spark, "doc_sample_fixed_per_stratum")
 
 
+@pytest.mark.parametrize("name", ["dim_product_build", "dim_seller_build"])
+def test_sf_scaled_dims_have_no_global_window(spark, name):
+    """SF-scaled dim surrogate keys come from the distributed
+    two-phase rank — a window with an EMPTY partition spec collapses
+    the whole dim into one task and must never reappear."""
+    plan = _plan(spark, name)
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "_pid" in line, f"global (unpartitioned) window in {name}: {line}"
+
+
 def test_exchange_count_exact_dedup(spark):
     """Exact dedup is ONE hash-aggregate shuffle — more exchanges mean
     someone added an accidental repartition or join."""

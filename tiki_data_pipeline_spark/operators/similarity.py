@@ -574,3 +574,93 @@ def label_centroid_stats(
         F.count(F.lit(1)).alias("n_vectors"),
         F.round(F.avg("nrm"), 4).alias("avg_norm"),
     )
+
+
+# ------------------------------------------------------------------
+# Persisted LSH index: the 100 TB serving shape. The in-session
+# `_lsh_near_dup_pairs` replicates each vector into its probe buckets
+# (covering-radius emission) because everything lives in one job; a
+# PERSISTED index stores each vector ONCE, partitioned by its base
+# bucket, and moves the multi-probe to the QUERY side — probing r
+# buckets is then parquet partition PRUNING (the scan never touches
+# the other 2^n_planes − r directories).
+
+
+def write_lsh_index(
+    embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = N_PLANES,
+) -> None:
+    """Materialize the corpus partitioned by LSH bucket (one row per
+    vector, ``bkt`` as the partition column). Bucket assignment is the
+    same md5-derived hyperplane family as every other LSH path here —
+    pure JVM column expressions, no Python tasks."""
+    dim = _vec_dim(embeddings, vec_col)
+    (
+        embeddings.select(
+            F.col(id_col).alias("id"),
+            as_double(F.col(vec_col)).alias("v"),
+            lsh_bucket(as_double(F.col(vec_col)), dim, n_planes).alias("bkt"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("bkt")
+        .parquet(path)
+    )
+
+
+def lsh_index_topk(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    emit_radius: int = 1,
+    n_planes: int = N_PLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k against a persisted LSH index: each query probes the
+    buckets within Hamming ``emit_radius`` of its own code, and the
+    probe set becomes a partition filter on the index scan — at any
+    corpus size the bytes read are bounded by the probed partitions,
+    not the corpus. Returns (query_id, neighbor_id, cosine_sim).
+    """
+    from pyspark.sql import Window as W
+
+    dim = _vec_dim(queries, vec_col)
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("qv"),
+        lsh_bucket(as_double(F.col(vec_col)), dim, n_planes).alias("qb"),
+    ).collect()  # query sets are small by contract (same as brute_force_topk)
+    masks = probe_masks(n_planes, emit_radius)
+    probe_rows = [
+        (r["query_id"], r["qv"], int(r["qb"]) ^ m) for r in q_rows for m in masks
+    ]
+    probe_buckets = sorted({b for _, _, b in probe_rows})
+    probes = spark.createDataFrame(
+        probe_rows, schema="query_id long, qv array<double>, bkt int"
+    )
+    index = spark.read.parquet(index_path).filter(
+        F.col("bkt").isin(probe_buckets)  # partition pruning, not a scan
+    )
+    cand = index.join(F.broadcast(probes), "bkt").filter(
+        F.col("id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        F.round(
+            _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v"))),
+            6,
+        ).alias("cosine_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
