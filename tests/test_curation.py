@@ -117,6 +117,33 @@ def test_mix_weights_exact_beyond_bigint_overflow(spark):
         assert out[lang]["weight_ppm"] == (total * ppm[lang]) // n, lang
 
 
+def test_redact_pii_tokens_and_counts(spark):
+    from tiki_data_pipeline_spark import fixtures as FX
+    from pyspark.sql import functions as F
+
+    docs = FX.pii_docs_df(spark)
+    out = {r["doc_id"]: r.asDict() for r in CU.redact_pii(docs).collect()}
+    assert out[9001]["n_email"] == 1 and out[9001]["n_phone"] == 1
+    assert out[9002]["n_url"] == 1 and out[9002]["n_email"] == 1
+    assert out[9003]["n_phone"] == 2
+    assert out[9004] == {
+        "doc_id": 9004, "n_url": 0, "n_email": 0, "n_phone": 0,
+        "redacted_md5": out[9004]["redacted_md5"],
+    }
+    # the actual redacted text carries the typed tokens and no raw PII
+    redacted = F.col("text")
+    for _, pat, token in CU.PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, token)
+    texts = {
+        r["doc_id"]: r["red"]
+        for r in docs.select("doc_id", redacted.alias("red")).collect()
+    }
+    assert "<EMAIL>" in texts[9001] and "<PHONE>" in texts[9001]
+    assert "nguyen.van@example.com" not in texts[9001]
+    assert "<URL>" in texts[9002] and "shop.example.vn" not in texts[9002]
+    assert texts[9003].count("<PHONE>") == 2
+
+
 def test_word_entropy_extremes(spark):
     docs = _docs(
         spark,

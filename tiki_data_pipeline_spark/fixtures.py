@@ -488,3 +488,27 @@ def nextdata_df(spark: SparkSession) -> DataFrame:
 
 def nextdata_cte() -> str:
     return values_cte("envelopes", NEXTDATA_COLUMNS, NEXTDATA_ROWS)
+
+
+# --------------------------------------------------------------------------
+# PII documents — redaction fixtures (synthetic documents carry no PII,
+# so the pii query unions these rows in; same VALUES on both sides).
+
+PII_DOC_COLUMNS = [("doc_id", "BIGINT"), ("text", "VARCHAR")]
+
+PII_DOC_ROWS: list[tuple] = [
+    (9001, "Liên hệ nguyen.van@example.com hoặc gọi 0912 345 678 nhé"),
+    (9002, "Xem https://shop.example.vn/p/100?ref=abc và email ho-tro@tiki.vn"),
+    (9003, "Số điện thoại +84 28 3812 3456, fax 028.3812.3456"),
+    (9004, "không có thông tin cá nhân nào ở đây"),
+]
+
+
+def pii_docs_df(spark: SparkSession) -> DataFrame:
+    return jvm_values_df(
+        spark, [("doc_id", "BIGINT"), ("text", "STRING")], PII_DOC_ROWS
+    )
+
+
+def pii_docs_cte() -> str:
+    return values_cte("pii_docs", PII_DOC_COLUMNS, PII_DOC_ROWS)

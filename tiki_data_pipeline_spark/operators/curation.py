@@ -294,3 +294,36 @@ def word_entropy(
         F.size(t).cast("int").alias("n_tokens"),
         F.round(F.log2(n) - s / n, 4).alias("entropy_bits"),
     )
+
+
+# PII redaction patterns — conservative syntax valid in BOTH Java
+# regex (Spark) and RE2 (DuckDB oracle): no lookarounds, no \b around
+# non-word chars. Applied URL → email → phone so an address inside a
+# URL is consumed by the URL token first.
+PII_PATTERNS = [
+    ("url", r"https?://\S+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?[0-9][0-9 .-]{7,14}[0-9]", "<PHONE>"),
+]
+
+
+def redact_pii(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII scrub for training corpora: URLs, emails and phone-shaped
+    number runs replaced by typed tokens, with per-doc match counts
+    (counted on the RAW text, before redaction). Pure JVM
+    regexp_replace/regexp_count column expressions — no UDF, fully
+    parallel, no shuffle."""
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).cast("int").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    redacted = F.col(text_col)
+    for _, pat, token in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, token)
+    return docs.select(
+        id_col,
+        *counts,
+        F.md5(redacted).alias("redacted_md5"),
+    )

@@ -332,3 +332,42 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _pii_oracle() -> str:
+    from tiki_data_pipeline_spark import fixtures as FX
+    from tiki_data_pipeline_spark.operators.curation import PII_PATTERNS
+
+    count_cols = ",\n      ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS INTEGER) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    redacted = "text"
+    for _, pat, token in PII_PATTERNS:
+        redacted = f"regexp_replace({redacted}, '{pat}', '{token}', 'g')"
+    return f"""
+    WITH {FX.pii_docs_cte()},
+    unioned AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id, text FROM pii_docs
+    )
+    SELECT doc_id,
+      {count_cols},
+      md5({redacted}) AS redacted_md5
+    FROM unioned
+    """
+
+
+@query("doc_pii_redaction", oracle=_pii_oracle())
+def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus plus a PII-bearing fixture set: URLs,
+    emails, phone-shaped number runs → typed tokens, with per-doc raw
+    match counts and an md5 of the redacted text. Pure JVM regex
+    column work — narrow map at any scale; the patterns are shared
+    with the oracle from ``curation.PII_PATTERNS``."""
+    from tiki_data_pipeline_spark import fixtures as FX
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    unioned = docs.unionByName(FX.pii_docs_df(spark))
+    return CU.redact_pii(unioned)
