@@ -193,3 +193,28 @@ def test_resize_and_audio_real_raise(spark):
         MM.resize_image(media, fake=False).collect()
     with _pytest.raises(Exception):
         MM.audio_features(media, fake=False).collect()
+
+
+def test_media_embeddings_feed_similarity_stack(spark):
+    """Multimodal → similarity composition: the featurizer's output
+    shape drops straight into the ANN operators."""
+    from tiki_data_pipeline_spark.operators import similarity as SIM
+    from tiki_data_pipeline_spark.operators.multimodal import (
+        media_embeddings,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=48)
+    emb = media_embeddings(media)
+    rows = emb.collect()
+    assert len(rows) == 48
+    assert all(len(r["embedding"]) == 64 for r in rows)
+    # deterministic across runs
+    again = {r["media_id"]: r["embedding"] for r in media_embeddings(media).collect()}
+    assert {r["media_id"]: r["embedding"] for r in rows} == again
+    # composes with the ANN stack unchanged
+    topk = SIM.brute_force_topk(
+        emb, query_ids=[0, 1], k=3, id_col="media_id", vec_col="embedding"
+    ).collect()
+    assert len(topk) == 6
+    assert all(-1.0 <= r["cosine_sim"] <= 1.0 for r in topk)

@@ -213,3 +213,44 @@ def frame_sample(media: DataFrame, every_ms: int = 1000, fake: bool = True) -> D
         "frame_key",
         F.concat(F.col("media_id"), F.lit(":"), F.col("frame_offset_ms")),
     )
+
+
+def media_embeddings(media: DataFrame, dim: int = 64, fake: bool = True) -> DataFrame:
+    """Media featurizer → (media_id, embedding array<double>) — the
+    bridge from multimodal blobs into the similarity stack
+    (``operators/similarity.py``: brute-force / LSH / IVF top-k all
+    consume this shape unchanged).
+
+    A real deployment runs a vision/audio encoder here; this fake is
+    a deterministic byte-histogram projection (numpy over the Arrow
+    batch — the exact shape a real encoder UDF takes: batched tensors
+    in, fixed-dim float vectors out, id passthrough)."""
+    out_schema = "media_id long, embedding array<double>"
+
+    def featurize(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "media embedding requires an encoder model "
+                    "not available in this environment"
+                )
+            ids, vecs = [], []
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                if b is None or not len(b):
+                    continue
+                raw = np.frombuffer(bytes(b), dtype=np.uint8)
+                # 256-bin byte histogram folded to `dim` buckets, L2-normalized:
+                # deterministic, content-sensitive, fixed-dimension
+                hist = np.bincount(raw, minlength=256).astype(np.float64)
+                folded = hist.reshape(dim, 256 // dim).sum(axis=1)
+                nrm = np.linalg.norm(folded)
+                if nrm == 0:
+                    continue
+                ids.append(int(mid))
+                vecs.append((folded / nrm).round(9).tolist())
+            yield pd.DataFrame({"media_id": ids, "embedding": vecs})
+
+    return media.mapInPandas(featurize, schema=out_schema)
