@@ -146,3 +146,32 @@ def test_rolling_fingerprint_empty_and_short_docs(spark):
     assert rows[1]["content_fp"] is not None
     empty = _empty_like(spark, docs)
     assert DD.rolling_fingerprint(empty).count() == 0
+
+
+def test_merge_into_sql_rendering():
+    """The lakehouse swap-in point renders executable MERGE INTO for
+    each upsert mode, matching the join-rewrite semantics 1:1."""
+    from tiki_data_pipeline_spark.operators.merge import merge_into_sql
+
+    ow = merge_into_sql("products", "staged", "product_id", ["product_id", "name", "price"])
+    assert "WHEN MATCHED THEN UPDATE SET t.name = s.name, t.price = s.price" in ow
+    assert "WHEN NOT MATCHED THEN INSERT (product_id, name, price)" in ow
+
+    pn = merge_into_sql(
+        "products", "staged", "product_id",
+        ["product_id", "name", "price"], mode="preserve_nonnull",
+        string_cols=["name"],
+    )
+    assert "t.name = COALESCE(NULLIF(s.name, ''), t.name)" in pn
+    assert "t.price = COALESCE(s.price, t.price)" in pn
+
+    ia = merge_into_sql(
+        "products", "staged", "product_id", ["product_id", "name"],
+        mode="insert_if_absent",
+    )
+    assert "WHEN MATCHED" not in ia
+    assert "WHEN NOT MATCHED THEN INSERT" in ia
+
+    import pytest
+    with pytest.raises(ValueError):
+        merge_into_sql("t", "s", "k", ["k"], mode="bogus")

@@ -92,3 +92,48 @@ def quality_gated_delete(
     for c in required:
         cond = cond | F.col(c).isNull()
     return products.withColumn("quarantined", cond)
+
+
+def merge_into_sql(
+    target: str,
+    source: str,
+    key: str,
+    columns: list[str],
+    mode: str = "overwrite",
+    string_cols: list[str] | None = None,
+) -> str:
+    """Render the lakehouse ``MERGE INTO`` equivalent of each upsert
+    mode — the documented 1:1 swap-in point when Delta/Iceberg jars
+    are present (``spark.sql(merge_into_sql(...))`` replaces the
+    join-rewrite path; reference merge semantics
+    postgres_storage.py:250-356,1899-1961).
+
+    Modes: ``overwrite`` (M1, incoming row wins wholesale),
+    ``preserve_nonnull`` (M2, per-column COALESCE(NULLIF) keeps the
+    old value when incoming is NULL/empty), ``insert_if_absent``
+    (M3, ON CONFLICT DO NOTHING).
+    """
+    cols = [c for c in columns if c != key]
+    string_cols = set(string_cols or [])
+    insert_cols = ", ".join([key] + cols)
+    insert_vals = ", ".join(f"s.{c}" for c in [key] + cols)
+    if mode == "overwrite":
+        sets = ", ".join(f"t.{c} = s.{c}" for c in cols)
+        matched = f"WHEN MATCHED THEN UPDATE SET {sets}"
+    elif mode == "preserve_nonnull":
+        sets = ", ".join(
+            f"t.{c} = COALESCE(NULLIF(s.{c}, ''), t.{c})"
+            if c in string_cols
+            else f"t.{c} = COALESCE(s.{c}, t.{c})"
+            for c in cols
+        )
+        matched = f"WHEN MATCHED THEN UPDATE SET {sets}"
+    elif mode == "insert_if_absent":
+        matched = ""  # ON CONFLICT DO NOTHING
+    else:
+        raise ValueError(f"unknown merge mode: {mode}")
+    return (
+        f"MERGE INTO {target} t USING {source} s ON t.{key} = s.{key}\n"
+        + (matched + "\n" if matched else "")
+        + f"WHEN NOT MATCHED THEN INSERT ({insert_cols}) VALUES ({insert_vals})"
+    )
