@@ -218,3 +218,29 @@ def test_media_embeddings_feed_similarity_stack(spark):
     ).collect()
     assert len(topk) == 6
     assert all(-1.0 <= r["cosine_sim"] <= 1.0 for r in topk)
+
+
+def test_write_training_shards_ordered_layout(spark, tmp_path):
+    """One file per shard, rows inside each file in packing order
+    (seq_id, tok_offset ascending), nothing lost."""
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from tiki_data_pipeline_spark.io import load_table
+    from tiki_data_pipeline_spark.sources.files import write_training_shards
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "shards")
+    write_training_shards(docs, path, seq_len=512, n_shards=4)
+
+    shard_dirs = sorted(Path(path).glob("shard=*"))
+    assert len(shard_dirs) == 4
+    for d in shard_dirs:
+        files = list(d.glob("part-*.parquet"))
+        assert len(files) == 1, f"{d.name}: {len(files)} files"
+        rows = spark.read.parquet(str(files[0])).collect()
+        order = [(r["seq_id"], r["tok_offset"]) for r in rows]
+        assert order == sorted(order), f"{d.name} not in packing order"
+    total = spark.read.parquet(path).count()
+    assert total == docs.count()

@@ -102,3 +102,40 @@ def compact_parquet(spark: SparkSession, path: str, target_files: int) -> None:
         shutil.move(old, path)  # roll back: restore the primary copy
         raise
     shutil.rmtree(old)
+
+
+def write_training_shards(
+    docs: DataFrame,
+    path: str,
+    seq_len: int = 2048,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Training-data export: pack documents into fixed-length token
+    sequences (``curation.pack_sequences``) and write one ORDERED file
+    per shard — the layout a training loader streams directly:
+    ``shard=K/part-*.parquet`` holds that shard's documents sorted by
+    (seq_id, tok_offset), so reading the file front-to-back yields the
+    token stream in packing order.
+
+    One hash repartition on ``shard`` (each shard lands on exactly one
+    task → exactly one file per shard directory), sort within the
+    task, directory-partitioned write. Shard count scales the layout:
+    at 100 TB you raise ``n_shards``, nothing else changes.
+    """
+    from pyspark.sql import functions as F
+
+    from tiki_data_pipeline_spark.operators.curation import pack_sequences
+
+    packed = pack_sequences(
+        docs, seq_len=seq_len, n_shards=n_shards, id_col=id_col, text_col=text_col
+    )
+    out = packed.join(docs.select(id_col, text_col), id_col)
+    (
+        out.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "seq_id", "tok_offset")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
