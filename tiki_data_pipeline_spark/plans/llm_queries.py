@@ -533,6 +533,62 @@ def embedding_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_bucketed_topk(emb, _QUERY_IDS, k=5)
 
 
+# Persisted-index variant: the corpus is materialized ONCE per
+# (session, sf_dir) partitioned by its base LSH bucket; queries
+# multi-probe via partition pruning. With one-sided probing at
+# emit_radius=2 the candidate set is exactly Hamming(code_q, code_v)
+# ≤ 2 — the same set the in-session bucket join produces — so the
+# SAME DuckDB oracle pins both paths.
+_LSH_INDEX_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _lsh_index_cached(spark: SparkSession, sf_dir: str) -> str:
+    import tempfile
+
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
+    path = _LSH_INDEX_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="lsh_index_") + "/idx"
+        SIM.write_lsh_index(load_table(spark, sf_dir, "embeddings"), path)
+        for k in list(_LSH_INDEX_CACHE):  # drop dead sessions' paths
+            if k[0] != app_id:
+                del _LSH_INDEX_CACHE[k]
+        _LSH_INDEX_CACHE[key] = path
+    return path
+
+
+@query(
+    "embedding_ann_index_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {_LSH_BUCKET_SQL} AS bucket FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b
+          WHERE vec_id IN ({', '.join(map(str, _QUERY_IDS))})),
+    scored AS (
+      SELECT q.query_id, b.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.qv, b.v), 6) AS cosine_sim
+      FROM q JOIN b
+        ON bit_count(xor(b.bucket::BIGINT, q.bucket::BIGINT)) <= 2
+       AND b.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+      FROM scored
+    ) t WHERE rn <= 5
+    """,
+)
+def embedding_ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 served from the persisted bucket-partitioned LSH
+    index (partition-pruned multi-probe, emit_radius=2)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(_QUERY_IDS))
+    return SIM.lsh_index_topk(
+        spark, _lsh_index_cached(spark, sf_dir), queries, k=5, emit_radius=2
+    )
+
+
 @query(
     "corpus_dedup_pipeline",
     oracle=f"""
