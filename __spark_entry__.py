@@ -49,6 +49,8 @@ _PREVIOUSLY_UNSAMPLED = [
     "json_recursive_product_search",
     "doc_pii_redaction",
     "embedding_ann_index_topk",
+    "daily_revenue_7d_ma",
+    "events_windowed_topk",
     "embedding_near_dup_lsh", "embedding_label_stats",
     "embedding_ann_lsh_topk", "corpus_dedup_pipeline",
     "corpus_dedup_staged", "embedding_ann_ivf_topk",

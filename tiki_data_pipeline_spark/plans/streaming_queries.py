@@ -241,3 +241,39 @@ def events_dedup_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_type", "event_id", "ts")
     )
+
+
+@query(
+    "events_windowed_topk",
+    oracle="""
+    WITH counts AS (
+      SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n_events FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY window_start ORDER BY n_events DESC, event_type ASC) AS rn
+      FROM counts
+    ) t WHERE rn <= 3
+    """,
+)
+def events_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending event types: top-3 per tumbling hour by count, ties
+    broken by type name — the per-window rank composition (T7 window ×
+    W1 top-k). Hour buckets via date_trunc, identical to the 1-hour
+    tumbling window's start at any timezone-free epoch alignment."""
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = W.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 3)
+        .drop("_rn")
+    )

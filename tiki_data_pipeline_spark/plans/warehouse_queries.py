@@ -559,3 +559,55 @@ def fact_sales_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             + " AS charged",
         )
     )
+
+
+@query(
+    "daily_revenue_7d_ma",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS sale_date,
+             DATE_DIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_idx,
+             SUM({X.o_cents('o_totalprice')}) AS day_cents
+      FROM orders GROUP BY 1, 2
+    ),
+    win AS (
+      SELECT sale_date, day_cents,
+             SUM(day_cents) OVER w AS win_cents,
+             COUNT(*) OVER w AS n_days_in_window
+      FROM daily
+      WINDOW w AS (ORDER BY day_idx RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT sale_date,
+           CAST(day_cents AS DOUBLE) / 100.0 AS revenue,
+           {X.o_div_round('win_cents', 'n_days_in_window', 100)} AS revenue_7d_ma,
+           CAST(n_days_in_window AS INTEGER) AS n_days_in_window
+    FROM win
+    """,
+)
+def daily_revenue_7d_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day moving average of daily revenue via a RANGE
+    window frame over integer day indexes (calendar-gap-aware: days
+    with no orders shrink the window rather than silently widening
+    it, unlike a 7-ROW frame). Exact integer-cents math with half-up
+    division so the oracle agrees bit-for-bit."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("sale_date")
+    ).agg(F.sum(X.cents(F.col("o_totalprice"))).alias("day_cents"))
+    daily = daily.withColumn(
+        "day_idx", F.datediff(F.col("sale_date"), F.lit("1970-01-01").cast("date"))
+    )
+    w = W.orderBy("day_idx").rangeBetween(-6, 0)
+    win = daily.select(
+        "sale_date",
+        "day_cents",
+        F.sum("day_cents").over(w).alias("win_cents"),
+        F.count(F.lit(1)).over(w).alias("n_days_in_window"),
+    )
+    return win.selectExpr(
+        "sale_date",
+        "CAST(day_cents AS DOUBLE) / 100.0 AS revenue",
+        X.div_round_expr("win_cents", "n_days_in_window", 100)
+        + " AS revenue_7d_ma",
+        "CAST(n_days_in_window AS INT) AS n_days_in_window",
+    )
