@@ -42,6 +42,8 @@ STRESS_QUERIES = [
     "doc_decontamination",
     "doc_sample_fixed_per_stratum",
     "corpus_curation_pipeline",
+    "doc_pii_redaction",
+    "daily_revenue_7d_ma",
     # NB: doc_simhash_near_dup output grows with the SQUARE of the
     # duplicate multiplicity under synthetic N× replication (every
     # copy pairs with every other) — run it at small N only.
