@@ -164,3 +164,22 @@ def test_stratified_sample_rate_monotonic(spark):
     low = {r["doc_id"] for r in CU.stratified_sample(docs, {"en": 3}).collect()}
     high = {r["doc_id"] for r in CU.stratified_sample(docs, {"en": 8}).collect()}
     assert low < high
+
+
+def test_redact_pii_idempotent_on_redacted_text(spark):
+    """Redaction tokens contain no digits/@/scheme, so re-redacting
+    already-redacted text is a fixpoint (safe to re-run the scrub)."""
+    from tiki_data_pipeline_spark import fixtures as FX
+    from pyspark.sql import functions as F
+
+    docs = FX.pii_docs_df(spark)
+    redacted = F.col("text")
+    for _, pat, token in CU.PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, token)
+    once = docs.select("doc_id", redacted.alias("text"))
+    twice_expr = F.col("text")
+    for _, pat, token in CU.PII_PATTERNS:
+        twice_expr = F.regexp_replace(twice_expr, pat, token)
+    pairs = once.select("doc_id", "text", twice_expr.alias("text2")).collect()
+    for r in pairs:
+        assert r["text"] == r["text2"], r["doc_id"]

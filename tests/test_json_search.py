@@ -69,3 +69,10 @@ def test_search_products_dataframe(spark):
     assert sorted(by_env) == [1, 2, 3, 4, 5, 6]
     assert by_env[5][0]["product_id"] == "10"  # props beat initialState
     assert by_env[4][0]["name"] == "Tủ lạnh"
+
+
+def test_pathologically_deep_payload_yields_no_products():
+    # deep nesting overflows Python recursion in the descent; the
+    # operator must yield no products, never a crashed task
+    payload = '{"data":' * 10000 + "{}" + "}" * 10000
+    assert extract_products(payload) == []

@@ -97,9 +97,12 @@ def extract_products(payload: str) -> list[dict]:
     (crawl_products.py:523-560 extraction rules)."""
     try:
         data = json.loads(payload)
-    except (TypeError, ValueError):
+        product_list = find_product_list(data)
+    except (TypeError, ValueError, RecursionError):
+        # the reference's outer `except Exception: pass`
+        # (crawl_products.py:556-557): a malformed or pathologically
+        # deep payload yields no products, never a crashed task
         return []
-    product_list = find_product_list(data)
     if not product_list:
         return []
     out = []
