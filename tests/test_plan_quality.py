@@ -31,6 +31,10 @@ NO_NESTED_LOOP = [
     "doc_decontamination",
     "corpus_curation_pipeline",
     "latest_order_per_customer",
+    "doc_pii_redaction",
+    "events_windowed_topk",
+    "daily_revenue_7d_ma",
+    "embedding_ann_index_topk",
 ]
 
 

@@ -604,6 +604,11 @@ def write_lsh_index(
             as_double(F.col(vec_col)).alias("v"),
             lsh_bucket(as_double(F.col(vec_col)), dim, n_planes).alias("bkt"),
         )
+        # co-locate each bucket on one task before the partitioned
+        # write: otherwise every input partition writes a file into
+        # every bucket directory — tasks × 2^n_planes small files
+        # (the classic partitionBy file explosion)
+        .repartition(F.col("bkt"))
         .write.mode("overwrite")
         .partitionBy("bkt")
         .parquet(path)
