@@ -45,6 +45,36 @@ def test_no_nested_loop_join(spark, name):
     assert "CartesianProduct" not in plan, name
 
 
+# Queries where a nested-loop/cartesian IS the design because the
+# nested side is BOUNDED by construction (a handful of query ids,
+# k centroids, 5 price segments, 1-row KPI blocks) — the corpus side
+# is still scanned exactly once.
+BOUNDED_SIDE_NESTED_LOOP = {
+    "vw_price_segment_analysis",   # ranges the bounded segment dim (pinned below)
+    "price_segment_join",          # broadcast non-equi on 5 segments
+    "dim_price_segment_build",     # 1-row crossJoin
+    "warehouse_kpi_block",         # 1-row × 1-row crossJoin
+    "embedding_topk_cosine",       # broadcast query set × corpus (brute force)
+    "embedding_near_dup_pairs",    # bounded block-pair non-equi join
+    "embedding_ann_ivf_topk",      # query × k-centroid crossJoin
+    "embedding_knn_classify",      # composes brute-force top-k
+}
+
+
+def test_no_unexpected_nested_loops_across_entire_registry(spark):
+    """Registry-wide sweep: any new query that plans a nested-loop or
+    cartesian join on an unbounded side must either be fixed or added
+    to the documented allowlist above."""
+    unexpected = []
+    for name, fn in QUERIES.items():
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        if (
+            "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
+        ) and name not in BOUNDED_SIDE_NESTED_LOOP:
+            unexpected.append(name)
+    assert unexpected == [], unexpected
+
+
 def test_price_segment_ranges_the_dim_not_the_fact(spark):
     """The segment range join is interpreted (BroadcastNestedLoopJoin)
     by nature — it must range the PART dim (O(|part|·5), linear) and
