@@ -1,0 +1,133 @@
+"""End-to-end training-corpus pipeline — the LLM-data counterpart of
+``pipeline.Pipeline`` (which re-expresses the reference's product DAG).
+
+One driver call takes a raw ``documents``-shaped DataFrame to
+training-ready shards, composing the operators this engine already
+ships, in the staged order that is right at 100 TB (cheapest mass
+reduction first, so every later stage sees fewer bytes):
+
+1. quality   — text stats + quality score filter (``textstats``)
+2. pii       — URL/email/phone redaction (``curation.redact_pii``)
+3. exact     — fingerprint dedup, min-id survivor (``dedup.exact_dedup``)
+4. near      — MinHash-LSH candidate pairs → connected-component
+               survivors (``dedup.minhash_lsh_near_dups`` +
+               ``graph.dedup_survivors``) — cluster-correct, not greedy
+5. decon     — benchmark n-gram decontamination (``curation``)
+6. repetition— Gopher-style repetition filter (``curation``)
+7. sample    — deterministic per-language stratified sample
+8. pack+ship — hash-sharded sequence packing, one ordered file per
+               shard (``sources.files.write_training_shards``)
+
+Stage boundaries are real parquet writes (restartable artifacts,
+mirroring ``pipeline.Pipeline``'s semantic); the report dict carries
+per-stage survivor counts — the corpus-curation audit trail.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tiki_data_pipeline_spark.operators import curation as CU
+from tiki_data_pipeline_spark.operators import dedup as DD
+from tiki_data_pipeline_spark.operators import textstats as TS
+from tiki_data_pipeline_spark.operators.graph import dedup_survivors
+from tiki_data_pipeline_spark.sources.files import write_training_shards
+
+
+class CorpusPipeline:
+    def __init__(self, spark: SparkSession, out_dir: str):
+        self.spark = spark
+        self.out = out_dir
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.out, name)
+
+    def _write(self, df: DataFrame, name: str) -> DataFrame:
+        df.write.mode("overwrite").parquet(self._path(name))
+        return self.spark.read.parquet(self._path(name))
+
+    def run(
+        self,
+        docs: DataFrame,
+        benchmark_pred=None,
+        min_quality_tokens: int = 5,
+        near_dup_threshold: float = 0.9,
+        sample_tenths: dict[str, int] | None = None,
+        seq_len: int = 2048,
+        n_shards: int = 8,
+    ) -> dict:
+        report: dict = {"input_docs": docs.count()}
+
+        # 1. quality: keep docs with enough real tokens
+        stats = TS.with_text_stats(docs)
+        quality = stats.filter(F.col("n_tokens") >= min_quality_tokens).select(
+            "doc_id", "text", "lang"
+        )
+        quality = self._write(quality, "quality")
+        report["after_quality"] = quality.count()
+
+        # 2. PII redaction — from here on `text` is the redacted text
+        redacted = quality.join(
+            CU.redact_pii(quality, keep_text=True).select(
+                "doc_id", "redacted_text"
+            ),
+            "doc_id",
+        ).select("doc_id", F.col("redacted_text").alias("text"), "lang")
+        redacted = self._write(redacted, "redacted")
+
+        # 3. exact dedup: keep each fingerprint's min-id survivor
+        exact = DD.exact_dedup(redacted)
+        survivors = redacted.join(
+            exact.select(F.col("survivor_id").alias("doc_id")), "doc_id", "left_semi"
+        )
+        survivors = self._write(survivors, "exact_dedup")
+        report["after_exact_dedup"] = survivors.count()
+
+        # 4. near dedup: LSH candidates → connected-component survivors
+        pairs = DD.minhash_lsh_near_dups(survivors, threshold=near_dup_threshold)
+        near = dedup_survivors(survivors, pairs.select("i", "j"))
+        survivors = near.filter(F.col("survivor")).select("doc_id", "text", "lang")
+        survivors = self._write(survivors, "near_dedup")
+        report["after_near_dedup"] = survivors.count()
+
+        # 5. decontamination against the benchmark set (if any): drop
+        # the benchmark members themselves (they are HELD OUT, never
+        # training data) AND every corpus doc whose gram overlap with
+        # them crosses the threshold
+        if benchmark_pred is not None:
+            sh = DD.shingles(docs)  # benchmark grams come from the RAW corpus
+            cont = CU.contamination_stats(sh, benchmark_pred)
+            survivors = survivors.filter(~benchmark_pred).join(
+                cont.filter(F.col("is_contaminated") == 1).select("doc_id"),
+                "doc_id",
+                "left_anti",
+            )
+            survivors = self._write(survivors, "decontaminated")
+        report["after_decontamination"] = survivors.count()
+
+        # 6. repetition filter
+        rep = CU.repetition_stats(survivors)
+        survivors = survivors.join(
+            rep.filter(F.col("flag_repetitive") == 1).select("doc_id"),
+            "doc_id",
+            "left_anti",
+        )
+        survivors = self._write(survivors, "repetition")
+        report["after_repetition"] = survivors.count()
+
+        # 7. deterministic per-language sampling (optional rebalance)
+        if sample_tenths:
+            survivors = CU.stratified_sample(survivors, sample_tenths)
+            survivors = self._write(survivors, "sampled")
+        report["after_sampling"] = survivors.count()
+
+        # 8. pack into ordered training shards
+        write_training_shards(
+            survivors, self._path("shards"), seq_len=seq_len, n_shards=n_shards
+        )
+        report["shard_dir"] = self._path("shards")
+        report["final_docs"] = survivors.count()
+        return report

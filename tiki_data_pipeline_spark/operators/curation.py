@@ -308,13 +308,18 @@ PII_PATTERNS = [
 
 
 def redact_pii(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_text: bool = False,
 ) -> DataFrame:
     """PII scrub for training corpora: URLs, emails and phone-shaped
     number runs replaced by typed tokens, with per-doc match counts
     (counted on the RAW text, before redaction). Pure JVM
     regexp_replace/regexp_count column expressions — no UDF, fully
-    parallel, no shuffle."""
+    parallel, no shuffle. ``keep_text=True`` adds the redacted text
+    itself (the corpus-pipeline shape); the default emits only its
+    md5 (the compact audit/oracle shape)."""
     counts = [
         F.regexp_count(F.col(text_col), F.lit(pat)).cast("int").alias(f"n_{name}")
         for name, pat, _ in PII_PATTERNS
@@ -322,8 +327,10 @@ def redact_pii(
     redacted = F.col(text_col)
     for _, pat, token in PII_PATTERNS:
         redacted = F.regexp_replace(redacted, pat, token)
+    extra = [redacted.alias("redacted_text")] if keep_text else []
     return docs.select(
         id_col,
         *counts,
         F.md5(redacted).alias("redacted_md5"),
+        *extra,
     )
