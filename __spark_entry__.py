@@ -51,6 +51,7 @@ _PREVIOUSLY_UNSAMPLED = [
     "embedding_ann_index_topk",
     "daily_revenue_7d_ma",
     "events_windowed_topk",
+    "category_integrity_report",
     "embedding_near_dup_lsh", "embedding_label_stats",
     "embedding_ann_lsh_topk", "corpus_dedup_pipeline",
     "corpus_dedup_staged", "embedding_ann_ivf_topk",

@@ -235,3 +235,105 @@ def category_product_count_refresh(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("url", "name")
         .agg(F.countDistinct("product_id").alias("product_count"))
     )
+
+
+@query(
+    "category_integrity_report",
+    oracle=f"""
+    WITH {FX.categories_cte()},
+    urls AS (SELECT DISTINCT url FROM categories WHERE url IS NOT NULL)
+    SELECT 'n_categories' AS metric, (SELECT COUNT(*) FROM categories) AS value
+    UNION ALL SELECT 'empty_names',
+      (SELECT COUNT(*) FROM categories WHERE name IS NULL OR TRIM(name) = '')
+    UNION ALL SELECT 'invalid_urls',
+      (SELECT COUNT(*) FROM categories
+       WHERE url IS NULL OR NOT starts_with(url, 'https://tiki.vn'))
+    UNION ALL SELECT 'invalid_levels',
+      (SELECT COUNT(*) FROM categories WHERE level IS NULL OR level < 0)
+    UNION ALL SELECT 'duplicate_urls',
+      (SELECT COALESCE(SUM(c - 1), 0) FROM
+        (SELECT COUNT(*) AS c FROM categories GROUP BY url HAVING COUNT(*) > 1) t)
+    UNION ALL SELECT 'root_level0',
+      (SELECT COUNT(*) FROM categories WHERE level = 0)
+    UNION ALL SELECT 'missing_parents',
+      (SELECT COUNT(*) FROM categories
+       WHERE level > 0 AND (parent_url IS NULL OR parent_url = ''))
+    UNION ALL SELECT 'orphan_parents',
+      (SELECT COUNT(*) FROM categories c
+       WHERE level > 0 AND parent_url IS NOT NULL AND parent_url <> ''
+         AND parent_url NOT IN (SELECT url FROM urls))
+    UNION ALL SELECT 'level0_with_parent',
+      (SELECT COUNT(*) FROM categories WHERE level = 0 AND parent_url IS NOT NULL)
+    UNION ALL SELECT 'placeholder_names',
+      (SELECT COUNT(*) FROM categories WHERE name = category_id)
+    """,
+)
+def category_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Category-hierarchy integrity report — the reference's
+    verification suite (tests/verify.py:87-274: required fields, value
+    ranges, URL duplicates, root presence, parent-child links) as one
+    tall (metric, value) DataFrame over the category fixture's
+    archetypes (roots, orphans, cycle, placeholder, duplicates)."""
+    cats = FX.categories_df(spark)
+    urls = cats.filter(F.col("url").isNotNull()).select("url").distinct()
+
+    def one(metric: str, df: DataFrame) -> DataFrame:
+        return df.select(F.lit(metric).alias("metric"), F.col("value").cast("bigint"))
+
+    cnt = F.count(F.lit(1)).alias("value")
+    dup_extra = (
+        cats.groupBy("url")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).alias("value"))
+    )
+    orphan = (
+        cats.filter(
+            (F.col("level") > 0)
+            & F.col("parent_url").isNotNull()
+            & (F.col("parent_url") != "")
+        )
+        .join(urls.select(F.col("url").alias("parent_url")), "parent_url", "left_anti")
+        .agg(cnt)
+    )
+    checks = [
+        one("n_categories", cats.agg(cnt)),
+        one(
+            "empty_names",
+            cats.filter(F.col("name").isNull() | (F.trim("name") == "")).agg(cnt),
+        ),
+        one(
+            "invalid_urls",
+            cats.filter(
+                F.col("url").isNull() | ~F.col("url").startswith("https://tiki.vn")
+            ).agg(cnt),
+        ),
+        one(
+            "invalid_levels",
+            cats.filter(F.col("level").isNull() | (F.col("level") < 0)).agg(cnt),
+        ),
+        one("duplicate_urls", dup_extra),
+        one("root_level0", cats.filter(F.col("level") == 0).agg(cnt)),
+        one(
+            "missing_parents",
+            cats.filter(
+                (F.col("level") > 0)
+                & (F.col("parent_url").isNull() | (F.col("parent_url") == ""))
+            ).agg(cnt),
+        ),
+        one("orphan_parents", orphan),
+        one(
+            "level0_with_parent",
+            cats.filter((F.col("level") == 0) & F.col("parent_url").isNotNull()).agg(
+                cnt
+            ),
+        ),
+        one(
+            "placeholder_names",
+            cats.filter(F.col("name") == F.col("category_id")).agg(cnt),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
