@@ -251,7 +251,7 @@ def category_product_count_refresh(spark: SparkSession, sf_dir: str) -> DataFram
     UNION ALL SELECT 'invalid_levels',
       (SELECT COUNT(*) FROM categories WHERE level IS NULL OR level < 0)
     UNION ALL SELECT 'duplicate_urls',
-      (SELECT COALESCE(SUM(c - 1), 0) FROM
+      (SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) FROM
         (SELECT COUNT(*) AS c FROM categories GROUP BY url HAVING COUNT(*) > 1) t)
     UNION ALL SELECT 'root_level0',
       (SELECT COUNT(*) FROM categories WHERE level = 0)
