@@ -108,3 +108,50 @@ def test_transform_invariants(spark):
         assert r["rating_average"] is None or 0 <= r["rating_average"] <= 5
         assert r["url"].startswith("http")
         assert re.fullmatch(r"[0-9]+", r["product_id"])
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_clean_and_short_name_totality(raw):
+    """The name cleaners are total over arbitrary text: None or a
+    non-empty string, and short_name never exceeds the reference's
+    80-char hard-fallback bound."""
+    from tiki_data_pipeline_spark.functions.text import clean_name, short_name
+
+    c = clean_name(raw)
+    assert c is None or (isinstance(c, str) and c)
+    s = short_name(raw)
+    assert s is None or (isinstance(s, str) and len(s) <= 80)
+
+
+_json_values = st.recursive(
+    st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(min_value=-10**6, max_value=10**6),
+        st.text(max_size=10),
+    ),
+    lambda children: st.one_of(
+        st.lists(children, max_size=4),
+        st.dictionaries(
+            st.sampled_from(
+                ["products", "items", "data", "props", "pageProps",
+                 "initialState", "id", "name", "price", "x"]
+            ),
+            children,
+            max_size=4,
+        ),
+    ),
+    max_leaves=25,
+)
+
+
+@given(_json_values)
+@settings(max_examples=200, deadline=None)
+def test_find_product_list_total_over_arbitrary_json(obj):
+    """The recursive descent terminates on arbitrary JSON-shaped data
+    and returns None or a list (never a scalar, never raises)."""
+    from tiki_data_pipeline_spark.operators.json_search import find_product_list
+
+    out = find_product_list(obj)
+    assert out is None or isinstance(out, list)
