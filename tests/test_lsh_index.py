@@ -18,10 +18,10 @@ SF = "/root/testdata/sf0.001"
 QIDS = [3, 11, 42, 77, 123]
 
 
-def _index(spark, tmp_path):
+def _index(spark, tmp_path, partitioned=None):
     emb = load_table(spark, SF, "embeddings")
     path = str(tmp_path / "lsh_index")
-    SIM.write_lsh_index(emb, path)
+    SIM.write_lsh_index(emb, path, partitioned=partitioned)
     return emb, path
 
 
@@ -30,8 +30,36 @@ def test_lsh_index_stores_each_vector_once(spark, tmp_path):
     idx = spark.read.parquet(path)
     assert idx.count() == emb.count()
     assert idx.select("id").distinct().count() == emb.count()
-    # bucket column came back as a partition column
     assert "bkt" in idx.columns
+
+
+def test_lsh_index_small_corpus_layout_prunes_by_pushdown(spark, tmp_path):
+    """The auto layout for a small corpus is a bkt-sorted single
+    dataset (no 2^n near-empty directories); the bucket predicate
+    still reaches the scan as a pushed filter, and results are
+    identical to the directory-partitioned layout's."""
+    from pathlib import Path
+
+    emb, path = _index(spark, tmp_path)  # auto → sorted layout at sf0.001
+    assert not list(Path(path).glob("bkt=*")), "expected non-partitioned layout"
+    queries = emb.filter(F.col("vec_id").isin(QIDS))
+    df = SIM.lsh_index_topk(spark, path, queries, k=5, emit_radius=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        "PushedFilters" in l and "bkt" in l.lower().replace("bkt#", "bkt")
+        for l in plan.splitlines()
+        if "PushedFilters" in l
+    ) or "In(bkt" in plan, plan
+    got = {(r["query_id"], r["neighbor_id"], r["cosine_sim"]) for r in df.collect()}
+    part_path = str(tmp_path / "lsh_index_part")
+    SIM.write_lsh_index(emb, part_path, partitioned=True)
+    want = {
+        (r["query_id"], r["neighbor_id"], r["cosine_sim"])
+        for r in SIM.lsh_index_topk(
+            spark, part_path, queries, k=5, emit_radius=2
+        ).collect()
+    }
+    assert got == want
 
 
 def test_lsh_index_topk_recall_vs_brute_force(spark, tmp_path):
@@ -59,7 +87,8 @@ def test_lsh_index_topk_recall_vs_brute_force(spark, tmp_path):
 
 
 def test_lsh_index_scan_is_partition_pruned(spark, tmp_path):
-    emb, path = _index(spark, tmp_path)
+    # force the big-corpus directory layout to pin the pruning property
+    emb, path = _index(spark, tmp_path, partitioned=True)
     queries = emb.filter(F.col("vec_id").isin(QIDS[:2]))
     df = SIM.lsh_index_topk(spark, path, queries, k=5, emit_radius=1)
     plan = df._jdf.queryExecution().executedPlan().toString()

@@ -592,27 +592,48 @@ def write_lsh_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = N_PLANES,
+    partitioned: bool | None = None,
+    partition_min_rows: int = 200_000,
 ) -> None:
-    """Materialize the corpus partitioned by LSH bucket (one row per
-    vector, ``bkt`` as the partition column). Bucket assignment is the
-    same md5-derived hyperplane family as every other LSH path here —
-    pure JVM column expressions, no Python tasks."""
+    """Materialize the corpus keyed by LSH bucket (one row per
+    vector). Bucket assignment is the same md5-derived hyperplane
+    family as every other LSH path here — pure JVM column
+    expressions, no Python tasks.
+
+    Layout is scale-aware (``partitioned=None`` decides by corpus
+    size): a big corpus gets ``bkt`` DIRECTORY partitions (probes
+    become partition pruning); a corpus below ``partition_min_rows``
+    (< ~1k rows per bucket) gets ONE bkt-sorted dataset instead —
+    2^n_planes near-empty directories is the classic small-files
+    anti-pattern, and the sorted layout still prunes via parquet
+    row-group min/max on ``bkt``. ``lsh_index_topk`` reads either
+    layout unchanged.
+    """
     dim = _vec_dim(embeddings, vec_col)
-    (
-        embeddings.select(
-            F.col(id_col).alias("id"),
-            as_double(F.col(vec_col)).alias("v"),
-            lsh_bucket(as_double(F.col(vec_col)), dim, n_planes).alias("bkt"),
-        )
-        # co-locate each bucket on one task before the partitioned
-        # write: otherwise every input partition writes a file into
-        # every bucket directory — tasks × 2^n_planes small files
-        # (the classic partitionBy file explosion)
-        .repartition(F.col("bkt"))
-        .write.mode("overwrite")
-        .partitionBy("bkt")
-        .parquet(path)
+    base = embeddings.select(
+        F.col(id_col).alias("id"),
+        as_double(F.col(vec_col)).alias("v"),
+        lsh_bucket(as_double(F.col(vec_col)), dim, n_planes).alias("bkt"),
     )
+    if partitioned is None:
+        partitioned = base.count() >= partition_min_rows
+    if partitioned:
+        (
+            # co-locate each bucket on one task before the partitioned
+            # write: otherwise every input partition writes a file into
+            # every bucket directory — tasks × 2^n_planes small files
+            base.repartition(F.col("bkt"))
+            .write.mode("overwrite")
+            .partitionBy("bkt")
+            .parquet(path)
+        )
+    else:
+        (
+            base.repartitionByRange(4, "bkt")
+            .sortWithinPartitions("bkt")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
 
 
 def lsh_index_topk(
