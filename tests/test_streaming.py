@@ -191,3 +191,21 @@ def test_cdc_foreach_batch_counts(spark):
         .count()
     )
     assert total_changes == expected
+
+
+def test_corpus_ingest_stream_matches_batch(spark):
+    """Streaming quality-gate + PII redaction agrees with the batch
+    twin on every surviving document."""
+    stream = jobs.document_ingest_stream(spark, SF)
+    jobs.run_to_memory(jobs.corpus_ingest(stream), "corpus_ingest_out", "append")
+    got = {
+        (r["doc_id"], r["text"], r["lang"])
+        for r in spark.sql("SELECT * FROM corpus_ingest_out").collect()
+    }
+    batch = load_table(spark, SF, "documents")
+    want = {
+        (r["doc_id"], r["text"], r["lang"])
+        for r in jobs.corpus_ingest(batch).collect()
+    }
+    assert got == want
+    assert len(got) > 0

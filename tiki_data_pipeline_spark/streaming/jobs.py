@@ -174,3 +174,39 @@ def cdc_foreach_batch(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def document_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents parquet (production:
+    object-store drop folder / Kafka)."""
+    import os
+    import shutil
+    import tempfile
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isfile(path):
+        staged = _STAGED_DIRS.get(path)
+        if staged is None:
+            staged = tempfile.mkdtemp(prefix="documents_stream_")
+            shutil.copy(path, os.path.join(staged, "documents.parquet"))
+            _STAGED_DIRS[path] = staged
+        src_dir = staged
+    else:
+        src_dir = path
+    schema = spark.read.parquet(src_dir).schema
+    return spark.readStream.schema(schema).parquet(src_dir)
+
+
+def corpus_ingest(docs: DataFrame, min_tokens: int = 5) -> DataFrame:
+    """Streaming corpus ingestion: quality-gate + PII-redact each
+    micro-batch. Identical transformations run in CorpusPipeline's
+    batch stages 1-2 — Spark's unified semantics make this the
+    stream twin (stateless narrow ops: no watermark needed)."""
+    from tiki_data_pipeline_spark.operators import curation as CU
+    from tiki_data_pipeline_spark.operators import textstats as TS
+
+    quality = TS.with_text_stats(docs).filter(F.col("n_tokens") >= min_tokens)
+    red = CU.redact_pii(quality, keep_text=True)
+    return quality.select("doc_id", "lang").join(
+        red.select("doc_id", F.col("redacted_text").alias("text")), "doc_id"
+    )
