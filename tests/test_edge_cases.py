@@ -175,3 +175,20 @@ def test_merge_into_sql_rendering():
     import pytest
     with pytest.raises(ValueError):
         merge_into_sql("t", "s", "k", ["k"], mode="bogus")
+
+
+def test_jvm_values_df_preserves_backslashes_and_quotes(spark):
+    """Spark SQL literals process backslash escapes; the VALUES
+    builder must escape them so fixture strings round-trip verbatim
+    (a JSON fixture with embedded quotes serializes to backslashes)."""
+    from tiki_data_pipeline_spark.fixtures import jvm_values_df
+
+    rows = [
+        (1, r'back\slash "quote" \n \t \\double'),
+        (2, "it's quoted"),
+        (3, "unicode ₫ Đẹp 中文"),
+        (4, None),
+    ]
+    df = jvm_values_df(spark, [("i", "INT"), ("s", "STRING")], rows)
+    got = {r["i"]: r["s"] for r in df.collect()}
+    assert got == dict(rows)

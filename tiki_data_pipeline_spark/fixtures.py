@@ -55,6 +55,11 @@ def jvm_values_df(
     def lit(v) -> str:
         if isinstance(v, (list, tuple)):  # Spark array literal syntax
             return "array(" + ", ".join(lit(x) for x in v) + ")"
+        if isinstance(v, str):
+            # Spark SQL string literals process backslash ESCAPES
+            # (unlike DuckDB's SQL-standard literals) — escape them,
+            # or '\n' in fixture data silently becomes a newline
+            return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
         return sql_literal(v)
 
     casts = ", ".join(f"CAST({c} AS {t}) AS {c}" for c, t in columns)
