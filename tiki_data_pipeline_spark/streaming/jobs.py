@@ -201,12 +201,14 @@ def corpus_ingest(docs: DataFrame, min_tokens: int = 5) -> DataFrame:
     """Streaming corpus ingestion: quality-gate + PII-redact each
     micro-batch. Identical transformations run in CorpusPipeline's
     batch stages 1-2 — Spark's unified semantics make this the
-    stream twin (stateless narrow ops: no watermark needed)."""
-    from tiki_data_pipeline_spark.operators import curation as CU
+    stream twin. Single narrow pass (the redaction expression is
+    applied inline, NOT joined back): a stream-stream self-join would
+    accumulate unbounded state; a select never does."""
+    from tiki_data_pipeline_spark.operators.curation import PII_PATTERNS
     from tiki_data_pipeline_spark.operators import textstats as TS
 
     quality = TS.with_text_stats(docs).filter(F.col("n_tokens") >= min_tokens)
-    red = CU.redact_pii(quality, keep_text=True)
-    return quality.select("doc_id", "lang").join(
-        red.select("doc_id", F.col("redacted_text").alias("text")), "doc_id"
-    )
+    redacted = F.col("text")
+    for _, pat, token in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, token)
+    return quality.select("doc_id", redacted.alias("text"), "lang")
