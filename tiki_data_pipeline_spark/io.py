@@ -36,7 +36,27 @@ TABLES = (
 ALWAYS_BROADCAST = {"region", "nation"}
 
 
+# (applicationId, sf_dir, table) → DataFrame. A DataFrame is an
+# immutable lazy plan, so reusing it across queries is safe and skips
+# re-reading parquet footers/schema on every one of the ~100 registry
+# queries that start from the same ten tables.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = _load_table_uncached(spark, sf_dir, name)
+    for k in list(_TABLE_CACHE):  # drop dead sessions' plans
+        if k[0] != key[0]:
+            del _TABLE_CACHE[k]
+    _TABLE_CACHE[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # Parquet TIMESTAMP(NANOS) columns (the events table) surface as
