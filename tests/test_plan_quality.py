@@ -118,6 +118,29 @@ def test_sf_scaled_dims_have_no_global_window(spark, name):
             assert "_pid" in line, f"global (unpartitioned) window in {name}: {line}"
 
 
+# (query, max hash-partition exchanges): one shuffle per groupBy/window
+# family plus AQE coalescing — a higher count means someone added an
+# accidental repartition or turned a broadcast join into a shuffle join.
+EXCHANGE_BUDGETS = [
+    ("q1_pricing_summary", 1),       # one agg shuffle
+    ("topk_brands", 1),              # one count shuffle (top-k via sort)
+    ("vw_daily_sales", 2),           # agg + COUNT(DISTINCT) second phase
+    ("order_status_breakdown", 1),   # one agg shuffle
+    ("doc_token_counts", 0),         # narrow map: NO shuffle at all
+    ("doc_text_stats", 0),           # narrow map
+    ("doc_pii_redaction", 0),        # narrow map (+ fixture union)
+    ("events_windowed_topk", 2),     # agg + window rank
+    ("daily_revenue_7d_ma", 2),      # per-day agg + range window
+]
+
+
+@pytest.mark.parametrize("name,budget", EXCHANGE_BUDGETS)
+def test_exchange_budgets(spark, name, budget):
+    plan = _plan(spark, name)
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= budget, f"{name}: {n} hash exchanges (budget {budget})\n{plan}"
+
+
 def test_exchange_count_exact_dedup(spark):
     """Exact dedup is ONE hash-aggregate shuffle — more exchanges mean
     someone added an accidental repartition or join."""
