@@ -52,6 +52,7 @@ _PREVIOUSLY_UNSAMPLED = [
     "daily_revenue_7d_ma",
     "events_windowed_topk",
     "category_integrity_report",
+    "corpus_composition_report",
     "embedding_near_dup_lsh", "embedding_label_stats",
     "embedding_ann_lsh_topk", "corpus_dedup_pipeline",
     "corpus_dedup_staged", "embedding_ann_ivf_topk",

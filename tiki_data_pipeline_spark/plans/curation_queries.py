@@ -371,3 +371,54 @@ def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     unioned = docs.unionByName(FX.pii_docs_df(spark))
     return CU.redact_pii(unioned)
+
+
+@query(
+    "corpus_composition_report",
+    oracle=r"""
+    WITH per AS (
+      SELECT lang, source, COUNT(*) AS n_docs,
+             CAST(SUM(LEN(string_split_regex(lower(trim(text)), '\s+')) ) AS BIGINT)
+               AS total_tokens
+      FROM documents GROUP BY 1, 2
+    ),
+    tot AS (SELECT SUM(n_docs) AS all_docs, SUM(total_tokens) AS all_tokens FROM per)
+    SELECT lang, source, n_docs, total_tokens,
+           CAST((n_docs * 1000000) // all_docs AS BIGINT) AS doc_ppm,
+           CAST((total_tokens * 1000000) // all_tokens AS BIGINT) AS token_ppm
+    FROM per, tot
+    """,
+)
+def corpus_composition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus governance report: per (lang, source) document and token
+    counts with exact integer-ppm shares — the "what is in my corpus"
+    artifact behind mix-weight decisions. One map-side-combinable
+    shuffle; the grand totals are a window over the handful of strata
+    rows. The ppm division runs in DECIMAL `div` (exact; DuckDB's
+    HUGEINT integer division is exact too)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).cast("bigint")
+    per = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tokens).alias("total_tokens"),
+    )
+    from pyspark.sql import Window as W
+
+    all_docs = F.sum(F.col("n_docs").cast("decimal(20,0)")).over(W.partitionBy())
+    all_tokens = F.sum(F.col("total_tokens").cast("decimal(20,0)")).over(
+        W.partitionBy()
+    )
+    return (
+        per.withColumn("_nd", F.col("n_docs").cast("decimal(20,0)") * 1000000)
+        .withColumn("_nt", F.col("total_tokens").cast("decimal(20,0)") * 1000000)
+        .withColumn("_ad", all_docs)
+        .withColumn("_at", all_tokens)
+        .selectExpr(
+            "lang",
+            "source",
+            "n_docs",
+            "total_tokens",
+            "CAST(_nd div _ad AS BIGINT) AS doc_ppm",
+            "CAST(_nt div _at AS BIGINT) AS token_ppm",
+        )
+    )
