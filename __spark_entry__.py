@@ -33,11 +33,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS sweep samples a bounded window of queries
-# in iteration order. Rounds 1-3 sampled the same first-registered 50,
-# leaving the later-registered families (warehouse dims/views, events,
-# curation, upserts) never driver-checked. Surface those first, after a
-# few always-green sentinels spanning the core operator families, so
-# the driver's window covers the previously-unsampled queries.
+# in iteration order (50 in rounds 1-4). Rounds 1-4 together covered
+# 93 of the registry; the final rotation below leads with the 17
+# queries no driver round has sampled yet (curation, analytics and
+# repair families), after a few always-green sentinels spanning the
+# core operator families, then embedding_ann_ivf_topk (which gains a
+# deterministic literal-centroid oracle this round).
 _SENTINELS = [
     "q1_pricing_summary",      # relational agg
     "category_path_closure",   # hierarchy / graph
@@ -46,6 +47,20 @@ _SENTINELS = [
     "doc_minhash_lsh_near_dup",  # LLM-data dedup
 ]
 _PREVIOUSLY_UNSAMPLED = [
+    # -- the 17 queries never in any driver sample (r1-r4) --
+    "doc_decontamination", "doc_repetition_filter",
+    "doc_stratified_sample", "doc_sequence_packing",
+    "corpus_mix_weights", "doc_word_entropy",
+    "doc_sample_fixed_per_stratum", "corpus_curation_pipeline",
+    "customer_running_revenue", "dataset_verification_report",
+    "embedding_label_centroids", "median_order_value",
+    "corpus_quality_filter", "category_name_reconciliation",
+    "category_image_filter", "dlq_error_routing",
+    "html_field_extraction",
+    # -- newly oracle-equipped this round --
+    "embedding_ann_ivf_topk",
+    # -- refresh of the r4 window (already hash-green, keeps the
+    #    remaining slots productive) --
     "json_recursive_product_search",
     "doc_pii_redaction",
     "embedding_ann_index_topk",
@@ -55,7 +70,7 @@ _PREVIOUSLY_UNSAMPLED = [
     "corpus_composition_report",
     "embedding_near_dup_lsh", "embedding_label_stats",
     "embedding_ann_lsh_topk", "corpus_dedup_pipeline",
-    "corpus_dedup_staged", "embedding_ann_ivf_topk",
+    "corpus_dedup_staged",
     "embedding_knn_classify", "events_tumbling_windows",
     "events_sliding_windows", "events_sessionization",
     "events_asof_purchase_click", "events_purchase_click_interval_join",
@@ -69,14 +84,6 @@ _PREVIOUSLY_UNSAMPLED = [
     "status_counts", "deep_discount_report", "approx_distinct_stats",
     "orders_pivot_status", "lineitem_rollup_revenue",
     "orders_grouping_sets", "lineitem_cube_quantity",
-    "customer_running_revenue", "dataset_verification_report",
-    "embedding_label_centroids", "median_order_value",
-    "corpus_quality_filter", "category_name_reconciliation",
-    "category_image_filter", "dlq_error_routing",
-    "html_field_extraction", "doc_decontamination",
-    "doc_repetition_filter", "doc_stratified_sample",
-    "doc_sequence_packing", "corpus_mix_weights", "doc_word_entropy",
-    "doc_sample_fixed_per_stratum", "corpus_curation_pipeline",
 ]
 
 
@@ -91,6 +98,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {n: QUERIES[n] for n in _ordered_names()}
 
 
+DRIVER_SF_DIR = "/root/testdata/sf0.01"
+
+
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for each oracle-checkable query."""
-    return {n: ORACLES[n] for n in _ordered_names() if n in ORACLES}
+    """DuckDB-equivalent SQL for each oracle-checkable query.
+
+    A registry entry may be a callable ``(sf_dir) -> str`` for oracles
+    whose SQL embeds data-derived literals (e.g. the IVF centroids
+    trained from the corpus); those are rendered here against the
+    driver's sf0.01 tables.
+    """
+    out: dict[str, str] = {}
+    for n in _ordered_names():
+        o = ORACLES.get(n)
+        if o is None:
+            continue
+        out[n] = o(DRIVER_SF_DIR) if callable(o) else o
+    return out

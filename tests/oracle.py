@@ -72,7 +72,9 @@ def normalize(cols, rows):
     return sorted_cols, norm_rows
 
 
-def compare_query(spark, sf_dir: str, fn, sql: str, name: str = "?"):
+def compare_query(spark, sf_dir: str, fn, sql, name: str = "?"):
+    if callable(sql):  # data-derived oracle: render against this sf_dir
+        sql = sql(sf_dir)
     scols, srows = spark_result(fn(spark, sf_dir))
     with duckdb_connection(sf_dir) as con:
         ocols, orows = run_oracle(con, sql)

@@ -55,10 +55,13 @@ def test_dtype_parity(spark):
     diffs = []
     with duckdb_connection(SF) as con:
         for name in sorted(ORACLES):
+            sql = ORACLES[name]
+            if callable(sql):  # data-derived oracle: render for this sf
+                sql = sql(SF)
             stypes = dict(QUERIES[name](spark, SF).dtypes)
             otypes = {
                 r[0]: _DUCK_TO_SPARK.get(r[1].upper(), r[1].lower())
-                for r in con.execute(f"DESCRIBE {ORACLES[name]}").fetchall()
+                for r in con.execute(f"DESCRIBE {sql}").fetchall()
             }
             for c, st in stypes.items():
                 st = st.replace("timestamp_ntz", "timestamp")

@@ -378,13 +378,42 @@ def _sq_dist(a: Column, b: Column) -> Column:
     )
 
 
+def lloyd_centroids(m, k: int, iters: int = 2):
+    """Deterministic numpy Lloyd on an id-ordered sample matrix.
+
+    Shared by ``ivf_train`` (Spark path) and the literal-centroid
+    DuckDB oracle (``plans/llm_queries._ivf_oracle``) so both derive
+    bit-identical centroids from the same rows: init = first k rows,
+    ``iters`` assign/mean steps, argmin ties toward the lowest index.
+    Returns a (k', dim) float64 array (k' ≤ k; empty for empty input).
+    """
+    import numpy as np
+
+    m = np.asarray(m, dtype=np.float64)
+    if m.ndim != 2 or len(m) == 0 or k <= 0:
+        return np.zeros((0, m.shape[1] if m.ndim == 2 else 0), dtype=np.float64)
+    centroids = m[: min(k, len(m))].copy()
+    for _ in range(iters):
+        # |x-c|² = |x|² − 2x·c + |c|²; |x|² constant per row → argmin
+        d = -2.0 * (m @ centroids.T) + (centroids * centroids).sum(axis=1)
+        a = np.argmin(d, axis=1)
+        for ci in range(len(centroids)):
+            sel = m[a == ci]
+            if len(sel):
+                centroids[ci] = sel.mean(axis=0)
+    return centroids
+
+
+IVF_TRAIN_SAMPLE = 8192
+
+
 def ivf_train(
     embeddings: DataFrame,
     k: int = 16,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    train_sample: int = 8192,
+    train_sample: int = IVF_TRAIN_SAMPLE,
 ) -> DataFrame:
     """IVF coarse quantizer: k centroids via deterministic Lloyd
     iterations on a bounded corpus sample (init = the first k sampled
@@ -407,7 +436,7 @@ def ivf_train(
     """
     import numpy as np
 
-    base = embeddings.select(
+    base = embeddings.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
     )
     rows = (
@@ -417,15 +446,7 @@ def ivf_train(
     )
     rows.sort(key=lambda r: r["id"])
     m = np.array([r["v"] for r in rows], dtype=np.float64)
-    centroids = m[: min(k, len(m))].copy()
-    for _ in range(iters):
-        # |x-c|² = |x|² − 2x·c + |c|²; |x|² constant per row → argmin
-        d = -2.0 * (m @ centroids.T) + (centroids * centroids).sum(axis=1)
-        a = np.argmin(d, axis=1)
-        for ci in range(len(centroids)):
-            sel = m[a == ci]
-            if len(sel):
-                centroids[ci] = sel.mean(axis=0)
+    centroids = lloyd_centroids(m, k, iters)
     spark = embeddings.sparkSession
     return spark.createDataFrame(
         [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],

@@ -774,11 +774,81 @@ def _ivf_centroids_cached(
     return df
 
 
-@query("embedding_ann_ivf_topk")
+# The IVF quantizer is fully deterministic (id-ordered sample, shared
+# numpy Lloyd in similarity.lloyd_centroids), so the oracle can train
+# the SAME centroids from the parquet at compare time and embed them
+# as DOUBLE[] literals — the _plane_weight literal-embedding pattern.
+# Rendered per sf_dir (centroids are data-derived), memoized.
+_IVF_ORACLE_CACHE: dict[str, str] = {}
+
+
+def _ivf_oracle(sf_dir: str) -> str:
+    sql = _IVF_ORACLE_CACHE.get(sf_dir)
+    if sql is not None:
+        return sql
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    src = f"read_parquet('{sf_dir}/embeddings.parquet')"
+    (n,) = con.execute(
+        f"SELECT count(*) FROM {src} WHERE embedding IS NOT NULL"
+    ).fetchone()
+    if n > SIM.IVF_TRAIN_SAMPLE:
+        # ivf_train's xxhash64-ordered sample is Spark-specific; the
+        # driver/test corpora are all <= the sample size, where the
+        # sample provably equals the whole table in id order.
+        raise NotImplementedError(
+            "literal-centroid IVF oracle requires corpus <= train_sample"
+        )
+    rows = con.execute(
+        f"SELECT embedding::DOUBLE[] FROM {src} "
+        "WHERE embedding IS NOT NULL ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    m = np.array([r[0] for r in rows], dtype=np.float64)
+    cents = SIM.lloyd_centroids(m, k=16, iters=2)
+    lits = ", ".join(
+        "(%d, [%s]::DOUBLE[])" % (i, ", ".join(repr(float(x)) for x in c))
+        for i, c in enumerate(cents)
+    )
+    sql = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE embedding IS NOT NULL),
+    c AS (SELECT * FROM (VALUES {lits}) AS t(cid, cv)),
+    assigned AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_distance(e.v, c.cv) ASC, c.cid ASC) AS rn
+        FROM e CROSS JOIN c) t WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e
+          WHERE vec_id IN ({', '.join(map(str, _QUERY_IDS))})),
+    probes AS (
+      SELECT query_id, qv, cid FROM (
+        SELECT q.query_id, q.qv, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY list_distance(q.qv, c.cv) ASC, c.cid ASC) AS rn
+        FROM q CROSS JOIN c) t WHERE rn <= 2),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(p.qv, a.v), 6) AS cosine_sim
+      FROM probes p JOIN assigned a USING (cid)
+      WHERE a.vec_id <> p.query_id)
+    SELECT query_id, neighbor_id, cosine_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+      FROM scored) t WHERE rn <= 5
+    """
+    _IVF_ORACLE_CACHE[sf_dir] = sql
+    return sql
+
+
+@query("embedding_ann_ivf_topk", oracle=_ivf_oracle)
 def embedding_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-5 via IVF inverted lists (nprobe=2 of 16 centroids);
-    rows-only — kmeans float reductions aren't SQL-oracle-stable;
-    recall vs brute force asserted in tests."""
+    """ANN top-5 via IVF inverted lists (nprobe=2 of 16 centroids).
+    Oracle: the deterministic quantizer re-trained from the parquet at
+    compare time, centroids embedded as SQL literals (_ivf_oracle)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.ivf_topk(
         emb, _QUERY_IDS, k=5, centroids=_ivf_centroids_cached(spark, sf_dir)

@@ -27,11 +27,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+# An oracle is either a SQL string or, for oracles whose SQL embeds
+# data-derived literals (e.g. IVF centroids trained from the corpus),
+# a callable ``(sf_dir) -> str`` rendered at compare time per sf.
+OracleSql = "str | Callable[[str], str]"
+
 QUERIES: dict[str, QueryFn] = {}
-ORACLES: dict[str, str] = {}
+ORACLES: dict[str, str | Callable[[str], str]] = {}
 
 
-def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+def query(
+    name: str, oracle: str | Callable[[str], str] | None = None
+) -> Callable[[QueryFn], QueryFn]:
     """Register a named query and (optionally) its DuckDB oracle SQL."""
 
     def deco(fn: QueryFn) -> QueryFn:
