@@ -154,16 +154,19 @@ def test_merge_into_sql_rendering():
     from tiki_data_pipeline_spark.operators.merge import merge_into_sql
 
     ow = merge_into_sql("products", "staged", "product_id", ["product_id", "name", "price"])
-    assert "WHEN MATCHED THEN UPDATE SET t.name = s.name, t.price = s.price" in ow
-    assert "WHEN NOT MATCHED THEN INSERT (product_id, name, price)" in ow
+    assert (
+        "WHEN MATCHED THEN UPDATE SET t.`name` = s.`name`, t.`price` = s.`price`"
+        in ow
+    )
+    assert "WHEN NOT MATCHED THEN INSERT (`product_id`, `name`, `price`)" in ow
 
     pn = merge_into_sql(
         "products", "staged", "product_id",
         ["product_id", "name", "price"], mode="preserve_nonnull",
         string_cols=["name"],
     )
-    assert "t.name = COALESCE(NULLIF(s.name, ''), t.name)" in pn
-    assert "t.price = COALESCE(s.price, t.price)" in pn
+    assert "t.`name` = COALESCE(NULLIF(s.`name`, ''), t.`name`)" in pn
+    assert "t.`price` = COALESCE(s.`price`, t.`price`)" in pn
 
     ia = merge_into_sql(
         "products", "staged", "product_id", ["product_id", "name"],
@@ -172,9 +175,18 @@ def test_merge_into_sql_rendering():
     assert "WHEN MATCHED" not in ia
     assert "WHEN NOT MATCHED THEN INSERT" in ia
 
+    # db-qualified targets quote each dotted part; hostile identifiers
+    # (backticks) are rejected instead of escaped
+    qualified = merge_into_sql("lake.products", "staged", "k", ["k", "v"])
+    assert "MERGE INTO `lake`.`products` t" in qualified
+
     import pytest
     with pytest.raises(ValueError):
         merge_into_sql("t", "s", "k", ["k"], mode="bogus")
+    with pytest.raises(ValueError, match="backtick"):
+        merge_into_sql("t`; DROP TABLE x; --", "s", "k", ["k"])
+    with pytest.raises(ValueError, match="backtick"):
+        merge_into_sql("t", "s", "k", ["k", "evil`col"])
 
 
 def test_jvm_values_df_preserves_backslashes_and_quotes(spark):

@@ -118,3 +118,22 @@ def test_lsh_index_scan_is_partition_pruned(spark, tmp_path):
         if t.strip().isdigit()
     }
     assert kept <= probe
+
+
+def test_oversized_query_set_fails_loudly(spark, tmp_path, monkeypatch):
+    """The ANN serving paths collect/broadcast the query set; the
+    MAX_QUERY_SET contract must raise a clear error instead of
+    OOMing the driver when a caller feeds an unbounded set."""
+    import pytest
+
+    monkeypatch.setattr(SIM, "MAX_QUERY_SET", 3)
+    emb, path = _index(spark, tmp_path)
+    queries = emb.filter(F.col("vec_id") < 10)  # 10 > 3
+    with pytest.raises(ValueError, match="query set"):
+        SIM.lsh_index_topk(spark, path, queries, k=5)
+    with pytest.raises(ValueError, match="query set"):
+        SIM.brute_force_topk(emb, list(range(10)), k=5)
+    with pytest.raises(ValueError, match="query set"):
+        SIM.lsh_bucketed_topk(emb, list(range(10)), k=5)
+    with pytest.raises(ValueError, match="query set"):
+        SIM.ivf_topk(emb, list(range(10)), k=5)

@@ -85,10 +85,43 @@ def test_apply_retention_skips_rewrite_when_layout_exists(spark, tmp_path):
         }
 
     before = snapshot(base)
-    # history arg is ignored when the layout exists — pass anything
-    result = apply_retention(spark, hist, base, arch + "2", FX.HISTORY_NOW)
+    # history=None: pure metadata re-apply over the on-disk partitions
+    result = apply_retention(spark, None, base, arch + "2", FX.HISTORY_NOW)
     assert result["kept_months"] == ["2024-07", "2024-12", "2025-01"]
     assert snapshot(base) == before, "kept partitions were rewritten"
+
+
+def test_apply_retention_appends_new_months_from_caller(spark, tmp_path):
+    """Re-applying with caller rows for a month NOT yet on disk must
+    materialize them (append, no rewrite) instead of silently dropping
+    them; months already on disk are never rewritten."""
+    from pathlib import Path
+
+    base = str(tmp_path / "h")
+    arch = str(tmp_path / "a")
+    hist = FX.crawl_history_df(spark)
+    apply_retention(spark, hist, base, arch, FX.HISTORY_NOW)
+
+    from pyspark.sql import functions as F
+
+    kept = spark.read.parquet(base).drop("month")
+    extra = kept.limit(1).withColumn(
+        "crawled_at",
+        F.lit(FX.HISTORY_NOW).cast("timestamp") + F.expr("INTERVAL 40 DAYS"),
+    )
+    result = apply_retention(
+        spark,
+        kept.unionByName(extra).localCheckpoint(),
+        base,
+        arch + "2",
+        FX.HISTORY_NOW,
+    )
+    # the fresh future month is now a kept partition on disk
+    new_month = [m for m in result["kept_months"] if m > "2025-01"]
+    assert new_month, result
+    assert any(Path(base).glob(f"month={new_month[0]}")), "new month not appended"
+    # already-kept months stayed as-is (no rewrite, no re-archive of them)
+    assert {"2024-07", "2024-12", "2025-01"} <= set(result["kept_months"])
 
 
 def test_apply_retention_is_idempotent_on_kept_months(spark, tmp_path):

@@ -314,19 +314,21 @@ def redact_pii(
     keep_text: bool = False,
 ) -> DataFrame:
     """PII scrub for training corpora: URLs, emails and phone-shaped
-    number runs replaced by typed tokens, with per-doc match counts
-    (counted on the RAW text, before redaction). Pure JVM
+    number runs replaced by typed tokens, with per-doc counts of the
+    tokens ACTUALLY INSERTED (counted on the redacted text, so the
+    counts reconcile with the output: an email consumed by an earlier
+    URL replacement counts once, as a URL). Pure JVM
     regexp_replace/regexp_count column expressions — no UDF, fully
     parallel, no shuffle. ``keep_text=True`` adds the redacted text
     itself (the corpus-pipeline shape); the default emits only its
     md5 (the compact audit/oracle shape)."""
-    counts = [
-        F.regexp_count(F.col(text_col), F.lit(pat)).cast("int").alias(f"n_{name}")
-        for name, pat, _ in PII_PATTERNS
-    ]
     redacted = F.col(text_col)
     for _, pat, token in PII_PATTERNS:
         redacted = F.regexp_replace(redacted, pat, token)
+    counts = [
+        F.regexp_count(redacted, F.lit(token)).cast("int").alias(f"n_{name}")
+        for name, _, token in PII_PATTERNS
+    ]
     extra = [redacted.alias("redacted_text")] if keep_text else []
     return docs.select(
         id_col,

@@ -111,7 +111,7 @@ def retention_buckets(history: DataFrame, now: str) -> DataFrame:
 
 def apply_retention(
     spark,
-    history: DataFrame,
+    history: DataFrame | None,
     base_path: str,
     archive_path: str,
     now: str,
@@ -136,12 +136,15 @@ def apply_retention(
     "deleted_months": [...]}``.
 
     If ``base_path`` is already a ``month=``-partitioned dataset the
-    materialization step is SKIPPED and retention runs directly on the
+    full materialization is SKIPPED and retention runs directly on the
     existing partitions — re-applying the policy is pure metadata work
-    (no full-dataset rewrite, which would be absurd at 100 TB).
-    Otherwise ``history`` is first written month-partitioned; in that
-    case it must not be a lazy read of ``base_path`` itself (the
-    overwrite would clobber its own input) — checkpoint first.
+    (no full-dataset rewrite, which would be absurd at 100 TB). Months
+    present in ``history`` but missing on disk are still append-written
+    (O(new months), never a rewrite) so caller-supplied rows are never
+    silently dropped; pass ``history=None`` to skip even that and run
+    on-disk-only. On first materialization ``history`` must not be a
+    lazy read of ``base_path`` itself (the overwrite would clobber its
+    own input) — checkpoint first.
 
     Archiving a month whose partition already exists in the archive
     (late rows for a previously-archived month) MERGES the data files
@@ -153,9 +156,27 @@ def apply_retention(
     from pathlib import Path
 
     base = Path(base_path)
-    if not any(base.glob("month=*")):
+    existing = {p.name.split("=", 1)[1] for p in base.glob("month=*")}
+    if not existing:
         hist = history.withColumn("month", F.date_format("crawled_at", "yyyy-MM"))
         hist.write.mode("overwrite").partitionBy("month").parquet(base_path)
+    elif history is not None:
+        # Re-apply with caller rows: append ONLY months not yet on disk
+        # (a lazy re-read of base_path diffs to nothing and writes
+        # nothing; existing months never rewritten).
+        hist = history.withColumn("month", F.date_format("crawled_at", "yyyy-MM"))
+        new_months = sorted(
+            r["month"]
+            for r in hist.select("month").distinct().collect()
+            if r["month"] not in existing
+        )
+        if new_months:
+            (
+                hist.filter(F.col("month").isin(new_months))
+                .write.mode("append")
+                .partitionBy("month")
+                .parquet(base_path)
+            )
 
     def _shift_month(ts: datetime, months: int) -> str:
         y, m = ts.year, ts.month - months

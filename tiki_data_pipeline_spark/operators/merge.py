@@ -112,19 +112,31 @@ def merge_into_sql(
     ``preserve_nonnull`` (M2, per-column COALESCE(NULLIF) keeps the
     old value when incoming is NULL/empty), ``insert_if_absent``
     (M3, ON CONFLICT DO NOTHING).
+
+    Column and table identifiers are backtick-quoted (Spark SQL
+    style); names containing backticks are rejected rather than
+    escaped, so no caller-supplied name can break out of the
+    rendered statement.
     """
+
+    def q(ident: str) -> str:
+        # table names may be db-qualified; quote each dotted part
+        if "`" in ident:
+            raise ValueError(f"identifier may not contain backticks: {ident!r}")
+        return ".".join(f"`{p}`" for p in ident.split("."))
+
     cols = [c for c in columns if c != key]
     string_cols = set(string_cols or [])
-    insert_cols = ", ".join([key] + cols)
-    insert_vals = ", ".join(f"s.{c}" for c in [key] + cols)
+    insert_cols = ", ".join(q(c) for c in [key] + cols)
+    insert_vals = ", ".join(f"s.{q(c)}" for c in [key] + cols)
     if mode == "overwrite":
-        sets = ", ".join(f"t.{c} = s.{c}" for c in cols)
+        sets = ", ".join(f"t.{q(c)} = s.{q(c)}" for c in cols)
         matched = f"WHEN MATCHED THEN UPDATE SET {sets}"
     elif mode == "preserve_nonnull":
         sets = ", ".join(
-            f"t.{c} = COALESCE(NULLIF(s.{c}, ''), t.{c})"
+            f"t.{q(c)} = COALESCE(NULLIF(s.{q(c)}, ''), t.{q(c)})"
             if c in string_cols
-            else f"t.{c} = COALESCE(s.{c}, t.{c})"
+            else f"t.{q(c)} = COALESCE(s.{q(c)}, t.{q(c)})"
             for c in cols
         )
         matched = f"WHEN MATCHED THEN UPDATE SET {sets}"
@@ -133,7 +145,8 @@ def merge_into_sql(
     else:
         raise ValueError(f"unknown merge mode: {mode}")
     return (
-        f"MERGE INTO {target} t USING {source} s ON t.{key} = s.{key}\n"
+        f"MERGE INTO {q(target)} t USING {q(source)} s"
+        f" ON t.{q(key)} = s.{q(key)}\n"
         + (matched + "\n" if matched else "")
         + f"WHEN NOT MATCHED THEN INSERT ({insert_cols}) VALUES ({insert_vals})"
     )

@@ -42,6 +42,22 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+# ANN serving contract: the query set is broadcast (and, for the
+# persisted index, collected to build the probe list), so it must stay
+# driver-small. Enforced so an oversized set fails loudly instead of
+# OOMing the driver at scale; batch-score larger sets by chunking.
+MAX_QUERY_SET = 10_000
+
+
+def _check_query_set(n: int) -> None:
+    if n > MAX_QUERY_SET:
+        raise ValueError(
+            f"ANN query set has {n} rows, above the driver-side serving "
+            f"contract of {MAX_QUERY_SET}; chunk the queries or use the "
+            "distributed near_dup_pairs/bucketed paths instead"
+        )
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -51,6 +67,8 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector."""
     from pyspark.sql import Window as W
+
+    _check_query_set(len(query_ids))
 
     # norms are precomputed once per vector (same doubles as computing
     # them inside the per-pair cosine: dot/(norm_q · norm_v))
@@ -324,6 +342,7 @@ def lsh_bucketed_topk(
     """
     from pyspark.sql import Window as W
 
+    _check_query_set(len(query_ids))
     dim = _vec_dim(embeddings, vec_col)
     base = (
         embeddings.select(id_col, as_double(F.col(vec_col)).alias("v"))
@@ -544,6 +563,7 @@ def ivf_topk(
     """
     from pyspark.sql import Window as W
 
+    _check_query_set(len(query_ids))
     base = embeddings.select(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
     ).withColumn("nrm", _norm(F.col("v")))
@@ -676,11 +696,16 @@ def lsh_index_topk(
     from pyspark.sql import Window as W
 
     dim = _vec_dim(queries, vec_col)
-    q_rows = queries.select(
-        F.col(id_col).alias("query_id"),
-        as_double(F.col(vec_col)).alias("qv"),
-        lsh_bucket(as_double(F.col(vec_col)), dim, n_planes).alias("qb"),
-    ).collect()  # query sets are small by contract (same as brute_force_topk)
+    q_rows = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double(F.col(vec_col)).alias("qv"),
+            lsh_bucket(as_double(F.col(vec_col)), dim, n_planes).alias("qb"),
+        )
+        .limit(MAX_QUERY_SET + 1)  # bound the collect before it happens
+        .collect()
+    )
+    _check_query_set(len(q_rows))
     masks = probe_masks(n_planes, emit_radius)
     probe_rows = [
         (r["query_id"], r["qv"], int(r["qb"]) ^ m) for r in q_rows for m in masks

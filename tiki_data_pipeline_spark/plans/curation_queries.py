@@ -338,13 +338,16 @@ def _pii_oracle() -> str:
     from tiki_data_pipeline_spark import fixtures as FX
     from tiki_data_pipeline_spark.operators.curation import PII_PATTERNS
 
-    count_cols = ",\n      ".join(
-        f"CAST(len(regexp_extract_all(text, '{pat}')) AS INTEGER) AS n_{name}"
-        for name, pat, _ in PII_PATTERNS
-    )
     redacted = "text"
     for _, pat, token in PII_PATTERNS:
         redacted = f"regexp_replace({redacted}, '{pat}', '{token}', 'g')"
+    # counts audit the tokens actually inserted (mirrors redact_pii:
+    # counted on the redacted text, not the raw text)
+    count_cols = ",\n      ".join(
+        f"CAST(len(regexp_extract_all({redacted}, '{token}')) AS INTEGER)"
+        f" AS n_{name}"
+        for name, _, token in PII_PATTERNS
+    )
     return f"""
     WITH {FX.pii_docs_cte()},
     unioned AS (
