@@ -60,17 +60,24 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     if failures:
         print(f"# failed queries: {failures}", file=sys.stderr)
-    print(
-        json.dumps(
-            {
-                "metric": "sum_query_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_from_dir(SF_DIR),
-            }
-        )
+    payload = {
+        "metric": "sum_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+    }
+    # The driver records stdout with a bounded tail, which can truncate
+    # the front of the per-query map; ALSO persist the full JSON to a
+    # repo file so round-over-round diffs cover every query.
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT", str(Path(_REPO) / "bench_full_latest.json")
     )
+    try:
+        Path(out_path).write_text(json.dumps(payload, indent=1) + "\n")
+    except OSError as exc:
+        print(f"# could not write {out_path}: {exc}", file=sys.stderr)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -155,3 +155,66 @@ def test_find_product_list_total_over_arbitrary_json(obj):
 
     out = find_product_list(obj)
     assert out is None or isinstance(out, list)
+
+
+def test_ancestor_paths_matches_walk_model_on_adversarial_graphs(spark):
+    """G1/G2 closure over 250 randomized parent graphs — self-loops,
+    cycles, diamond DAGs, forests, dangling parent pointers — must
+    equal the reference walk semantics exactly (visited-set guard,
+    MAX_HOPS cap, orphan keeps its own name). All graphs run as ONE
+    Spark job: urls are namespaced per graph and unioned."""
+    import random
+
+    from tiki_data_pipeline_spark.operators.hierarchy import (
+        MAX_HOPS,
+        ancestor_paths,
+    )
+
+    def model_path(url, nodes):
+        name, nxt = nodes[url]
+        path, visited = [name], {url}
+        for _ in range(MAX_HOPS - 1):
+            if nxt is None or nxt not in nodes or nxt in visited:
+                break
+            pname, pparent = nodes[nxt]
+            path.insert(0, pname)
+            visited.add(nxt)
+            nxt = pparent
+        return path
+
+    rows, expected = [], {}
+    for seed in range(250):
+        rng = random.Random(seed)
+        n = rng.randrange(1, 20)
+        urls = [f"g{seed}-c{i}" for i in range(n)]
+        nodes = {}
+        for i, u in enumerate(urls):
+            roll = rng.random()
+            if roll < 0.2:
+                parent = None                        # root
+            elif roll < 0.8:
+                parent = rng.choice(urls)            # incl. self-loops,
+            else:                                    # cycles, diamonds
+                parent = f"g{seed}-missing{rng.randrange(3)}"  # dangling
+            nodes[u] = (f"name-{seed}-{i}", parent)
+        # a guaranteed deep chain so MAX_HOPS actually binds sometimes
+        if n >= 12 and rng.random() < 0.5:
+            for i in range(1, 13):
+                if i < n:
+                    nodes[urls[i]] = (nodes[urls[i]][0], urls[i - 1])
+        for u, (name, parent) in nodes.items():
+            rows.append((u, name, parent))
+        for u in urls:
+            expected[u] = model_path(u, nodes)
+
+    cats = spark.createDataFrame(
+        rows, schema="url string, name string, parent_url string"
+    )
+    got = {
+        r["url"]: list(r["path"])
+        for r in ancestor_paths(cats).collect()
+    }
+    assert len(got) == len(expected)
+    diffs = {u: (got[u], expected[u]) for u in expected if got[u] != expected[u]}
+    assert not diffs, f"{len(diffs)} mismatches; first: {list(diffs.items())[:3]}"
+    assert all(len(p) <= MAX_HOPS for p in got.values())
