@@ -137,3 +137,48 @@ def test_oversized_query_set_fails_loudly(spark, tmp_path, monkeypatch):
         SIM.lsh_bucketed_topk(emb, list(range(10)), k=5)
     with pytest.raises(ValueError, match="query set"):
         SIM.ivf_topk(emb, list(range(10)), k=5)
+
+
+def test_ivf_index_matches_in_session_ivf(spark, tmp_path):
+    """The persisted IVF index must return exactly what ivf_topk
+    returns in-session (same quantizer, same probe rule), and its
+    scan must be pruned to the probed cid lists."""
+    emb = load_table(spark, SF, "embeddings")
+    cents = SIM.ivf_train(emb, k=16)
+    path = str(tmp_path / "ivf_index")
+    SIM.write_ivf_index(emb, path, centroids=cents)
+
+    queries = emb.filter(F.col("vec_id").isin(QIDS))
+    served = SIM.ivf_index_topk(spark, path, queries, k=5, nprobe=2)
+    want = {
+        (r["query_id"], r["neighbor_id"], r["cosine_sim"])
+        for r in SIM.ivf_topk(emb, QIDS, k=5, centroids=cents).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"], r["cosine_sim"])
+        for r in served.collect()
+    }
+    assert got == want
+    # probe = pruning: the cid filter must reach the scan
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "cid" in plan and ("In(cid" in plan or "INSET" in plan or "in(cid" in plan), plan
+
+
+def test_ivf_index_partitioned_layout_same_results(spark, tmp_path):
+    emb = load_table(spark, SF, "embeddings")
+    cents = SIM.ivf_train(emb, k=16)
+    flat = str(tmp_path / "flat")
+    part = str(tmp_path / "part")
+    SIM.write_ivf_index(emb, flat, centroids=cents, partitioned=False)
+    SIM.write_ivf_index(emb, part, centroids=cents, partitioned=True)
+    from pathlib import Path
+
+    assert list(Path(part).glob("cid=*")), "expected cid directory partitions"
+    queries = emb.filter(F.col("vec_id").isin(QIDS))
+    rows = lambda p: sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine_sim"])
+        for r in SIM.ivf_index_topk(spark, p, queries).collect()
+    )
+    assert rows(flat) == rows(part)
+    # each vector stored exactly once
+    assert spark.read.parquet(part).count() == emb.count()

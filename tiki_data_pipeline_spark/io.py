@@ -39,8 +39,20 @@ ALWAYS_BROADCAST = {"region", "nation"}
 # (applicationId, sf_dir, table) → DataFrame. A DataFrame is an
 # immutable lazy plan, so reusing it across queries is safe and skips
 # re-reading parquet footers/schema on every one of the ~100 registry
-# queries that start from the same ten tables.
+# queries that start from the same ten tables. The fixture dirs are
+# read-only; long-lived sessions that rewrite a table in place must
+# call clear_table_cache() or the cached plan may pin a stale schema.
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def clear_table_cache(sf_dir: str | None = None) -> int:
+    """Invalidate cached table plans (all, or one sf_dir's). Returns
+    the number of entries dropped. For sessions that rewrite fixture
+    tables in place — the benchmark paths never do."""
+    keys = [k for k in _TABLE_CACHE if sf_dir is None or k[1] == sf_dir]
+    for k in keys:
+        del _TABLE_CACHE[k]
+    return len(keys)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

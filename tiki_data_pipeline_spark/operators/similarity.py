@@ -736,3 +736,136 @@ def lsh_index_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+# ------------------------------------------------------------------
+# Persisted IVF index: the trained-quantizer twin of the LSH index.
+# The corpus is materialized ONCE as inverted lists (partitioned by
+# nearest-centroid id) with the trained centroids stored alongside, so
+# serving a query is: score k centroids driver-side, read nprobe
+# partitions (parquet partition pruning), one broadcast join. At
+# 100 TB the bytes read per query are nprobe/k of the corpus; nothing
+# is retrained or reshuffled at query time.
+
+
+def write_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    centroids: DataFrame | None = None,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    partitioned: bool | None = None,
+    partition_min_rows: int = 200_000,
+) -> None:
+    """Materialize the corpus as IVF inverted lists (one row per
+    vector, keyed by its nearest centroid). The centroid table is
+    persisted under ``<path>/_centroids`` — an underscore-prefixed
+    directory the parquet reader treats as hidden, so a plain read of
+    ``path`` still sees only the corpus rows.
+
+    Layout is scale-aware exactly like ``write_lsh_index``: directory
+    partitions by ``cid`` for big corpora (probes become partition
+    pruning), one cid-sorted dataset below ``partition_min_rows``
+    (row-group min/max pruning, no small-files blowup).
+    """
+    base = embeddings.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    )
+    if centroids is None:
+        centroids = ivf_train(
+            embeddings, k=n_centroids, id_col=id_col, vec_col=vec_col
+        )
+    assigned = assign_to_centroids(base, centroids).join(base, "id")
+    if partitioned is None:
+        partitioned = base.count() >= partition_min_rows
+    if partitioned:
+        (
+            # co-locate each list on one task first — otherwise every
+            # input partition writes a file into every cid directory
+            assigned.repartition(F.col("cid"))
+            .write.mode("overwrite")
+            .partitionBy("cid")
+            .parquet(path)
+        )
+    else:
+        (
+            assigned.repartitionByRange(4, "cid")
+            .sortWithinPartitions("cid")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    centroids.write.mode("overwrite").parquet(path.rstrip("/") + "/_centroids")
+
+
+def ivf_index_topk(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k served from a persisted IVF index: per query, pick
+    the ``nprobe`` nearest centroids driver-side (k×dim numpy — the
+    centroid table is tiny by construction), scan only those inverted
+    lists (partition/row-group pruning on ``cid``), broadcast-join the
+    queries, exact-cosine re-rank. Probe selection and candidate sets
+    match ``ivf_topk`` bit-for-bit (same argmin, ties toward the
+    lowest cid), so the two paths share one oracle.
+    """
+    import numpy as np
+
+    from pyspark.sql import Window as W
+
+    cent_rows = sorted(
+        spark.read.parquet(index_path.rstrip("/") + "/_centroids").collect(),
+        key=lambda r: r["cid"],
+    )
+    cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
+    cmat = np.array([r["cv"] for r in cent_rows], dtype=np.float64)
+
+    q_rows = (
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+        )
+        .limit(MAX_QUERY_SET + 1)  # bound the collect before it happens
+        .collect()
+    )
+    _check_query_set(len(q_rows))
+    probe_rows = []
+    for r in q_rows:
+        qv = np.asarray(r["qv"], dtype=np.float64)
+        # |q-c|² − |q|² = −2q·c + |c|²; same argmin order as ivf_topk
+        d = -2.0 * (cmat @ qv) + (cmat * cmat).sum(axis=1)
+        order = np.lexsort((cids, d))[: min(nprobe, len(cids))]
+        probe_rows.extend(
+            (r["query_id"], r["qv"], int(cids[i])) for i in order
+        )
+    probe_cids = sorted({c for _, _, c in probe_rows})
+    probes = spark.createDataFrame(
+        probe_rows, schema="query_id long, qv array<double>, cid int"
+    )
+    index = spark.read.parquet(index_path).filter(
+        F.col("cid").isin(probe_cids)  # partition pruning, not a scan
+    )
+    cand = index.join(F.broadcast(probes), "cid").filter(
+        F.col("id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        F.round(
+            _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v"))),
+            6,
+        ).alias("cosine_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
