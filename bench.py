@@ -43,6 +43,16 @@ def main() -> None:
     # Warm the JVM + parquet footers once so timings measure the engine,
     # not first-touch classloading.
     QUERIES["q1_pricing_summary"](spark, SF_DIR).count()
+    # Also warm the Arrow/Python worker pool: otherwise the first
+    # pandas-UDF query in alphabetical order is charged ~1-2 s of
+    # one-time worker spawn that is not part of its plan.
+    import pandas as pd  # noqa: F401
+
+    (
+        spark.range(0, 64, 1, int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+        .mapInPandas(lambda it: it, schema="id long")
+        .count()
+    )
 
     timings: dict[str, float] = {}
     failures: list[str] = []
