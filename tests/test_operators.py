@@ -244,3 +244,23 @@ def test_simhash_pigeonhole_matches_allpairs(spark):
     plan = blocked._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_train_degenerate_inputs(spark):
+    """Empty corpora / all-null embeddings / k=0 return an empty
+    centroid table instead of crashing in the Lloyd loop."""
+    import numpy as np
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert SIM.ivf_train(empty, k=4).count() == 0
+    nulls = spark.createDataFrame(
+        [(1, None), (2, None)], "vec_id long, embedding array<float>"
+    )
+    assert SIM.ivf_train(nulls, k=4).count() == 0
+    one = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    assert SIM.ivf_train(one, k=4).count() == 1  # k' = min(k, n)
+    # pure-numpy core: empty matrix and k<=0 both yield empty output
+    assert SIM.lloyd_centroids(np.zeros((0, 8)), 4).shape == (0, 8)
+    assert SIM.lloyd_centroids(np.zeros((3, 8)), 0).shape == (0, 8)
