@@ -57,8 +57,9 @@ _PREVIOUSLY_UNSAMPLED = [
     "corpus_quality_filter", "category_name_reconciliation",
     "category_image_filter", "dlq_error_routing",
     "html_field_extraction",
-    # -- newly oracle-equipped this round --
+    # -- newly oracle-equipped / newly added this round --
     "embedding_ann_ivf_topk",
+    "embedding_ann_ivf_index_topk",
     # -- refresh of the r4 window (already hash-green, keeps the
     #    remaining slots productive) --
     "json_recursive_product_search",

@@ -136,3 +136,12 @@ def test_apply_retention_is_idempotent_on_kept_months(spark, tmp_path):
     assert result["deleted_months"] == []
     assert result["archived_months"] == []
     assert result["kept_months"] == ["2024-07", "2024-12", "2025-01"]
+
+
+def test_apply_retention_none_history_requires_existing_layout(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="no month= partitions"):
+        apply_retention(
+            spark, None, str(tmp_path / "missing"), str(tmp_path / "a"), FX.HISTORY_NOW
+        )

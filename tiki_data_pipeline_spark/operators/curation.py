@@ -317,7 +317,9 @@ def redact_pii(
     number runs replaced by typed tokens, with per-doc counts of the
     tokens ACTUALLY INSERTED (counted on the redacted text, so the
     counts reconcile with the output: an email consumed by an earlier
-    URL replacement counts once, as a URL). Pure JVM
+    URL replacement counts once, as a URL; the trade is that a raw
+    document already containing a literal ``<URL>``-style token string
+    counts it as redacted). Pure JVM
     regexp_replace/regexp_count column expressions — no UDF, fully
     parallel, no shuffle. ``keep_text=True`` adds the redacted text
     itself (the corpus-pipeline shape); the default emits only its

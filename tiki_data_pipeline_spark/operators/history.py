@@ -155,9 +155,18 @@ def apply_retention(
     from datetime import datetime
     from pathlib import Path
 
+    # NULL crawled_at lands in Hive's default partition on the initial
+    # write; the append diff below uses the same name so re-applied
+    # NULL-month rows are neither dropped nor crashed on.
+    null_part = "__HIVE_DEFAULT_PARTITION__"
     base = Path(base_path)
     existing = {p.name.split("=", 1)[1] for p in base.glob("month=*")}
     if not existing:
+        if history is None:
+            raise ValueError(
+                f"apply_retention: {base_path} has no month= partitions and "
+                "history=None — nothing to materialize or retain"
+            )
         hist = history.withColumn("month", F.date_format("crawled_at", "yyyy-MM"))
         hist.write.mode("overwrite").partitionBy("month").parquet(base_path)
     elif history is not None:
@@ -165,17 +174,17 @@ def apply_retention(
         # (a lazy re-read of base_path diffs to nothing and writes
         # nothing; existing months never rewritten).
         hist = history.withColumn("month", F.date_format("crawled_at", "yyyy-MM"))
-        new_months = sorted(
-            r["month"]
+        seen = {
+            r["month"] if r["month"] is not None else null_part
             for r in hist.select("month").distinct().collect()
-            if r["month"] not in existing
-        )
+        }
+        new_months = sorted(seen - existing)
         if new_months:
-            (
-                hist.filter(F.col("month").isin(new_months))
-                .write.mode("append")
-                .partitionBy("month")
-                .parquet(base_path)
+            cond = F.col("month").isin([m for m in new_months if m != null_part])
+            if null_part in new_months:
+                cond = cond | F.col("month").isNull()
+            hist.filter(cond).write.mode("append").partitionBy("month").parquet(
+                base_path
             )
 
     def _shift_month(ts: datetime, months: int) -> str:

@@ -119,11 +119,18 @@ def merge_into_sql(
     rendered statement.
     """
 
-    def q(ident: str) -> str:
+    def qt(ident: str) -> str:
         # table names may be db-qualified; quote each dotted part
         if "`" in ident:
             raise ValueError(f"identifier may not contain backticks: {ident!r}")
         return ".".join(f"`{p}`" for p in ident.split("."))
+
+    def q(ident: str) -> str:
+        # column names quote WHOLE — a dot is part of the name, not a
+        # qualifier (dot-splitting here would render struct access)
+        if "`" in ident:
+            raise ValueError(f"identifier may not contain backticks: {ident!r}")
+        return f"`{ident}`"
 
     cols = [c for c in columns if c != key]
     string_cols = set(string_cols or [])
@@ -145,7 +152,7 @@ def merge_into_sql(
     else:
         raise ValueError(f"unknown merge mode: {mode}")
     return (
-        f"MERGE INTO {q(target)} t USING {q(source)} s"
+        f"MERGE INTO {qt(target)} t USING {qt(source)} s"
         f" ON t.{q(key)} = s.{q(key)}\n"
         + (matched + "\n" if matched else "")
         + f"WHEN NOT MATCHED THEN INSERT ({insert_cols}) VALUES ({insert_vals})"

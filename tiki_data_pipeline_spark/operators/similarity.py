@@ -811,9 +811,13 @@ def ivf_index_topk(
     the ``nprobe`` nearest centroids driver-side (k×dim numpy — the
     centroid table is tiny by construction), scan only those inverted
     lists (partition/row-group pruning on ``cid``), broadcast-join the
-    queries, exact-cosine re-rank. Probe selection and candidate sets
-    match ``ivf_topk`` bit-for-bit (same argmin, ties toward the
-    lowest cid), so the two paths share one oracle.
+    queries, exact-cosine re-rank. Probe selection applies the same
+    rule as ``ivf_topk`` (nprobe nearest centroids by squared
+    distance, ties toward the lowest cid), so the two paths share one
+    oracle; the float formulas differ only in summation order, which
+    can diverge solely on exact distance ties between centroids —
+    measure-zero for real embeddings, and parity is pinned by
+    ``test_ivf_index_matches_in_session_ivf``.
     """
     import numpy as np
 

@@ -539,23 +539,38 @@ def embedding_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # emit_radius=2 the candidate set is exactly Hamming(code_q, code_v)
 # ≤ 2 — the same set the in-session bucket join produces — so the
 # SAME DuckDB oracle pins both paths.
-_LSH_INDEX_CACHE: dict[tuple[str, str], str] = {}
+# (kind, applicationId, sf_dir) → on-disk index path. One helper for
+# every persisted-index family; evicting a dead session's entry also
+# removes its temp tree so long-lived processes don't leak /tmp.
+_INDEX_CACHE: dict[tuple[str, str, str], str] = {}
 
 
-def _lsh_index_cached(spark: SparkSession, sf_dir: str) -> str:
+def _session_index(spark: SparkSession, sf_dir: str, kind: str, build) -> str:
+    import os
+    import shutil
     import tempfile
 
     app_id = spark.sparkContext.applicationId
-    key = (app_id, sf_dir)
-    path = _LSH_INDEX_CACHE.get(key)
+    key = (kind, app_id, sf_dir)
+    path = _INDEX_CACHE.get(key)
     if path is None:
-        path = tempfile.mkdtemp(prefix="lsh_index_") + "/idx"
-        SIM.write_lsh_index(load_table(spark, sf_dir, "embeddings"), path)
-        for k in list(_LSH_INDEX_CACHE):  # drop dead sessions' paths
-            if k[0] != app_id:
-                del _LSH_INDEX_CACHE[k]
-        _LSH_INDEX_CACHE[key] = path
+        path = tempfile.mkdtemp(prefix=f"{kind}_index_") + "/idx"
+        build(path)
+        for k in list(_INDEX_CACHE):  # drop dead sessions' trees
+            if k[1] != app_id:
+                shutil.rmtree(os.path.dirname(_INDEX_CACHE[k]), ignore_errors=True)
+                del _INDEX_CACHE[k]
+        _INDEX_CACHE[key] = path
     return path
+
+
+def _lsh_index_cached(spark: SparkSession, sf_dir: str) -> str:
+    return _session_index(
+        spark,
+        sf_dir,
+        "lsh",
+        lambda p: SIM.write_lsh_index(load_table(spark, sf_dir, "embeddings"), p),
+    )
 
 
 @query(
@@ -857,29 +872,20 @@ def embedding_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Persisted IVF index (built once per session, like the LSH index):
 # the inverted lists live on disk partitioned by cid and the probe is
-# partition pruning. Candidate sets match ivf_topk bit-for-bit, so
-# the SAME literal-centroid oracle pins both paths.
-_IVF_INDEX_CACHE: dict[tuple[str, str], str] = {}
-
-
+# partition pruning. Candidate sets match ivf_topk's (same quantizer,
+# same probe rule; parity pinned by test_ivf_index_matches_in_session_ivf),
+# so the SAME literal-centroid oracle pins both paths.
 def _ivf_index_cached(spark: SparkSession, sf_dir: str) -> str:
-    import tempfile
-
-    app_id = spark.sparkContext.applicationId
-    key = (app_id, sf_dir)
-    path = _IVF_INDEX_CACHE.get(key)
-    if path is None:
-        path = tempfile.mkdtemp(prefix="ivf_index_") + "/idx"
-        SIM.write_ivf_index(
+    return _session_index(
+        spark,
+        sf_dir,
+        "ivf",
+        lambda p: SIM.write_ivf_index(
             load_table(spark, sf_dir, "embeddings"),
-            path,
+            p,
             centroids=_ivf_centroids_cached(spark, sf_dir),
-        )
-        for k in list(_IVF_INDEX_CACHE):  # drop dead sessions' paths
-            if k[0] != app_id:
-                del _IVF_INDEX_CACHE[k]
-        _IVF_INDEX_CACHE[key] = path
-    return path
+        ),
+    )
 
 
 @query("embedding_ann_ivf_index_topk", oracle=_ivf_oracle)

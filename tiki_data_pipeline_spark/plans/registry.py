@@ -30,8 +30,6 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # An oracle is either a SQL string or, for oracles whose SQL embeds
 # data-derived literals (e.g. IVF centroids trained from the corpus),
 # a callable ``(sf_dir) -> str`` rendered at compare time per sf.
-OracleSql = "str | Callable[[str], str]"
-
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str | Callable[[str], str]] = {}
 
