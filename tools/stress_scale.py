@@ -81,7 +81,24 @@ def build(spark, dst: str, n: int) -> None:
         .drop("rep")
         .write.parquet(f"{dst}/documents.parquet")
     )
-    for t in ["region", "nation", "supplier", "part", "events", "embeddings"]:
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    (
+        # keep rep 0 ids intact so the registry's _QUERY_IDS still
+        # exist; perturb replica vectors slightly so the N× corpus is
+        # not pure duplicates (a degenerate ANN case)
+        emb.crossJoin(reps)
+        .withColumn("vec_id", F.col("vec_id") + F.col("rep") * 100_000)
+        .withColumn(
+            "embedding",
+            F.transform(
+                "embedding",
+                lambda x: x + (F.col("rep") % 7).cast("float") * F.lit(0.001),
+            ),
+        )
+        .drop("rep")
+        .write.parquet(f"{dst}/embeddings.parquet")
+    )
+    for t in ["region", "nation", "supplier", "part", "events"]:
         spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
             f"{dst}/{t}.parquet"
         )
@@ -102,6 +119,34 @@ def main() -> None:
         t0 = time.perf_counter()
         rows = QUERIES[q](spark, dst).count()
         print(f"{q}: {time.perf_counter() - t0:.2f}s ({rows} rows) at {n}x")
+
+    # Persisted-ANN scale check: the index build is the only cost that
+    # grows with the corpus; serve time must track probed-partition
+    # bytes. Printed separately so build amortization is visible.
+    from tiki_data_pipeline_spark.io import load_table
+    from tiki_data_pipeline_spark.operators import similarity as SIM
+
+    emb = load_table(spark, dst, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    for kind in ("lsh", "ivf"):
+        path = f"{dst}/{kind}_index"
+        t0 = time.perf_counter()
+        if kind == "lsh":
+            if not os.path.isdir(path):
+                SIM.write_lsh_index(emb, path)
+            built = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            rows = SIM.lsh_index_topk(spark, path, queries, k=5, emit_radius=2).count()
+        else:
+            if not os.path.isdir(path):
+                SIM.write_ivf_index(emb, path)
+            built = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            rows = SIM.ivf_index_topk(spark, path, queries, k=5).count()
+        print(
+            f"{kind}_index: build {built:.2f}s serve "
+            f"{time.perf_counter() - t0:.2f}s ({rows} rows) at {n}x"
+        )
 
 
 if __name__ == "__main__":
