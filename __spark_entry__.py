@@ -115,5 +115,10 @@ def oracle_sql() -> dict[str, str]:
         o = ORACLES.get(n)
         if o is None:
             continue
-        out[n] = o(DRIVER_SF_DIR) if callable(o) else o
+        if callable(o):
+            try:
+                o = o(DRIVER_SF_DIR)
+            except Exception:  # degrade ONE query to rows-only, not the sweep
+                continue
+        out[n] = o
     return out
