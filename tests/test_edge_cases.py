@@ -204,3 +204,84 @@ def test_jvm_values_df_preserves_backslashes_and_quotes(spark):
     df = jvm_values_df(spark, [("i", "INT"), ("s", "STRING")], rows)
     got = {r["i"]: r["s"] for r in df.collect()}
     assert got == dict(rows)
+
+
+def test_upsert_duplicate_incoming_keys_no_fanout(spark):
+    """A duplicate key in incoming must not multiply output rows
+    quadratically through the presence join (review r5 finding)."""
+    from tiki_data_pipeline_spark.operators.merge import (
+        upsert_overwrite,
+        upsert_preserve_nonnull,
+    )
+
+    cur = spark.createDataFrame([(1, "a")], "k int, v string")
+    inc = spark.createDataFrame([(1, "x"), (1, "y")], "k int, v string")
+    # full-outer fan-out on the key itself is inherent (2 incoming
+    # rows for one current row -> 2 joined rows), but the old extra
+    # presence join SQUARED it to 4
+    assert upsert_overwrite(cur, inc, "k").count() == 2
+    assert upsert_preserve_nonnull(cur, inc, "k", ["v"]).count() == 2
+
+
+def test_scd2_null_valid_from_row_not_destroyed(spark):
+    """An existing current row with NULL valid_from must be treated as
+    EXISTING (closed + new version on change), not as a brand-new key
+    whose old values vanish (review r5 finding)."""
+    from tiki_data_pipeline_spark.operators.scd import scd2_apply
+
+    dim = spark.createDataFrame(
+        [("K", "old-name", None, None, True)],
+        "key string, name string, valid_from timestamp, valid_to timestamp,"
+        " is_current boolean",
+    )
+    inc = spark.createDataFrame([("K", "new-name")], "key string, name string")
+    out = scd2_apply(dim, inc, "key", ["name"], "2025-01-20 00:00:00")
+    rows = {(r["name"], r["is_current"]) for r in out.collect()}
+    assert ("old-name", False) in rows, rows  # closed, not destroyed
+    assert ("new-name", True) in rows, rows
+
+
+def test_ann_zero_norm_vector_never_ranks(spark):
+    """A zero vector has no defined cosine; it must not surface as a
+    NaN-scored rank-1 neighbor (review r5 finding)."""
+    from tiki_data_pipeline_spark.operators import similarity as SIM
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0]),
+            (3, [0.5, 0.5]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = SIM.brute_force_topk(emb, [0], k=3).collect()
+    assert all(r["neighbor_id"] != 2 for r in got), got
+    assert all(r["cosine_sim"] == r["cosine_sim"] for r in got)  # no NaN
+
+
+def test_history_null_price_change_classification(spark):
+    """NULL-price transitions follow the reference's null-safe compare:
+    value->NULL and NULL->value are price_change; only the first ROW
+    is first_seen (review r5 finding)."""
+    from tiki_data_pipeline_spark.operators.history import with_change_columns
+
+    hist = spark.createDataFrame(
+        [
+            (1, "P", None, None, None, 5, "2025-01-01 00:00:00"),
+            (2, "P", 100.0, 100.0, 0, 5, "2025-01-02 00:00:00"),
+            (3, "P", None, None, None, 5, "2025-01-03 00:00:00"),
+            (4, "P", None, None, None, 5, "2025-01-04 00:00:00"),
+        ],
+        "history_id long, product_id string, price double,"
+        " original_price double, discount_percent int, sales_count long,"
+        " crawled_at string",
+    ).withColumn("crawled_at", F.to_timestamp("crawled_at"))
+    got = {
+        r["history_id"]: r["crawl_type"]
+        for r in with_change_columns(hist).collect()
+    }
+    assert got == {
+        1: "first_seen",     # first ROW, even with NULL price
+        2: "price_change",   # NULL -> 100
+        3: "price_change",   # 100 -> NULL
+        4: "no_change",      # NULL -> NULL, sales equal
+    }, got

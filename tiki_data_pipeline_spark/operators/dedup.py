@@ -154,6 +154,11 @@ def lsh_band_signatures(
     """(doc, band, band_sig) rows: each band concatenates its r
     minhash columns — a stack over the wide signature row, no second
     aggregation."""
+    if k % bands:
+        raise ValueError(
+            f"k={k} must be divisible by bands={bands} — a truncated "
+            "band scheme silently changes the collision probability"
+        )
     r = k // bands
     # stack(bands, band0, sig0, band1, sig1, ...) unpivots the wide row
     stack_args = []

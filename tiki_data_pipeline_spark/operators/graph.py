@@ -100,10 +100,9 @@ def dedup_survivors(
     pairs) survive unchanged. Adds ``survivor`` boolean."""
     comps = connected_components(pairs)
     joined = docs.join(comps, docs[id_col] == comps.node, "left")
-    keep = (
-        comps.groupBy("component").agg(F.min("node").alias("_keeper"))
-    )
-    joined = joined.join(keep, "component", "left")
+    # at the fixpoint a node's component label IS the minimum id of
+    # its component, so the survivor test is a direct comparison — no
+    # per-component min aggregation or second join needed
     return joined.withColumn(
-        "survivor", F.col("node").isNull() | (F.col(id_col) == F.col("_keeper"))
-    ).drop("node", "component", "_keeper")
+        "survivor", F.col("node").isNull() | (F.col(id_col) == F.col("component"))
+    ).drop("node", "component")

@@ -232,7 +232,9 @@ def repair_paths(
         known_roots.select(F.col("name").alias("_root_name")).distinct()
     )
     joined = paths.join(
-        roots, F.element_at("path", 1) == F.col("_root_name"), "left"
+        # try_element_at: ANSI mode makes element_at THROW on an empty
+        # path array (same reason with_level_pivot uses it)
+        roots, F.try_element_at("path", F.lit(1)) == F.col("_root_name"), "left"
     )
     repaired = F.when(F.col("_root_name").isNotNull(), F.col("path")).otherwise(
         F.concat(F.array(F.lit(default_root)), F.col("path"))

@@ -78,9 +78,16 @@ def with_change_columns(history: DataFrame) -> DataFrame:
         )
         .withColumn(
             "crawl_type",
-            F.when(prev_price.isNull(), "first_seen")
-            .when(F.col("price") != prev_price, "price_change")
-            .when(F.col("sales_count") != prev_sales, "sales_change")
+            # first_seen = no previous ROW (not "previous price was
+            # NULL"), and null-SAFE change compares — the reference's
+            # Python `!=` treats None-vs-value as a change and keys
+            # "first crawl" off row presence (postgres_storage.py:
+            # 1318-1345); plain Spark != would misroute NULL prices
+            # into no_change and NULL-price predecessors into
+            # first_seen.
+            F.when(F.lag(F.lit(1)).over(w).isNull(), "first_seen")
+            .when(~F.col("price").eqNullSafe(prev_price), "price_change")
+            .when(~F.col("sales_count").eqNullSafe(prev_sales), "sales_change")
             .otherwise("no_change"),
         )
     )

@@ -116,7 +116,11 @@ def extract_products(payload: str) -> list[dict]:
             if not url or not url.startswith("http"):
                 url = f"https://tiki.vn/p/{product_id}"
             # Reference operator-precedence quirk preserved: the whole
-            # or-chain is conditional on images being a list.
+            # or-chain is conditional on images being a list. An EMPTY
+            # images list raises IndexError here and the per-item
+            # except drops the product — also reference behavior
+            # (crawl_products.py:521-555 wraps the same expression in
+            # `except Exception: continue`), kept for output parity.
             image_url = (
                 item.get("image_url")
                 or item.get("thumbnail_url")

@@ -25,12 +25,15 @@ def upsert_overwrite(current: DataFrame, incoming: DataFrame, key: str) -> DataF
     column: incoming row wins wholesale (reference loader.py:232-293)."""
     cols = [c for c in current.columns if c != key]
     cur = current.select(key, *[F.col(c).alias(f"_old_{c}") for c in cols])
-    inc = incoming.select(key, *[F.col(c).alias(f"_new_{c}") for c in cols])
     # row-wins semantics: when the incoming side exists, every column
-    # comes from it (including its NULLs) — presence tracked explicitly
-    # because a NULL _new_ column can't distinguish "absent row".
-    inc_present = incoming.select(key).withColumn("_inc", F.lit(True))
-    joined = cur.join(inc, key, "full_outer").join(inc_present, key, "left")
+    # comes from it (including its NULLs) — presence tracked by a
+    # lit(True) marker ON the incoming side (a NULL _new_ column can't
+    # distinguish "absent row"; a separate presence join would fan out
+    # quadratically on duplicate incoming keys).
+    inc = incoming.select(
+        key, *[F.col(c).alias(f"_new_{c}") for c in cols]
+    ).withColumn("_inc", F.lit(True))
+    joined = cur.join(inc, key, "full_outer")
     picked = [
         F.when(F.col("_inc").isNotNull(), F.col(f"_new_{c}"))
         .otherwise(F.col(f"_old_{c}"))
@@ -52,10 +55,13 @@ def upsert_preserve_nonnull(
     """
     cur_cols = [c for c in current.columns if c != key]
     inc_cols = [c for c in incoming.columns if c != key]
-    cur = current.select(key, *[F.col(c).alias(f"_old_{c}") for c in cur_cols])
+    # presence marker on the current side (a separate presence join
+    # would fan out quadratically on duplicate keys)
+    cur = current.select(
+        key, *[F.col(c).alias(f"_old_{c}") for c in cur_cols]
+    ).withColumn("_old_present", F.lit(True))
     inc = incoming.select(key, *[F.col(c).alias(f"_new_{c}") for c in inc_cols])
-    old_present = current.select(key).withColumn("_old_present", F.lit(True))
-    joined = cur.join(inc, key, "full_outer").join(old_present, key, "left")
+    joined = cur.join(inc, key, "full_outer")
     out_cols = []
     for c in cur_cols + [c for c in inc_cols if c not in cur_cols]:
         new_c = F.col(f"_new_{c}") if c in inc_cols else None

@@ -225,6 +225,8 @@ def media_embeddings(media: DataFrame, dim: int = 64, fake: bool = True) -> Data
     a deterministic byte-histogram projection (numpy over the Arrow
     batch — the exact shape a real encoder UDF takes: batched tensors
     in, fixed-dim float vectors out, id passthrough)."""
+    if 256 % dim:
+        raise ValueError(f"dim must divide 256 (byte-histogram fold), got {dim}")
     out_schema = "media_id long, embedding array<double>"
 
     def featurize(batches):

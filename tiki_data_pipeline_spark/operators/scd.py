@@ -70,9 +70,12 @@ def scd2_apply(
     inc = incoming.select(
         key, *[F.col(c).alias(f"_new_{c}") for c in tracked]
     ).withColumn("_inc", F.lit(True))
+    # explicit presence marker — keying "new" off valid_from IS NULL
+    # would destroy an existing current row whose valid_from is NULL
+    cur = cur.withColumn("_cur", F.lit(True))
     joined = cur.join(inc, key, "full_outer")
 
-    is_new_key = F.col("valid_from").isNull()
+    is_new_key = F.col("_cur").isNull()
     changed = F.col("_inc").isNotNull() & ~is_new_key & _differs(tracked)
 
     def _version(src: str, valid_from: Column, valid_to: Column, is_cur: bool) -> Column:

@@ -72,9 +72,13 @@ def brute_force_topk(
 
     # norms are precomputed once per vector (same doubles as computing
     # them inside the per-pair cosine: dot/(norm_q · norm_v))
-    base = embeddings.select(
-        id_col, as_double(F.col(vec_col)).alias("v")
-    ).withColumn("nrm", _norm(F.col("v")))
+    base = (
+        embeddings.select(id_col, as_double(F.col(vec_col)).alias("v"))
+        .withColumn("nrm", _norm(F.col("v")))
+        # zero-norm vectors have no defined cosine; NaN would sort
+        # ABOVE every real score in the desc window — drop them
+        .filter(F.col("nrm") > 0)
+    )
     queries = base.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),
         F.col("v").alias("qv"),
@@ -348,6 +352,7 @@ def lsh_bucketed_topk(
         embeddings.select(id_col, as_double(F.col(vec_col)).alias("v"))
         .withColumn("bucket", lsh_bucket(F.col("v"), dim, n_planes))
         .withColumn("nrm", _norm(F.col("v")))
+        .filter(F.col("nrm") > 0)  # see brute_force_topk: NaN guard
     )
     queries = (
         base.filter(F.col(id_col).isin(query_ids))
@@ -564,9 +569,13 @@ def ivf_topk(
     from pyspark.sql import Window as W
 
     _check_query_set(len(query_ids))
-    base = embeddings.select(
-        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
-    ).withColumn("nrm", _norm(F.col("v")))
+    base = (
+        embeddings.select(
+            F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+        )
+        .withColumn("nrm", _norm(F.col("v")))
+        .filter(F.col("nrm") > 0)  # see brute_force_topk: NaN guard
+    )
     if centroids is None:
         centroids = ivf_train(
             embeddings, k=n_centroids, id_col=id_col, vec_col=vec_col
@@ -655,7 +664,12 @@ def write_lsh_index(
         F.col(id_col).alias("id"),
         as_double(F.col(vec_col)).alias("v"),
         lsh_bucket(as_double(F.col(vec_col)), dim, n_planes).alias("bkt"),
-    )
+    ).withColumn(
+        # norm materialized at build time: serving divides by it
+        # instead of re-folding O(dim) per candidate row; zero-norm
+        # vectors (undefined cosine) are excluded from the index
+        "nrm", _norm(F.col("v"))
+    ).filter(F.col("nrm") > 0)
     if partitioned is None:
         partitioned = base.count() >= partition_min_rows
     if partitioned:
@@ -675,6 +689,15 @@ def write_lsh_index(
             .write.mode("overwrite")
             .parquet(path)
         )
+
+
+def _py_norm(v) -> float:
+    """Driver-side replica of ``_norm``'s SEQUENTIAL fold (same
+    addition order → bit-identical double) for collected query rows."""
+    acc = 0.0
+    for x in v:
+        acc += x * x
+    return acc ** 0.5
 
 
 def lsh_index_topk(
@@ -708,11 +731,14 @@ def lsh_index_topk(
     _check_query_set(len(q_rows))
     masks = probe_masks(n_planes, emit_radius)
     probe_rows = [
-        (r["query_id"], r["qv"], int(r["qb"]) ^ m) for r in q_rows for m in masks
+        (r["query_id"], r["qv"], _py_norm(r["qv"]), int(r["qb"]) ^ m)
+        for r in q_rows
+        for m in masks
+        if _py_norm(r["qv"]) > 0  # zero-norm query: no defined cosine
     ]
-    probe_buckets = sorted({b for _, _, b in probe_rows})
+    probe_buckets = sorted({b for _, _, _, b in probe_rows})
     probes = spark.createDataFrame(
-        probe_rows, schema="query_id long, qv array<double>, bkt int"
+        probe_rows, schema="query_id long, qv array<double>, qn double, bkt int"
     )
     index = spark.read.parquet(index_path).filter(
         F.col("bkt").isin(probe_buckets)  # partition pruning, not a scan
@@ -723,9 +749,10 @@ def lsh_index_topk(
     scored = cand.select(
         "query_id",
         F.col("id").alias("neighbor_id"),
+        # qn computed once per query driver-side, nrm stored in the
+        # index — no per-candidate O(dim) norm folds on the serve path
         F.round(
-            _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v"))),
-            6,
+            _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
         ).alias("cosine_sim"),
     )
     w = W.partitionBy("query_id").orderBy(
@@ -769,8 +796,11 @@ def write_ivf_index(
     pruning), one cid-sorted dataset below ``partition_min_rows``
     (row-group min/max pruning, no small-files blowup).
     """
-    base = embeddings.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    base = (
+        embeddings.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+        .withColumn("nrm", _norm(F.col("v")))  # see write_lsh_index
+        .filter(F.col("nrm") > 0)
     )
     if centroids is None:
         centroids = ivf_train(
@@ -840,16 +870,19 @@ def ivf_index_topk(
     _check_query_set(len(q_rows))
     probe_rows = []
     for r in q_rows:
+        qn = _py_norm(r["qv"])
+        if qn == 0:  # zero-norm query: no defined cosine
+            continue
         qv = np.asarray(r["qv"], dtype=np.float64)
         # |q-c|² − |q|² = −2q·c + |c|²; same argmin order as ivf_topk
         d = -2.0 * (cmat @ qv) + (cmat * cmat).sum(axis=1)
         order = np.lexsort((cids, d))[: min(nprobe, len(cids))]
         probe_rows.extend(
-            (r["query_id"], r["qv"], int(cids[i])) for i in order
+            (r["query_id"], r["qv"], qn, int(cids[i])) for i in order
         )
-    probe_cids = sorted({c for _, _, c in probe_rows})
+    probe_cids = sorted({c for _, _, _, c in probe_rows})
     probes = spark.createDataFrame(
-        probe_rows, schema="query_id long, qv array<double>, cid int"
+        probe_rows, schema="query_id long, qv array<double>, qn double, cid int"
     )
     index = spark.read.parquet(index_path).filter(
         F.col("cid").isin(probe_cids)  # partition pruning, not a scan
@@ -860,9 +893,9 @@ def ivf_index_topk(
     scored = cand.select(
         "query_id",
         F.col("id").alias("neighbor_id"),
+        # qn driver-side once per query, nrm stored at build time
         F.round(
-            _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v"))),
-            6,
+            _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
         ).alias("cosine_sim"),
     )
     w = W.partitionBy("query_id").orderBy(

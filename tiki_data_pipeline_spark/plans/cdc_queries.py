@@ -34,9 +34,10 @@ changes AS (
          sales_count - LAG(sales_count) OVER w AS sales_change,
          ROUND(original_price - price, 2) AS discount_amount,
          (discount_percent >= 30 OR original_price - price >= 100000) AS is_flash_sale,
-         CASE WHEN LAG(price) OVER w IS NULL THEN 'first_seen'
-              WHEN price <> LAG(price) OVER w THEN 'price_change'
-              WHEN sales_count <> LAG(sales_count) OVER w THEN 'sales_change'
+         CASE WHEN ROW_NUMBER() OVER w = 1 THEN 'first_seen'
+              WHEN price IS DISTINCT FROM LAG(price) OVER w THEN 'price_change'
+              WHEN sales_count IS DISTINCT FROM LAG(sales_count) OVER w
+                THEN 'sales_change'
               ELSE 'no_change' END AS crawl_type
   FROM crawl_history
   WINDOW w AS (PARTITION BY product_id ORDER BY crawled_at ASC, history_id ASC)
