@@ -20,7 +20,11 @@ def test_parse_price_cases(spark):
         "389.000₫": 389000,
         "1.250.000₫": 1250000,
         "150000": 150000,
-        "-5000": -5000,
+        # reference strips ALL non-digits (utils.py re.sub [^\d]):
+        # dashes vanish, so signs don't survive and a range string
+        # concatenates — quirk preserved for parity
+        "-5000": 5000,
+        "389.000₫ - 459.000₫": 389000459000,
         "0₫": 0,
         "": None,
     }

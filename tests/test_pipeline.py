@@ -15,7 +15,7 @@ def test_pipeline_end_to_end(spark, tmp_path):
     cats = FX.categories_df(spark)
 
     report = pipe.run(raw, cats)
-    assert report["stats"]["total_products"] == 7  # valid+deduped fixture rows
+    assert report["stats"]["total_products"] == 8  # valid+deduped fixture rows
     assert report["stats"]["min_price"] > 0
     assert report["n_categories"] == 17
     assert report["quarantined"] >= 1  # rows with missing critical fields
@@ -29,6 +29,6 @@ def test_pipeline_end_to_end(spark, tmp_path):
     # second run: same input upserts into the existing table (M2),
     # preserving non-null values and not duplicating keys
     report2 = pipe.run(raw, cats)
-    assert report2["stats"]["total_products"] == 7
+    assert report2["stats"]["total_products"] == 8
     products2 = spark.read.parquet(str(tmp_path / "warehouse" / "products"))
-    assert products2.select("product_id").distinct().count() == 7
+    assert products2.select("product_id").distinct().count() == 8

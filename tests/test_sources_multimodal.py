@@ -244,3 +244,27 @@ def test_write_training_shards_ordered_layout(spark, tmp_path):
         assert order == sorted(order), f"{d.name} not in packing order"
     total = spark.read.parquet(path).count()
     assert total == docs.count()
+
+
+def test_compact_parquet_recovers_from_stale_old_dir(spark, tmp_path):
+    """A crash-leftover '.old' directory must not corrupt the next
+    compaction (stale-old discarded when path is live; restored as
+    live when the swap died between renames)."""
+    import shutil
+    from pathlib import Path
+
+    from tiki_data_pipeline_spark.sources.files import compact_parquet
+
+    path = str(tmp_path / "ds")
+    spark.range(100).write.parquet(path)
+    # simulate crash-after-swap: stale .old from a previous run
+    shutil.copytree(path, path + ".old")
+    compact_parquet(spark, path, target_files=1)
+    assert spark.read.parquet(path).count() == 100
+    assert not Path(path + ".old").exists()
+
+    # simulate crash-between-renames: only .old exists
+    shutil.move(path, path + ".old")
+    compact_parquet(spark, path, target_files=1)
+    assert spark.read.parquet(path).count() == 100
+    assert not Path(path + ".old").exists()

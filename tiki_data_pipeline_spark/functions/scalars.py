@@ -34,10 +34,12 @@ SELLER_JUNK_PATTERNS = [
 
 
 def parse_price(col: Column) -> Column:
-    """F1 — lenient price parse: strip everything but digits and a
-    leading sign, cast to long ('389.000₫' → 389000).
-    Reference utils.py:417-434."""
-    cleaned = F.nullif(F.regexp_replace(col, r"[^0-9-]", ""), F.lit(""))
+    """F1 — lenient price parse: strip every non-digit, cast to long
+    ('389.000₫' → 389000). Exact port of reference utils.py:417-434
+    (re.sub(r'[^\\d]')) — including its quirk that a range string
+    '389.000 - 459.000' concatenates to one number; prices are never
+    negative so no sign survives."""
+    cleaned = F.nullif(F.regexp_replace(col, r"[^0-9]", ""), F.lit(""))
     return cleaned.try_cast("bigint")
 
 
@@ -66,6 +68,10 @@ def parse_datetime(col: Column) -> Column:
     return F.coalesce(
         F.try_to_timestamp(col, F.lit("yyyy-MM-dd HH:mm:ss")),
         F.try_to_timestamp(col, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
+        # fractional-second variants (reference formats list includes
+        # %f twice); .SSSSSS parses 1-6 fraction digits
+        F.try_to_timestamp(col, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")),
+        F.try_to_timestamp(col, F.lit("yyyy-MM-dd HH:mm:ss.SSSSSS")),
         F.try_to_timestamp(col, F.lit("yyyy-MM-dd")),
     )
 
@@ -137,10 +143,12 @@ def slug_to_name(col: Column) -> Column:
 
 def recompute_discount(price: Column, original: Column, existing: Column) -> Column:
     """F20/P3 — ``round((orig-cur)/orig*100, 2)`` only when both present
-    and orig > 0, else keep the existing value.
-    Reference transformer.py:264-274."""
+    (and, matching the reference's Python truthiness, NONZERO — a
+    zero/free price keeps the stored discount) and orig > 0, else keep
+    the existing value. Reference transformer.py:264-274."""
     return F.when(
-        price.isNotNull() & original.isNotNull() & (original > 0),
+        price.isNotNull() & (price != 0)
+        & original.isNotNull() & (original > 0),
         F.round((original - price) / original * 100, 2),
     ).otherwise(existing)
 

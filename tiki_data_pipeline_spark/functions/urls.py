@@ -22,7 +22,9 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-TRACKING_PARAMS = {"ref", "src", "spm", "fbclid", "gclid"}
+# reference redis_cache.py:94-104 default_drops (utm_* covered by the
+# prefix rule) + the fbclid/gclid click ids
+TRACKING_PARAMS = {"ref", "referrer", "src", "spm", "fbclid", "gclid"}
 TRACKING_PREFIXES = ("utm_",)
 
 

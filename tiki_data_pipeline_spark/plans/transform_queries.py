@@ -61,8 +61,8 @@ normalized AS (
         THEN 'c' || REGEXP_EXTRACT(category_url, '/c([0-9]+)', 1)
     END AS category_id,
     category_path,
-    TRY_CAST(NULLIF(REGEXP_REPLACE(price_current, '[^0-9-]', '', 'g'), '') AS BIGINT) AS price,
-    TRY_CAST(NULLIF(REGEXP_REPLACE(price_original, '[^0-9-]', '', 'g'), '') AS BIGINT) AS original_price,
+    TRY_CAST(NULLIF(REGEXP_REPLACE(price_current, '[^0-9]', '', 'g'), '') AS BIGINT) AS price,
+    TRY_CAST(NULLIF(REGEXP_REPLACE(price_original, '[^0-9]', '', 'g'), '') AS BIGINT) AS original_price,
     TRY_CAST(NULLIF(REPLACE(REGEXP_EXTRACT(LOWER(TRIM(sales_count_raw)),
         '([0-9]+(?:[.,][0-9]+)?)\\s*([km]?)', 1), ',', '.'), '') AS DOUBLE)
       * (CASE REGEXP_EXTRACT(LOWER(TRIM(sales_count_raw)),
@@ -79,6 +79,8 @@ normalized AS (
     stock_status,
     COALESCE(TRY_STRPTIME(crawled_at, '%Y-%m-%d %H:%M:%S'),
              TRY_STRPTIME(crawled_at, '%Y-%m-%dT%H:%M:%S'),
+             TRY_STRPTIME(crawled_at, '%Y-%m-%dT%H:%M:%S.%f'),
+             TRY_STRPTIME(crawled_at, '%Y-%m-%d %H:%M:%S.%f'),
              TRY_STRPTIME(crawled_at, '%Y-%m-%d')) AS crawled_at
   FROM raw_products
 ),
@@ -86,7 +88,8 @@ typed AS (
   SELECT
     ingest_order, product_id, name, url, category_url, category_id, category_path,
     price, original_price,
-    CASE WHEN price IS NOT NULL AND original_price IS NOT NULL AND original_price > 0
+    CASE WHEN price IS NOT NULL AND price <> 0
+              AND original_price IS NOT NULL AND original_price > 0
          THEN ROUND((original_price - price) / original_price * 100, 2)
          ELSE discount_percent_raw END AS discount_percent,
     TRY_CAST(ROUND(sales_double) AS BIGINT) AS sales_count,
@@ -230,7 +233,7 @@ _SCALAR_COLS = [
     oracle=f"""
     WITH {FX.values_cte('cases', _SCALAR_COLS, _SCALAR_CASES)}
     SELECT case_id,
-      TRY_CAST(NULLIF(REGEXP_REPLACE(price_str, '[^0-9-]', '', 'g'), '') AS BIGINT) AS parsed_price,
+      TRY_CAST(NULLIF(REGEXP_REPLACE(price_str, '[^0-9]', '', 'g'), '') AS BIGINT) AS parsed_price,
       TRY_CAST(ROUND(
         TRY_CAST(NULLIF(REPLACE(REGEXP_EXTRACT(LOWER(TRIM(sales_str)),
             '([0-9]+(?:[.,][0-9]+)?)\\s*([km]?)', 1), ',', '.'), '') AS DOUBLE)

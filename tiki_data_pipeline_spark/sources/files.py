@@ -89,12 +89,23 @@ def compact_parquet(spark: SparkSession, path: str, target_files: int) -> None:
     staged rewrite into place, then deletes the old copy — a valid
     dataset exists at ``path`` at all times except during one rename,
     and a crash mid-swap leaves both copies on disk (never zero)."""
+    import os
     import shutil
 
+    old = path + ".old"
+    if os.path.isdir(old):
+        if os.path.isdir(path):
+            # leftover from a prior crash AFTER the swap completed:
+            # path holds the live data, .old is stale — discard it
+            # (shutil.move(path, old) with old present would nest the
+            # live tree INSIDE the stale one)
+            shutil.rmtree(old)
+        else:
+            # crash BETWEEN the two renames: .old IS the live data
+            shutil.move(old, path)
     df = spark.read.parquet(path)
     staging = path + ".compacting"
     df.coalesce(target_files).write.mode("overwrite").parquet(staging)
-    old = path + ".old"
     shutil.move(path, old)
     try:
         shutil.move(staging, path)

@@ -24,8 +24,33 @@ from pyspark.sql import functions as F
 
 WATERMARK = "1 hour"
 
-# path → staged temp directory for single-file streaming sources
-_STAGED_DIRS: dict[str, str] = {}
+# (path, mtime_ns, size) → staged temp directory for single-file
+# streaming sources. Keying on mtime/size means a regenerated file at
+# the same path re-stages instead of silently streaming stale data;
+# superseded stagings are removed from /tmp on the spot.
+_STAGED_DIRS: dict[tuple[str, int, int], str] = {}
+
+
+def _stage_single_file(path: str, prefix: str) -> str:
+    """The streaming file source requires a DIRECTORY; stage a single
+    parquet file into a cached temp dir (shared by every single-file
+    stream builder)."""
+    import os
+    import shutil
+    import tempfile
+
+    st = os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    staged = _STAGED_DIRS.get(key)
+    if staged is None:
+        staged = tempfile.mkdtemp(prefix=prefix)
+        shutil.copy(path, os.path.join(staged, os.path.basename(path)))
+        for k in list(_STAGED_DIRS):  # drop stale stagings of this path
+            if k[0] == path:
+                shutil.rmtree(_STAGED_DIRS[k], ignore_errors=True)
+                del _STAGED_DIRS[k]
+        _STAGED_DIRS[key] = staged
+    return staged
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -33,22 +58,10 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     production would be Kafka). TIMESTAMP(NANOS) arrives as long under
     nanosAsLong — converted exactly like io.load_table."""
     import os
-    import shutil
-    import tempfile
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
-    if os.path.isfile(path):
-        # the streaming file source requires a DIRECTORY; stage the
-        # single file into a cached temp dir
-        staged = _STAGED_DIRS.get(path)
-        if staged is None:
-            staged = tempfile.mkdtemp(prefix="events_stream_")
-            shutil.copy(path, os.path.join(staged, "events.parquet"))
-            _STAGED_DIRS[path] = staged
-        src_dir = staged
-    else:
-        src_dir = path
+    src_dir = _stage_single_file(path, "events_stream_") if os.path.isfile(path) else path
     raw_schema = spark.read.parquet(src_dir).schema
     stream = spark.readStream.schema(raw_schema).parquet(src_dir)
     ts_type = dict(stream.dtypes).get("ts")
@@ -152,7 +165,14 @@ def cdc_foreach_batch(
 ):
     """T4 — stateful change detection via foreachBatch: every
     micro-batch is lag-compared per user and appended to the caller's
-    state list (stand-in for a MERGE into a state table)."""
+    state list (stand-in for a MERGE into a state table).
+
+    Scope: the lag runs WITHIN each micro-batch only — each batch's
+    first row per user counts as first_seen for that batch. The
+    cross-batch form (state carried between batches, the reference's
+    latest-snapshot compare) is ``stateful.stateful_change_detector``;
+    this builder is the aggregate-and-merge-per-batch pattern where
+    the MERGE target itself carries history."""
     from pyspark.sql import Window as W
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
@@ -180,19 +200,13 @@ def document_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the documents parquet (production:
     object-store drop folder / Kafka)."""
     import os
-    import shutil
-    import tempfile
 
     path = os.path.join(sf_dir, "documents.parquet")
-    if os.path.isfile(path):
-        staged = _STAGED_DIRS.get(path)
-        if staged is None:
-            staged = tempfile.mkdtemp(prefix="documents_stream_")
-            shutil.copy(path, os.path.join(staged, "documents.parquet"))
-            _STAGED_DIRS[path] = staged
-        src_dir = staged
-    else:
-        src_dir = path
+    src_dir = (
+        _stage_single_file(path, "documents_stream_")
+        if os.path.isfile(path)
+        else path
+    )
     schema = spark.read.parquet(src_dir).schema
     return spark.readStream.schema(schema).parquet(src_dir)
 

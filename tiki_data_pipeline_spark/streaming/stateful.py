@@ -28,9 +28,19 @@ def _detect_changes(key, pdf_iter, state: GroupState):
     (user_id,) = key
     last_value = state.get[0] if state.exists else None
     out = []
-    for pdf in pdf_iter:
-        pdf = pdf.sort_values(["ts", "event_id"])
+    # Materialize ALL Arrow chunks before sorting: chunk-local sorts
+    # would process groups spanning several batches out of event order
+    # and emit wrong change sequences. A group's rows per micro-batch
+    # are bounded (per-user event volume), so the concat is safe.
+    chunks = [pdf for pdf in pdf_iter if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
         for _, row in pdf.iterrows():
+            if row["value"] is None or row["value"] != row["value"]:
+                # NULL value: no defined comparison — skip the row and
+                # keep state, mirroring the batch twin's SQL semantics
+                # (NULL compares emit no change row)
+                continue
             v = float(row["value"])
             if last_value is None:
                 change = "first_seen"
