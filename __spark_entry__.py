@@ -60,6 +60,7 @@ _PREVIOUSLY_UNSAMPLED = [
     # -- newly oracle-equipped / newly added this round --
     "embedding_ann_ivf_topk",
     "embedding_ann_ivf_index_topk",
+    "doc_incremental_near_dup",
     # -- refresh of the r4 window (already hash-green, keeps the
     #    remaining slots productive) --
     "json_recursive_product_search",

@@ -264,3 +264,57 @@ def test_ivf_train_degenerate_inputs(spark):
     # pure-numpy core: empty matrix and k<=0 both yield empty output
     assert SIM.lloyd_centroids(np.zeros((0, 8)), 4).shape == (0, 8)
     assert SIM.lloyd_centroids(np.zeros((3, 8)), 0).shape == (0, 8)
+
+
+def test_minhash_index_incremental_matches_in_session_bands(spark, tmp_path):
+    """Incremental dedup against the persisted MinHash index must
+    produce EXACTLY the cross-split candidates the in-session band
+    join produces (same signatures, same band scheme), with the
+    estimator bounded to [0, 1] and 1.0 for an identical re-crawl."""
+    docs = load_table(spark, SF, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path / "mh_idx")
+    DD.write_minhash_index(corpus, path)
+
+    got = DD.minhash_index_near_dups(spark, path, batch, threshold=0.0)
+    got_rows = {(r["new_id"], r["old_id"]): r["est_jaccard"] for r in got.collect()}
+
+    # in-session reference: band join across the two splits
+    sh = DD.shingles(docs).localCheckpoint()
+    bands = DD.lsh_band_signatures(DD.minhash_signatures(sh))
+    left = bands.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("old_id"), "band", "band_sig"
+    )
+    right = bands.filter(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("new_id"), "band", "band_sig"
+    )
+    want = {
+        (r["new_id"], r["old_id"])
+        for r in left.join(right, ["band", "band_sig"]).select("new_id", "old_id").distinct().collect()
+    }
+    assert set(got_rows) == want
+    assert all(0.0 <= v <= 1.0 for v in got_rows.values())
+    # every candidate shares ≥1 full band = ≥ r of k minhash positions
+    r_rows = DD.MINHASH_K // DD.LSH_BANDS
+    assert all(v >= r_rows / DD.MINHASH_K for v in got_rows.values())
+
+    # identical re-crawled text under a new odd id scores exactly 1.0
+    sample = corpus.select("text").limit(1).collect()[0]["text"]
+    recrawl = spark.createDataFrame([(99991, sample)], "doc_id long, text string")
+    hit = DD.minhash_index_near_dups(spark, path, recrawl, threshold=0.99)
+    assert {r["est_jaccard"] for r in hit.collect()} == {1.0}
+
+
+def test_minhash_index_layout_partitioned_by_band(spark, tmp_path):
+    """Index layout: one directory per band (partition pruning unit),
+    full signature carried on every band row (one-join serving)."""
+    from pathlib import Path
+
+    docs = load_table(spark, SF, "documents")
+    path = str(tmp_path / "mh_idx")
+    DD.write_minhash_index(docs, path)
+    band_dirs = sorted(p.name for p in Path(path).iterdir() if p.name.startswith("band="))
+    assert band_dirs == [f"band={b}" for b in range(DD.LSH_BANDS)]
+    first = spark.read.parquet(path).limit(1).collect()[0]
+    assert len(first["sig"]) == DD.MINHASH_K

@@ -148,12 +148,9 @@ def minhash_signatures(sh: DataFrame, k: int = MINHASH_K, id_col: str = "doc_id"
     return hashed.groupBy(id_col).agg(*mins)
 
 
-def lsh_band_signatures(
-    sigs: DataFrame, bands: int = LSH_BANDS, k: int = MINHASH_K, id_col: str = "doc_id"
-) -> DataFrame:
-    """(doc, band, band_sig) rows: each band concatenates its r
-    minhash columns — a stack over the wide signature row, no second
-    aggregation."""
+def _band_stack_expr(bands: int, k: int) -> str:
+    """``stack(...) AS (band, band_sig)`` SQL expression unpivoting a
+    wide mh0..mh{k-1} signature row into (band, band_sig) pairs."""
     if k % bands:
         raise ValueError(
             f"k={k} must be divisible by bands={bands} — a truncated "
@@ -168,9 +165,16 @@ def lsh_band_signatures(
         ) + ")"
         stack_args.append(f"{band}")
         stack_args.append(sig_expr)
-    return sigs.selectExpr(
-        id_col, f"stack({bands}, {', '.join(stack_args)}) AS (band, band_sig)"
-    )
+    return f"stack({bands}, {', '.join(stack_args)}) AS (band, band_sig)"
+
+
+def lsh_band_signatures(
+    sigs: DataFrame, bands: int = LSH_BANDS, k: int = MINHASH_K, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc, band, band_sig) rows: each band concatenates its r
+    minhash columns — a stack over the wide signature row, no second
+    aggregation."""
+    return sigs.selectExpr(id_col, _band_stack_expr(bands, k))
 
 
 def minhash_lsh_near_dups(
@@ -221,6 +225,103 @@ def minhash_lsh_near_dups(
         .withColumn("jaccard", F.round(jac, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("i", "j", "jaccard")
+    )
+
+
+def write_minhash_index(
+    docs: DataFrame,
+    path: str,
+    n: int = 3,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Persist a MinHash band index of an existing corpus so later
+    batches can near-dedup against it WITHOUT re-reading the corpus
+    text (reference runs full-corpus dedup per crawl,
+    deduplicator.py; the persisted form is the incremental
+    100 TB shape — same signatures, built once).
+
+    Layout: one row per (band, doc) — ``(band, band_sig, id, sig)``
+    with the full k-value signature carried on every band row, written
+    partitioned by ``band``. The 4× signature duplication trades ~64
+    extra bytes/doc/band for a ONE-JOIN serve path: candidate
+    generation and signature-similarity scoring happen on the same
+    row, so serving scans the index once with no second join back to
+    a signature table. ~200 bytes/doc vs ~5 KB of text ⇒ the index
+    scan is ~25× cheaper than re-shingling the corpus, and the shuffle
+    carries only band rows, never text.
+    """
+    sh = shingles(docs, n=n, id_col=id_col, text_col=text_col)
+    sigs = minhash_signatures(sh, k=k, id_col=id_col)
+    sig_arr = F.array(*[F.col(f"mh{i}") for i in range(k)])
+    rows = sigs.select(
+        F.col(id_col).alias("id"), sig_arr.alias("sig"), "*"
+    ).selectExpr("id", "sig", _band_stack_expr(bands, k))
+    (
+        # co-locate each band before the partitioned write (tasks ×
+        # bands small files otherwise — same rationale as the LSH
+        # embedding index)
+        rows.repartition("band")
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(path)
+    )
+
+
+def minhash_index_near_dups(
+    spark,
+    index_path: str,
+    new_docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental near-dedup: match a NEW batch of documents against
+    a corpus previously persisted with :func:`write_minhash_index`,
+    returning ``(new_id, old_id, est_jaccard)`` pairs with estimated
+    Jaccard ≥ ``threshold``.
+
+    Only the batch is shingled/minhashed; the corpus contributes its
+    stored band rows. Candidates come from a band equi-join (shuffle
+    carries band rows only) and are scored by signature agreement —
+    ``est_jaccard = |{i : mh_i equal}| / k`` — the unbiased MinHash
+    Jaccard estimator, so no shingle set of the corpus side is ever
+    needed. The batch side is typically ≪ the index; AQE picks a
+    broadcast join when it fits and a skew-split shuffle when it
+    doesn't — no manual hint so a huge backfill batch can't OOM the
+    driver.
+    """
+    sh = shingles(new_docs, n=n, id_col=id_col, text_col=text_col)
+    sigs = minhash_signatures(sh, k=k, id_col=id_col)
+    sig_arr = F.array(*[F.col(f"mh{i}") for i in range(k)])
+    batch = sigs.select(
+        F.col(id_col).alias("new_id"), sig_arr.alias("new_sig"), "*"
+    ).selectExpr("new_id", "new_sig", _band_stack_expr(bands, k))
+    index = spark.read.parquet(index_path)
+    pairs = (
+        index.join(batch, ["band", "band_sig"])
+        .filter(F.col("id") != F.col("new_id"))  # re-crawled same doc
+        # a pair colliding in several bands scores identically on each
+        # row — keep one (same-key rows carry the same signatures)
+        .dropDuplicates(["new_id", "id"])
+    )
+    n_match = F.aggregate(
+        F.zip_with("new_sig", "sig", lambda a, b: (a == b).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        pairs.select(
+            "new_id",
+            F.col("id").alias("old_id"),
+            F.round(n_match / F.lit(float(k)), 4).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
     )
 
 

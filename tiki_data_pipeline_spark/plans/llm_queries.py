@@ -338,6 +338,78 @@ def doc_minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mh_index_cached(spark: SparkSession, sf_dir: str) -> str:
+    """Persisted MinHash band index over the even-id half of the
+    documents table (the 'existing corpus' for the incremental-dedup
+    demonstration split), built once per (session, sf_dir)."""
+    return _session_index(
+        spark,
+        sf_dir,
+        "mh",
+        lambda p: DD.write_minhash_index(
+            load_table(spark, sf_dir, "documents").filter(
+                F.col("doc_id") % 2 == 0
+            ),
+            p,
+        ),
+    )
+
+
+# est_jaccard = fraction of agreeing minhash positions — the unbiased
+# MinHash Jaccard estimator, computed position-by-position in SQL.
+_MH_AGREE_SQL = " + ".join(
+    f"(CASE WHEN x.mh{i} = y.mh{i} THEN 1 ELSE 0 END)"
+    for i in range(DD.MINHASH_K)
+)
+
+
+@query(
+    "doc_incremental_near_dup",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    hashed AS (
+      SELECT doc_id,
+             try_cast(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT)
+               & {(1 << 30) - 1} AS h0
+      FROM sh
+    ),
+    mh AS (
+      SELECT doc_id, {_MH_MINS}
+      FROM hashed GROUP BY doc_id
+    ),
+    sigs AS (
+      {_MH_BANDS}
+    ),
+    cand AS (
+      SELECT DISTINCT b.doc_id AS new_id, a.doc_id AS old_id
+      FROM sigs a JOIN sigs b
+        ON a.band = b.band AND a.band_sig = b.band_sig
+      WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+    )
+    SELECT new_id, old_id, est_jaccard FROM (
+      SELECT c.new_id, c.old_id,
+             ROUND(({_MH_AGREE_SQL}) / {float(DD.MINHASH_K)}, 4) AS est_jaccard
+      FROM cand c
+      JOIN mh x ON x.doc_id = c.new_id
+      JOIN mh y ON y.doc_id = c.old_id
+    ) t WHERE est_jaccard >= 0.5
+    """,
+)
+def doc_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup: the odd-id half of the documents table
+    arrives as a 'new batch' and is near-dup-matched against the
+    persisted MinHash band index of the even-id 'existing corpus' —
+    only the batch is shingled; the corpus contributes stored band
+    rows. The 100 TB shape: daily deltas dedup against a signature
+    store instead of re-deduping the whole corpus (reference re-runs
+    full-corpus dedup per crawl, deduplicator.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    return DD.minhash_index_near_dups(
+        spark, _mh_index_cached(spark, sf_dir), batch, threshold=0.5
+    )
+
+
 @query(
     "doc_simhash_signatures",
     oracle=f"""
