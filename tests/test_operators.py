@@ -318,3 +318,42 @@ def test_minhash_index_layout_partitioned_by_band(spark, tmp_path):
     assert band_dirs == [f"band={b}" for b in range(DD.LSH_BANDS)]
     first = spark.read.parquet(path).limit(1).collect()[0]
     assert len(first["sig"]) == DD.MINHASH_K
+
+
+def test_incremental_dedup_status_all_three_statuses(spark, tmp_path):
+    """Exact-first staging: an identical re-crawl is exact_dup (never
+    near_dup, even though its signatures also collide), a mutated copy
+    is near_dup with the right matched_id, novel text is unique."""
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo "
+        "lima mike november oscar papa quebec romeo sierra tango uniform "
+        "victor whiskey xray yankee zulu one two three four five six seven "
+        "eight nine ten"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (2, base),
+            (4, "completely different corpus content about spark adaptive execution"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "idx")
+    DD.write_minhash_index(corpus, path)
+    batch = spark.createDataFrame(
+        [
+            # exact: same text modulo case/whitespace normalization
+            (11, "  " + base.upper() + " "),
+            # near: one word changed in a 36-token doc (J ≈ 0.92)
+            (13, base.replace("seven", "modified")),
+            # unique: nothing in common
+            (15, "unrelated telemetry about shuffle partitions and broadcast joins"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["status"], r["matched_id"])
+        for r in DD.incremental_dedup_status(spark, path, batch, threshold=0.3).collect()
+    }
+    assert rows[11] == ("exact_dup", 2)
+    assert rows[13] == ("near_dup", 2)
+    assert rows[15] == ("unique", None)

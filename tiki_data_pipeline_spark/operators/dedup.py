@@ -60,10 +60,18 @@ def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str 
     return with_toks.select(id_col, F.explode(grams).alias("shingle")).distinct()
 
 
+def _content_fingerprint(text_col: str) -> Column:
+    """md5 of case/whitespace-normalized text — the exact-dup identity
+    shared by exact_dedup, the corpus pipelines and the persisted
+    fingerprint store (DuckDB twin: md5(trim(regexp_replace(
+    lower(text), '\\s+', ' ', 'g'))))."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")))
+
+
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup by normalized-text fingerprint: one survivor
     (min id) per distinct content + copy count."""
-    fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")))
+    fp = _content_fingerprint(text_col)
     return (
         docs.select(F.col(id_col), fp.alias("fingerprint"))
         .groupBy("fingerprint")
@@ -268,6 +276,17 @@ def write_minhash_index(
         .partitionBy("band")
         .parquet(path)
     )
+    # exact-fingerprint sidecar (underscore prefix = invisible to the
+    # band-row reader, the _centroids pattern): lets a later batch do
+    # exact-first staged dedup against the same store. Written AFTER
+    # the main tree (overwrite above would clobber it).
+    (
+        docs.select(
+            F.col(id_col).alias("id"), _content_fingerprint(text_col).alias("fp")
+        )
+        .write.mode("overwrite")
+        .parquet(path + "/_fingerprints")
+    )
 
 
 def minhash_index_near_dups(
@@ -322,6 +341,77 @@ def minhash_index_near_dups(
             F.round(n_match / F.lit(float(k)), 4).alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def incremental_dedup_status(
+    spark,
+    index_path: str,
+    new_docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Staged incremental dedup of a new batch against a persisted
+    corpus store (:func:`write_minhash_index`): exact-fingerprint
+    match FIRST (cheap md5 equi-join against the ``_fingerprints``
+    sidecar), MinHash near-dup SECOND on the remainder only — the
+    exact-first order that makes the expensive stage see the smallest
+    input at 100 TB (same staging as ``corpus_dedup_staged``).
+
+    Returns one row per batch doc: ``(id, status, matched_id)`` with
+    status ∈ {exact_dup, near_dup, unique}; ``matched_id`` is the
+    lowest-id exact match, else the best near match (highest
+    est_jaccard, ties → lowest id), else NULL. Batch-vs-corpus only —
+    within-batch duplicates are the in-session ``exact_dedup`` /
+    ``minhash_lsh_near_dups`` job run on the batch itself.
+    """
+    from pyspark.sql import Window as W
+
+    batch = new_docs.select(
+        F.col(id_col), F.col(text_col), _content_fingerprint(text_col).alias("fp")
+    )
+    store = spark.read.parquet(index_path + "/_fingerprints")
+    exact = (
+        batch.join(store, "fp")
+        .groupBy(id_col)
+        .agg(F.min("id").alias("matched_id"))
+        .withColumn("status", F.lit("exact_dup"))
+    )
+    fresh = batch.join(exact.select(id_col), id_col, "left_anti").select(
+        id_col, text_col
+    )
+    near_pairs = minhash_index_near_dups(
+        spark, index_path, fresh, threshold=threshold, n=n, k=k, bands=bands,
+        id_col=id_col, text_col=text_col,
+    )
+    # best match per doc: partitioned by doc — candidate fan-out per
+    # doc ≈ its true near-dup count, so the window never sees a
+    # corpus-sized partition
+    w = W.partitionBy("new_id").orderBy(F.col("est_jaccard").desc(), F.col("old_id"))
+    near = (
+        near_pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("new_id").alias(id_col),
+            F.col("old_id").alias("matched_id"),
+            F.lit("near_dup").alias("status"),
+        )
+    )
+    hits = exact.select(id_col, "status", "matched_id").unionByName(
+        near.select(id_col, "status", "matched_id")
+    )
+    return (
+        new_docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("status"), F.lit("unique")).alias("status"),
+            "matched_id",
+        )
     )
 
 

@@ -411,6 +411,80 @@ def doc_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_incremental_dedup_status",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    fpall AS (
+      SELECT doc_id,
+             md5(trim(REGEXP_REPLACE(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    exact AS (
+      SELECT b.doc_id AS new_id, MIN(a.doc_id) AS matched_id
+      FROM fpall a JOIN fpall b ON a.fp = b.fp
+      WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+      GROUP BY 1
+    ),
+    hashed AS (
+      SELECT doc_id,
+             try_cast(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT)
+               & {(1 << 30) - 1} AS h0
+      FROM sh
+    ),
+    mh AS (
+      SELECT doc_id, {_MH_MINS}
+      FROM hashed GROUP BY doc_id
+    ),
+    sigs AS (
+      {_MH_BANDS}
+    ),
+    cand AS (
+      SELECT DISTINCT b.doc_id AS new_id, a.doc_id AS old_id
+      FROM sigs a JOIN sigs b
+        ON a.band = b.band AND a.band_sig = b.band_sig
+      WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        AND b.doc_id NOT IN (SELECT new_id FROM exact)
+    ),
+    est AS (
+      SELECT c.new_id, c.old_id,
+             ROUND(({_MH_AGREE_SQL}) / {float(DD.MINHASH_K)}, 4) AS est_jaccard
+      FROM cand c
+      JOIN mh x ON x.doc_id = c.new_id
+      JOIN mh y ON y.doc_id = c.old_id
+    ),
+    near AS (
+      SELECT new_id, old_id AS matched_id FROM (
+        SELECT new_id, old_id,
+               ROW_NUMBER() OVER (PARTITION BY new_id
+                 ORDER BY est_jaccard DESC, old_id ASC) AS rn
+        FROM est WHERE est_jaccard >= 0.5
+      ) t WHERE rn = 1
+    )
+    SELECT d.doc_id,
+           CASE WHEN e.new_id IS NOT NULL THEN 'exact_dup'
+                WHEN nr.new_id IS NOT NULL THEN 'near_dup'
+                ELSE 'unique' END AS status,
+           COALESCE(e.matched_id, nr.matched_id) AS matched_id
+    FROM documents d
+    LEFT JOIN exact e ON e.new_id = d.doc_id
+    LEFT JOIN near nr ON nr.new_id = d.doc_id
+    WHERE d.doc_id % 2 = 1
+    """,
+)
+def doc_incremental_dedup_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged incremental dedup (exact-first, near second) of the
+    odd-id batch against the persisted even-id corpus store: one
+    (doc_id, status ∈ exact/near/unique, matched_id) row per batch
+    doc — the per-delta ingest decision a 100 TB corpus store makes
+    without re-reading corpus text."""
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    return DD.incremental_dedup_status(
+        spark, _mh_index_cached(spark, sf_dir), batch, threshold=0.5
+    )
+
+
+@query(
     "doc_simhash_signatures",
     oracle=f"""
     WITH tok AS (
