@@ -209,3 +209,77 @@ def test_corpus_ingest_stream_matches_batch(spark):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_incremental_dedup_sink_cross_batch(spark, tmp_path):
+    """Streaming corpus-store ingest: batch B's near-dup of a doc that
+    arrived (unique) in batch A is detected — the store grew between
+    micro-batches. Exact dups of the pre-existing corpus are caught,
+    and only unique docs are appended to the store."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tiki_data_pipeline_spark.operators import dedup as DD
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo "
+        "lima mike november oscar papa quebec romeo sierra tango uniform "
+        "victor whiskey xray yankee zulu one two three four five six seven"
+    )
+    novel = (
+        "streaming ingest pipeline writes canonical content into the store "
+        "and every later delta is deduplicated against what already arrived "
+        "including documents accepted only minutes earlier in prior batches"
+    )
+    store = str(tmp_path / "store")
+    DD.write_minhash_index(
+        spark.createDataFrame([(2, base)], "doc_id long, text string"), store
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def _write(name, rows, mtime):
+        t = pa.table(
+            {"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+             "text": pa.array([r[1] for r in rows], pa.string())}
+        )
+        p = str(src / name)
+        pq.write_table(t, p)
+        os.utime(p, (mtime, mtime))
+
+    # batch A: one exact dup of the corpus, one novel doc
+    _write("a.parquet", [(13, base.upper()), (11, novel)], 1_000_000_000)
+    # batch B: near-dup of batch A's novel doc + a fresh one
+    _write(
+        "b.parquet",
+        [(21, novel.replace("minutes", "seconds")),
+         (23, "totally fresh unrelated text about broadcast joins and shuffles here")],
+        1_000_000_100,
+    )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    beats: list = []
+    q = jobs.incremental_dedup_sink(
+        stream, store, beats, str(tmp_path / "ckpt"), threshold=0.3
+    )
+    q.awaitTermination(120)
+
+    decisions = {
+        r["doc_id"]: (r["status"], r["matched_id"])
+        for r in spark.read.parquet(store + "/_decisions").collect()
+    }
+    assert decisions[13] == ("exact_dup", 2)
+    assert decisions[11] == ("unique", None)
+    assert decisions[21] == ("near_dup", 11), "store did not grow between batches"
+    assert decisions[23] == ("unique", None)
+    assert len(beats) == 2 and all(n == 2 for _, n in beats)
+    stored = {
+        r["id"] for r in spark.read.parquet(store + "/_fingerprints").collect()
+    }
+    assert stored == {2, 11, 23}, "store must hold only canonical docs"

@@ -261,6 +261,37 @@ def write_minhash_index(
     scan is ~25× cheaper than re-shingling the corpus, and the shuffle
     carries only band rows, never text.
     """
+    _write_minhash_store(docs, path, "overwrite", n, k, bands, id_col, text_col)
+
+
+def append_minhash_index(
+    docs: DataFrame,
+    path: str,
+    n: int = 3,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Append new documents' band rows + fingerprints to an existing
+    store (continuous-ingest shape: each accepted delta extends the
+    store the next delta dedups against). Plain-parquet append is
+    at-least-once on task retry; production puts the store in a
+    lakehouse table (``merge.merge_into_sql`` renders the transactional
+    twin) where the append is an idempotent MERGE on ``id``."""
+    _write_minhash_store(docs, path, "append", n, k, bands, id_col, text_col)
+
+
+def _write_minhash_store(
+    docs: DataFrame,
+    path: str,
+    mode: str,
+    n: int,
+    k: int,
+    bands: int,
+    id_col: str,
+    text_col: str,
+) -> None:
     sh = shingles(docs, n=n, id_col=id_col, text_col=text_col)
     sigs = minhash_signatures(sh, k=k, id_col=id_col)
     sig_arr = F.array(*[F.col(f"mh{i}") for i in range(k)])
@@ -272,19 +303,19 @@ def write_minhash_index(
         # bands small files otherwise — same rationale as the LSH
         # embedding index)
         rows.repartition("band")
-        .write.mode("overwrite")
+        .write.mode(mode)
         .partitionBy("band")
         .parquet(path)
     )
     # exact-fingerprint sidecar (underscore prefix = invisible to the
     # band-row reader, the _centroids pattern): lets a later batch do
     # exact-first staged dedup against the same store. Written AFTER
-    # the main tree (overwrite above would clobber it).
+    # the main tree (an overwrite above would clobber it).
     (
         docs.select(
             F.col(id_col).alias("id"), _content_fingerprint(text_col).alias("fp")
         )
-        .write.mode("overwrite")
+        .write.mode(mode)
         .parquet(path + "/_fingerprints")
     )
 

@@ -196,6 +196,61 @@ def cdc_foreach_batch(
     )
 
 
+def incremental_dedup_sink(
+    docs: DataFrame,
+    index_path: str,
+    statuses: list,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+):
+    """Continuous corpus-store ingest: each micro-batch of documents
+    is statused against the persisted MinHash store (exact-fingerprint
+    first, near-dup second — ``dedup.incremental_dedup_status``), the
+    per-doc decisions are appended to the caller's ``statuses`` list,
+    and the batch's UNIQUE docs' signatures are appended to the store
+    so the NEXT micro-batch dedups against them too. This is the
+    streaming twin of the batch incremental pipeline — the store only
+    ever accumulates canonical (non-duplicate) content.
+
+    Per-doc decisions go to the ``_decisions`` parquet log inside the
+    store (epoch-stamped, distributed write — never collected to the
+    driver; a micro-batch can be arbitrarily large). The caller's
+    ``statuses`` list receives only (epoch, n_docs) heartbeats.
+    Plain-parquet append is at-least-once on epoch retry (see
+    ``dedup.append_minhash_index``); production backs the store with a
+    lakehouse table where the append is an idempotent MERGE on id.
+    """
+    from tiki_data_pipeline_spark.operators import dedup as DD
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        status = DD.incremental_dedup_status(
+            spark, index_path, batch_df, threshold=threshold
+        # materialized BEFORE the store append below: the decision is
+        # lazy and reads the store — evaluating it after the append
+        # would status the batch against itself
+        ).localCheckpoint()
+        (
+            status.withColumn("epoch", F.lit(epoch_id))
+            .write.mode("append")
+            .parquet(index_path + "/_decisions")
+        )
+        uniq = batch_df.join(
+            status.filter(F.col("status") == "unique").select("doc_id"),
+            "doc_id",
+            "semi",
+        )
+        DD.append_minhash_index(uniq, index_path)
+        statuses.append((epoch_id, status.count()))
+
+    return (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def document_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the documents parquet (production:
     object-store drop folder / Kafka)."""
