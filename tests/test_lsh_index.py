@@ -182,3 +182,61 @@ def test_ivf_index_partitioned_layout_same_results(spark, tmp_path):
     assert rows(flat) == rows(part)
     # each vector stored exactly once
     assert spark.read.parquet(part).count() == emb.count()
+
+
+def _serve_pairs(spark, path, queries):
+    return {
+        (r["query_id"], r["neighbor_id"], r["cosine_sim"])
+        for r in SIM.lsh_index_topk(spark, path, queries, k=5).collect()
+    }
+
+
+def test_append_lsh_index_matches_full_rebuild(spark, tmp_path):
+    """Appending a delta to a persisted index must serve EXACTLY what
+    a full rebuild over the union serves — both layouts."""
+    emb = load_table(spark, SF, "embeddings")
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    queries = emb.orderBy("vec_id").limit(5)
+    for layout, partitioned in (("part", True), ("flat", False)):
+        inc = str(tmp_path / f"inc_{layout}")
+        full = str(tmp_path / f"full_{layout}")
+        SIM.write_lsh_index(half_a, inc, partitioned=partitioned)
+        SIM.append_lsh_index(half_b, inc)
+        SIM.write_lsh_index(emb, full, partitioned=partitioned)
+        assert _serve_pairs(spark, inc, queries) == _serve_pairs(
+            spark, full, queries
+        ), f"layout={layout}"
+
+
+def test_compact_store_preserves_rows_and_merges_files(spark, tmp_path):
+    """Compacting an appended MinHash store merges each band dir (and
+    the sidecars) down to one file without changing any row."""
+    from pathlib import Path
+
+    from tiki_data_pipeline_spark.operators import dedup as DD
+    from tiki_data_pipeline_spark.sources.files import compact_store
+
+    docs = load_table(spark, SF, "documents")
+    store = str(tmp_path / "store")
+    DD.write_minhash_index(docs.filter(F.col("doc_id") % 2 == 0), store)
+    DD.append_minhash_index(docs.filter(F.col("doc_id") % 2 == 1), store)
+
+    def _snapshot():
+        bands = {
+            (r["id"], tuple(r["sig"]), r["band_sig"], r["band"])
+            for r in spark.read.parquet(store).collect()
+        }
+        fps = {
+            tuple(r) for r in spark.read.parquet(store + "/_fingerprints").collect()
+        }
+        return bands, fps
+
+    before = _snapshot()
+    n = compact_store(spark, store, target_files_per_partition=1)
+    assert n == DD.LSH_BANDS + 1  # band dirs + _fingerprints
+    for d in Path(store).iterdir():
+        if d.is_dir():
+            files = [f for f in d.iterdir() if f.name.endswith(".parquet")]
+            assert len(files) == 1, f"{d.name} not compacted"
+    assert _snapshot() == before

@@ -691,6 +691,48 @@ def write_lsh_index(
         )
 
 
+def append_lsh_index(
+    embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = N_PLANES,
+) -> None:
+    """Add new vectors to an existing persisted LSH index without a
+    rebuild (continuous-ingest shape: the delta's bucket rows land in
+    the partitions the serve path already prunes on). Layout is
+    auto-detected from the tree on disk: a bucket-partitioned index
+    gets a partitioned append; the small-corpus bkt-sorted layout gets
+    bkt-sorted files appended so per-file row-group min/max pruning
+    still holds. Same at-least-once caveat as every plain-parquet
+    append — production is a lakehouse MERGE/OPTIMIZE table."""
+    import os
+
+    dim = _vec_dim(embeddings, vec_col)
+    rows = embeddings.select(
+        F.col(id_col).alias("id"),
+        as_double(F.col(vec_col)).alias("v"),
+        lsh_bucket(as_double(F.col(vec_col)), dim, n_planes).alias("bkt"),
+    ).withColumn("nrm", _norm(F.col("v"))).filter(F.col("nrm") > 0)
+    partitioned = any(
+        e.name.startswith("bkt=") for e in os.scandir(path) if e.is_dir()
+    )
+    if partitioned:
+        (
+            rows.repartition(F.col("bkt"))
+            .write.mode("append")
+            .partitionBy("bkt")
+            .parquet(path)
+        )
+    else:
+        (
+            rows.repartitionByRange(4, "bkt")
+            .sortWithinPartitions("bkt")
+            .write.mode("append")
+            .parquet(path)
+        )
+
+
 def _py_norm(v) -> float:
     """Driver-side replica of ``_norm``'s SEQUENTIAL fold (same
     addition order → bit-identical double) for collected query rows."""

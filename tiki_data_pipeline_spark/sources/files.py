@@ -115,6 +115,36 @@ def compact_parquet(spark: SparkSession, path: str, target_files: int) -> None:
     shutil.rmtree(old)
 
 
+def compact_store(
+    spark: SparkSession, path: str, target_files_per_partition: int = 1
+) -> int:
+    """Maintenance compaction for an incrementally-appended store
+    (MinHash/LSH index trees): every partition directory (``band=…``,
+    ``bkt=…``) and every underscore sidecar (``_fingerprints``,
+    ``_decisions``) is rewritten to ``target_files_per_partition``
+    files via the crash-safe :func:`compact_parquet` swap (safe here
+    because these leaf directories never contain nested sidecars —
+    the root may, which is why a root-level file layout is NOT
+    compacted by this helper; use ``compact_parquet`` directly on
+    sidecar-free flat datasets). Returns the number of directories
+    compacted. Offline maintenance — run between ingest windows (the
+    per-directory swap briefly exposes a ``.compacting`` sibling a
+    concurrent partition-discovery scan could trip on). Production
+    twin: lakehouse ``OPTIMIZE``."""
+    import os
+
+    leaf_dirs = [
+        e.path
+        for e in os.scandir(path)
+        if e.is_dir()
+        and ("=" in e.name or e.name.startswith("_"))
+        and any(f.endswith(".parquet") for f in os.listdir(e.path))
+    ]
+    for d in leaf_dirs:
+        compact_parquet(spark, d, target_files_per_partition)
+    return len(leaf_dirs)
+
+
 def write_training_shards(
     docs: DataFrame,
     path: str,
