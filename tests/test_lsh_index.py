@@ -240,3 +240,28 @@ def test_compact_store_preserves_rows_and_merges_files(spark, tmp_path):
             files = [f for f in d.iterdir() if f.name.endswith(".parquet")]
             assert len(files) == 1, f"{d.name} not compacted"
     assert _snapshot() == before
+
+
+def test_append_ivf_index_matches_rebuild_with_frozen_centroids(spark, tmp_path):
+    """IVF append assigns the delta to the PERSISTED (frozen)
+    centroids; serving must equal a rebuild over the union that uses
+    those same centroids — both layouts."""
+    emb = load_table(spark, SF, "embeddings")
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    queries = emb.orderBy("vec_id").limit(5)
+
+    def _serve(path):
+        return {
+            (r["query_id"], r["neighbor_id"], r["cosine_sim"])
+            for r in SIM.ivf_index_topk(spark, path, queries, k=5, nprobe=2).collect()
+        }
+
+    for layout, partitioned in (("part", True), ("flat", False)):
+        inc = str(tmp_path / f"ivf_inc_{layout}")
+        full = str(tmp_path / f"ivf_full_{layout}")
+        SIM.write_ivf_index(half_a, inc, partitioned=partitioned)
+        SIM.append_ivf_index(spark, half_b, inc)
+        frozen = spark.read.parquet(inc + "/_centroids")
+        SIM.write_ivf_index(emb, full, centroids=frozen, partitioned=partitioned)
+        assert _serve(inc) == _serve(full), f"layout={layout}"

@@ -870,6 +870,50 @@ def write_ivf_index(
     centroids.write.mode("overwrite").parquet(path.rstrip("/") + "/_centroids")
 
 
+def append_ivf_index(
+    spark,
+    embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Add delta vectors to an existing IVF index: assign them to the
+    PERSISTED centroids (the quantizer is frozen at build time —
+    FAISS's add-after-train semantics; re-training would silently
+    remap every stored list) and append to the matching inverted
+    lists. Layout auto-detected like :func:`append_lsh_index`.
+    Re-train + rebuild when the delta shifts the distribution enough
+    that recall degrades — that is a monitored offline decision, not
+    an ingest-path one."""
+    import os
+
+    centroids = spark.read.parquet(path.rstrip("/") + "/_centroids")
+    base = (
+        embeddings.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+        .withColumn("nrm", _norm(F.col("v")))
+        .filter(F.col("nrm") > 0)
+    )
+    assigned = assign_to_centroids(base, centroids).join(base, "id")
+    partitioned = any(
+        e.name.startswith("cid=") for e in os.scandir(path) if e.is_dir()
+    )
+    if partitioned:
+        (
+            assigned.repartition(F.col("cid"))
+            .write.mode("append")
+            .partitionBy("cid")
+            .parquet(path)
+        )
+    else:
+        (
+            assigned.repartitionByRange(4, "cid")
+            .sortWithinPartitions("cid")
+            .write.mode("append")
+            .parquet(path)
+        )
+
+
 def ivf_index_topk(
     spark,
     index_path: str,
