@@ -265,3 +265,15 @@ def test_append_ivf_index_matches_rebuild_with_frozen_centroids(spark, tmp_path)
         frozen = spark.read.parquet(inc + "/_centroids")
         SIM.write_ivf_index(emb, full, centroids=frozen, partitioned=partitioned)
         assert _serve(inc) == _serve(full), f"layout={layout}"
+
+
+def test_serve_reads_legacy_index_without_nrm(spark, tmp_path):
+    """An index written before the nrm column existed must still
+    serve, with identical results (norm computed at read time)."""
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.orderBy("vec_id").limit(3)
+    cur = str(tmp_path / "cur")
+    SIM.write_lsh_index(emb, cur)
+    legacy = str(tmp_path / "legacy")
+    spark.read.parquet(cur).drop("nrm").write.partitionBy("bkt").parquet(legacy)
+    assert _serve_pairs(spark, legacy, queries) == _serve_pairs(spark, cur, queries)

@@ -742,6 +742,18 @@ def _py_norm(v) -> float:
     return acc ** 0.5
 
 
+def _with_nrm(index: DataFrame) -> DataFrame:
+    """Forward compatibility for persisted indexes written before the
+    ``nrm`` column existed: compute it at serve time (the exact cost
+    the column was added to avoid) instead of failing — at 100 TB an
+    index is an asset you migrate, not rebuild on a code change. A
+    legacy index may also carry zero-norm rows the current writer
+    excludes; the filter keeps serve results identical."""
+    if "nrm" in index.columns:
+        return index
+    return index.withColumn("nrm", _norm(F.col("v"))).filter(F.col("nrm") > 0)
+
+
 def lsh_index_topk(
     spark,
     index_path: str,
@@ -785,6 +797,7 @@ def lsh_index_topk(
     index = spark.read.parquet(index_path).filter(
         F.col("bkt").isin(probe_buckets)  # partition pruning, not a scan
     )
+    index = _with_nrm(index)
     cand = index.join(F.broadcast(probes), "bkt").filter(
         F.col("id") != F.col("query_id")
     )
@@ -973,6 +986,7 @@ def ivf_index_topk(
     index = spark.read.parquet(index_path).filter(
         F.col("cid").isin(probe_cids)  # partition pruning, not a scan
     )
+    index = _with_nrm(index)
     cand = index.join(F.broadcast(probes), "cid").filter(
         F.col("id") != F.col("query_id")
     )

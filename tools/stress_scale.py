@@ -148,6 +148,25 @@ def main() -> None:
             f"{time.perf_counter() - t0:.2f}s ({rows} rows) at {n}x"
         )
 
+    # Incremental-dedup scale check: store build amortized over the
+    # corpus; the per-delta decision cost must track DELTA size, not
+    # corpus size (the store contributes one broadcast-joined scan).
+    from tiki_data_pipeline_spark.operators import dedup as DD
+
+    docs = load_table(spark, dst, "documents")
+    store = f"{dst}/mh_store"
+    t0 = time.perf_counter()
+    if not os.path.isdir(store):
+        DD.write_minhash_index(docs.filter(F.col("doc_id") % 100 != 7), store)
+    built = time.perf_counter() - t0
+    delta = docs.filter(F.col("doc_id") % 100 == 7)  # ~1% arrives as a delta
+    t0 = time.perf_counter()
+    rows = DD.incremental_dedup_status(spark, store, delta).count()
+    print(
+        f"mh_store: build {built:.2f}s delta-decide "
+        f"{time.perf_counter() - t0:.2f}s ({rows} docs) at {n}x"
+    )
+
 
 if __name__ == "__main__":
     main()
