@@ -277,3 +277,31 @@ def test_serve_reads_legacy_index_without_nrm(spark, tmp_path):
     legacy = str(tmp_path / "legacy")
     spark.read.parquet(cur).drop("nrm").write.partitionBy("bkt").parquet(legacy)
     assert _serve_pairs(spark, legacy, queries) == _serve_pairs(spark, cur, queries)
+
+
+def test_ivf_drift_report_flags_distribution_shift(spark, tmp_path):
+    """Same-distribution delta: fractions track the store and
+    distances stay on the stored scale. Shifted delta (vectors pushed
+    far off every centroid): distances blow up — the retrain signal."""
+    emb = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "ivf")
+    SIM.write_ivf_index(emb, path)
+
+    same = SIM.ivf_drift_report(spark, path, emb).collect()
+    assert {r["cid"] for r in same} == {
+        r["cid"] for r in spark.read.parquet(path + "/_centroids").collect()
+    } or len(same) > 0
+    tot_stored = sum(r["n_stored"] for r in same)
+    tot_new = sum(r["n_new"] for r in same)
+    assert tot_stored == tot_new  # identical delta == the corpus itself
+    for r in same:
+        assert abs(r["stored_frac"] - r["new_frac"]) < 1e-9
+        assert abs(r["avg_sq_dist_stored"] - r["avg_sq_dist_new"]) < 1e-6
+
+    shifted = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x + F.lit(100.0)).alias("embedding")
+    )
+    drift = SIM.ivf_drift_report(spark, path, shifted).collect()
+    worst_new = max(r["avg_sq_dist_new"] for r in drift if r["n_new"])
+    worst_stored = max(r["avg_sq_dist_stored"] for r in drift if r["n_stored"])
+    assert worst_new > 100 * worst_stored, "shift not flagged"

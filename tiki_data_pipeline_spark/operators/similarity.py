@@ -927,6 +927,91 @@ def append_ivf_index(
         )
 
 
+def ivf_drift_report(
+    spark,
+    index_path: str,
+    new_embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Retrain signal for the frozen IVF quantizer
+    (:func:`append_ivf_index` keeps adding to fixed centroids; this
+    report is the monitored side of that decision). Assigns the delta
+    to the persisted centroids and compares per-list mass and
+    assignment distance against the stored corpus — one row per cid:
+    ``(cid, n_stored, n_new, stored_frac, new_frac,
+    avg_sq_dist_stored, avg_sq_dist_new)``. A delta whose list-mass
+    distribution diverges from the store's, or whose distances exceed
+    the stored scale, no longer fits the quantizer → schedule
+    retrain + rebuild. Offline maintenance report: two corpus-scale
+    scans, each a single narrow mapInPandas + one k-row aggregation.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window as W
+
+    rows = sorted(
+        spark.read.parquet(index_path.rstrip("/") + "/_centroids").collect(),
+        key=lambda r: r["cid"],
+    )
+    cids = np.array([r["cid"] for r in rows], dtype=np.int64)
+    cmat = np.array([r["cv"] for r in rows], dtype=np.float64)
+
+    def assigned_dist(batches):
+        """(cid, d) per row — d = true squared distance to the row's
+        assigned (for store rows) or nearest (for delta rows) centroid."""
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(list(pdf["v"]), dtype=np.float64)
+            if "cid" in pdf.columns:  # store rows: cid already fixed
+                pos = np.searchsorted(cids, pdf["cid"].to_numpy())
+                d = ((m - cmat[pos]) ** 2).sum(axis=1)
+                yield pd.DataFrame({"cid": pdf["cid"], "d": d})
+            else:  # delta rows: nearest centroid
+                dm = -2.0 * (m @ cmat.T) + (cmat * cmat).sum(axis=1)
+                best = np.argmin(dm, axis=1)
+                d = dm[np.arange(len(m)), best] + (m * m).sum(axis=1)
+                yield pd.DataFrame({"cid": cids[best], "d": d})
+
+    def _stats(df: DataFrame, suffix: str) -> DataFrame:
+        return (
+            df.mapInPandas(assigned_dist, schema="cid int, d double")
+            .groupBy("cid")
+            .agg(
+                F.count(F.lit(1)).alias(f"n_{suffix}"),
+                F.avg("d").alias(f"avg_sq_dist_{suffix}"),
+            )
+        )
+
+    stored = _stats(spark.read.parquet(index_path).select("cid", "v"), "stored")
+    delta = _stats(
+        new_embeddings.filter(F.col(vec_col).isNotNull()).select(
+            as_double(F.col(vec_col)).alias("v")
+        ),
+        "new",
+    )
+    # k-row result: the global-total window runs over ≤ n_centroids
+    # rows post-aggregation, never over corpus rows
+    tot = W.partitionBy()
+    return (
+        stored.join(delta, "cid", "full")
+        .na.fill({"n_stored": 0, "n_new": 0})
+        .select(
+            "cid",
+            "n_stored",
+            "n_new",
+            F.round(F.col("n_stored") / F.sum("n_stored").over(tot), 6).alias(
+                "stored_frac"
+            ),
+            F.round(F.col("n_new") / F.sum("n_new").over(tot), 6).alias("new_frac"),
+            F.round("avg_sq_dist_stored", 6).alias("avg_sq_dist_stored"),
+            F.round("avg_sq_dist_new", 6).alias("avg_sq_dist_new"),
+        )
+        .orderBy("cid")
+    )
+
+
 def ivf_index_topk(
     spark,
     index_path: str,
