@@ -296,7 +296,9 @@ def _write_minhash_store(
     sigs = minhash_signatures(sh, k=k, id_col=id_col)
     sig_arr = F.array(*[F.col(f"mh{i}") for i in range(k)])
     rows = sigs.select(
-        F.col(id_col).alias("id"), sig_arr.alias("sig"), "*"
+        F.col(id_col).alias("id"),
+        sig_arr.alias("sig"),
+        *[F.col(f"mh{i}") for i in range(k)],
     ).selectExpr("id", "sig", _band_stack_expr(bands, k))
     (
         # co-locate each band before the partitioned write (tasks ×
@@ -350,7 +352,9 @@ def minhash_index_near_dups(
     sigs = minhash_signatures(sh, k=k, id_col=id_col)
     sig_arr = F.array(*[F.col(f"mh{i}") for i in range(k)])
     batch = sigs.select(
-        F.col(id_col).alias("new_id"), sig_arr.alias("new_sig"), "*"
+        F.col(id_col).alias("new_id"),
+        sig_arr.alias("new_sig"),
+        *[F.col(f"mh{i}") for i in range(k)],
     ).selectExpr("new_id", "new_sig", _band_stack_expr(bands, k))
     index = spark.read.parquet(index_path)
     pairs = (
