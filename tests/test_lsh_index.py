@@ -288,9 +288,10 @@ def test_ivf_drift_report_flags_distribution_shift(spark, tmp_path):
     SIM.write_ivf_index(emb, path)
 
     same = SIM.ivf_drift_report(spark, path, emb).collect()
-    assert {r["cid"] for r in same} == {
-        r["cid"] for r in spark.read.parquet(path + "/_centroids").collect()
-    } or len(same) > 0
+    stored_cids = {
+        r["cid"] for r in spark.read.parquet(path).select("cid").distinct().collect()
+    }
+    assert {r["cid"] for r in same} == stored_cids
     tot_stored = sum(r["n_stored"] for r in same)
     tot_new = sum(r["n_new"] for r in same)
     assert tot_stored == tot_new  # identical delta == the corpus itself
@@ -305,3 +306,47 @@ def test_ivf_drift_report_flags_distribution_shift(spark, tmp_path):
     worst_new = max(r["avg_sq_dist_new"] for r in drift if r["n_new"])
     worst_stored = max(r["avg_sq_dist_stored"] for r in drift if r["n_stored"])
     assert worst_new > 100 * worst_stored, "shift not flagged"
+
+
+def test_append_param_mismatch_raises(spark, tmp_path):
+    """Appending with different signature parameters than the store
+    was built with must fail loudly — a silent mix would null out
+    scoring (minhash) or bucket into a different hash family (lsh)."""
+    import pytest
+
+    from tiki_data_pipeline_spark.operators import dedup as DD
+
+    emb = load_table(spark, SF, "embeddings")
+    docs = load_table(spark, SF, "documents")
+
+    mh = str(tmp_path / "mh")
+    DD.write_minhash_index(docs.limit(50), mh)
+    with pytest.raises(ValueError, match="incomparable"):
+        DD.append_minhash_index(docs.limit(10), mh, k=8, bands=4)
+
+    lsh = str(tmp_path / "lsh")
+    SIM.write_lsh_index(emb.limit(50), lsh)
+    with pytest.raises(ValueError, match="incomparable"):
+        SIM.append_lsh_index(emb.limit(10), lsh, n_planes=12)
+
+
+def test_compact_store_recovers_mid_swap_crash(spark, tmp_path):
+    """A compact_parquet crash between the two renames leaves only
+    'band=0.old'; re-running compact_store must restore and compact
+    the live dir, not treat the leftover as a partition."""
+    import shutil
+    from pathlib import Path
+
+    from tiki_data_pipeline_spark.operators import dedup as DD
+    from tiki_data_pipeline_spark.sources.files import compact_store
+
+    docs = load_table(spark, SF, "documents")
+    store = str(tmp_path / "store")
+    DD.write_minhash_index(docs, store)
+    before = spark.read.parquet(store).count()
+
+    shutil.move(store + "/band=0", store + "/band=0.old")
+    compact_store(spark, store)
+    assert Path(store + "/band=0").is_dir()
+    assert not Path(store + "/band=0.old").exists()
+    assert spark.read.parquet(store).count() == before

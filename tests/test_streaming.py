@@ -283,3 +283,50 @@ def test_incremental_dedup_sink_cross_batch(spark, tmp_path):
         r["id"] for r in spark.read.parquet(store + "/_fingerprints").collect()
     }
     assert stored == {2, 11, 23}, "store must hold only canonical docs"
+
+
+def test_incremental_dedup_sink_store_stays_canonical(spark, tmp_path):
+    """Within one micro-batch: two copies of the same novel text must
+    yield ONE store entry (min-id survivor), and a re-crawled id with
+    revised text must not create a second store row under that id."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tiki_data_pipeline_spark.operators import dedup as DD
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo "
+        "lima mike november oscar papa quebec romeo sierra tango uniform"
+    )
+    novel = (
+        "one micro batch carrying two identical copies of novel text must "
+        "store exactly one canonical survivor for later deduplication work"
+    )
+    store = str(tmp_path / "store")
+    DD.write_minhash_index(
+        spark.createDataFrame([(2, base)], "doc_id long, text string"), store
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        (33, novel),                        # within-batch dup (higher id)
+        (31, novel),                        # survivor (min id)
+        (2, base.replace("tango", "x")),    # re-crawled id, revised text
+    ]
+    t = pa.table(
+        {"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+         "text": pa.array([r[1] for r in rows], pa.string())}
+    )
+    pq.write_table(t, str(src / "b.parquet"))
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    beats: list = []
+    q = jobs.incremental_dedup_sink(stream, store, beats, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    stored = [r["id"] for r in spark.read.parquet(store + "/_fingerprints").collect()]
+    assert sorted(stored) == [2, 31], stored  # one survivor, no dup id 2
+    # the index side must agree with the fingerprint side
+    idx_ids = {r["id"] for r in spark.read.parquet(store).collect()}
+    assert idx_ids == {2, 31}

@@ -272,14 +272,21 @@ def append_minhash_index(
     bands: int = LSH_BANDS,
     id_col: str = "doc_id",
     text_col: str = "text",
+    sh: DataFrame | None = None,
 ) -> None:
     """Append new documents' band rows + fingerprints to an existing
     store (continuous-ingest shape: each accepted delta extends the
-    store the next delta dedups against). Plain-parquet append is
-    at-least-once on task retry; production puts the store in a
-    lakehouse table (``merge.merge_into_sql`` renders the transactional
-    twin) where the append is an idempotent MERGE on ``id``."""
-    _write_minhash_store(docs, path, "append", n, k, bands, id_col, text_col)
+    store the next delta dedups against). The store's build parameters
+    are validated from its ``_meta.json`` — appending with a different
+    (n, k, bands) would mix incomparable signatures and silently break
+    scoring. Plain-parquet append is at-least-once on task retry;
+    production puts the store in a lakehouse table
+    (``merge.merge_into_sql`` renders the transactional twin) where
+    the append is an idempotent MERGE on ``id``."""
+    from tiki_data_pipeline_spark.sources.files import check_store_meta
+
+    check_store_meta(path, {"kind": "minhash", "n": n, "k": k, "bands": bands})
+    _write_minhash_store(docs, path, "append", n, k, bands, id_col, text_col, sh=sh)
 
 
 def _write_minhash_store(
@@ -291,8 +298,14 @@ def _write_minhash_store(
     bands: int,
     id_col: str,
     text_col: str,
+    sh: DataFrame | None = None,
 ) -> None:
-    sh = shingles(docs, n=n, id_col=id_col, text_col=text_col)
+    if sh is None:
+        sh = shingles(docs, n=n, id_col=id_col, text_col=text_col)
+    else:
+        # precomputed shingles may cover a superset (e.g. the whole
+        # micro-batch when only its unique subset is appended)
+        sh = sh.join(docs.select(id_col), id_col, "semi")
     sigs = minhash_signatures(sh, k=k, id_col=id_col)
     sig_arr = F.array(*[F.col(f"mh{i}") for i in range(k)])
     rows = sigs.select(
@@ -320,6 +333,12 @@ def _write_minhash_store(
         .write.mode(mode)
         .parquet(path + "/_fingerprints")
     )
+    if mode == "overwrite":
+        from tiki_data_pipeline_spark.sources.files import write_store_meta
+
+        write_store_meta(
+            path, {"kind": "minhash", "n": n, "k": k, "bands": bands}
+        )
 
 
 def minhash_index_near_dups(
@@ -332,11 +351,14 @@ def minhash_index_near_dups(
     bands: int = LSH_BANDS,
     id_col: str = "doc_id",
     text_col: str = "text",
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dedup: match a NEW batch of documents against
     a corpus previously persisted with :func:`write_minhash_index`,
     returning ``(new_id, old_id, est_jaccard)`` pairs with estimated
-    Jaccard ≥ ``threshold``.
+    Jaccard ≥ ``threshold``. Pass precomputed ``sh`` (shingles of a
+    superset of ``new_docs``) to share one explode pass across the
+    decision and append stages of an ingest epoch.
 
     Only the batch is shingled/minhashed; the corpus contributes its
     stored band rows. Candidates come from a band equi-join (shuffle
@@ -348,7 +370,10 @@ def minhash_index_near_dups(
     doesn't — no manual hint so a huge backfill batch can't OOM the
     driver.
     """
-    sh = shingles(new_docs, n=n, id_col=id_col, text_col=text_col)
+    if sh is None:
+        sh = shingles(new_docs, n=n, id_col=id_col, text_col=text_col)
+    else:
+        sh = sh.join(new_docs.select(id_col), id_col, "semi")
     sigs = minhash_signatures(sh, k=k, id_col=id_col)
     sig_arr = F.array(*[F.col(f"mh{i}") for i in range(k)])
     batch = sigs.select(
@@ -389,6 +414,7 @@ def incremental_dedup_status(
     bands: int = LSH_BANDS,
     id_col: str = "doc_id",
     text_col: str = "text",
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Staged incremental dedup of a new batch against a persisted
     corpus store (:func:`write_minhash_index`): exact-fingerprint
@@ -409,11 +435,14 @@ def incremental_dedup_status(
     batch = new_docs.select(
         F.col(id_col), F.col(text_col), _content_fingerprint(text_col).alias("fp")
     )
-    store = spark.read.parquet(index_path + "/_fingerprints")
+    store = spark.read.parquet(index_path + "/_fingerprints").select(
+        # alias: the caller's id_col may itself be named "id"
+        F.col("id").alias("_store_id"), "fp"
+    )
     exact = (
         batch.join(store, "fp")
         .groupBy(id_col)
-        .agg(F.min("id").alias("matched_id"))
+        .agg(F.min("_store_id").alias("matched_id"))
         .withColumn("status", F.lit("exact_dup"))
     )
     fresh = batch.join(exact.select(id_col), id_col, "left_anti").select(
@@ -421,7 +450,7 @@ def incremental_dedup_status(
     )
     near_pairs = minhash_index_near_dups(
         spark, index_path, fresh, threshold=threshold, n=n, k=k, bands=bands,
-        id_col=id_col, text_col=text_col,
+        id_col=id_col, text_col=text_col, sh=sh,
     )
     # best match per doc: partitioned by doc — candidate fan-out per
     # doc ≈ its true near-dup count, so the window never sees a

@@ -659,36 +659,64 @@ def write_lsh_index(
     row-group min/max on ``bkt``. ``lsh_index_topk`` reads either
     layout unchanged.
     """
-    dim = _vec_dim(embeddings, vec_col)
-    base = embeddings.select(
-        F.col(id_col).alias("id"),
-        as_double(F.col(vec_col)).alias("v"),
-        lsh_bucket(as_double(F.col(vec_col)), dim, n_planes).alias("bkt"),
-    ).withColumn(
-        # norm materialized at build time: serving divides by it
-        # instead of re-folding O(dim) per candidate row; zero-norm
-        # vectors (undefined cosine) are excluded from the index
-        "nrm", _norm(F.col("v"))
-    ).filter(F.col("nrm") > 0)
+    base = _lsh_index_rows(embeddings, id_col, vec_col, n_planes)
     if partitioned is None:
         partitioned = base.count() >= partition_min_rows
+    _write_index_rows(base, path, "overwrite", "bkt", partitioned)
+    from tiki_data_pipeline_spark.sources.files import write_store_meta
+
+    write_store_meta(path, {"kind": "lsh", "n_planes": n_planes})
+
+
+def _lsh_index_rows(
+    embeddings: DataFrame, id_col: str, vec_col: str, n_planes: int
+) -> DataFrame:
+    """(id, v, bkt, nrm) rows — the persisted-LSH-index admission
+    rule: norm materialized at build time (serving divides by it
+    instead of re-folding O(dim) per candidate row); zero-norm vectors
+    (undefined cosine) excluded."""
+    dim = _vec_dim(embeddings, vec_col)
+    return (
+        embeddings.select(
+            F.col(id_col).alias("id"),
+            as_double(F.col(vec_col)).alias("v"),
+            lsh_bucket(as_double(F.col(vec_col)), dim, n_planes).alias("bkt"),
+        )
+        .withColumn("nrm", _norm(F.col("v")))
+        .filter(F.col("nrm") > 0)
+    )
+
+
+def _write_index_rows(
+    rows: DataFrame, path: str, mode: str, key: str, partitioned: bool
+) -> None:
+    """One writer for both index layouts and both build/append modes:
+    directory partitions on ``key`` (co-located first — otherwise
+    every input partition writes a file into every key directory:
+    tasks × keys small files), or the small-corpus key-sorted flat
+    dataset (row-group min/max pruning, no directory blowup)."""
     if partitioned:
         (
-            # co-locate each bucket on one task before the partitioned
-            # write: otherwise every input partition writes a file into
-            # every bucket directory — tasks × 2^n_planes small files
-            base.repartition(F.col("bkt"))
-            .write.mode("overwrite")
-            .partitionBy("bkt")
+            rows.repartition(F.col(key))
+            .write.mode(mode)
+            .partitionBy(key)
             .parquet(path)
         )
     else:
         (
-            base.repartitionByRange(4, "bkt")
-            .sortWithinPartitions("bkt")
-            .write.mode("overwrite")
+            rows.repartitionByRange(4, key)
+            .sortWithinPartitions(key)
+            .write.mode(mode)
             .parquet(path)
         )
+
+
+def _detect_partitioned(path: str, key: str) -> bool:
+    import os
+
+    return any(
+        e.name.startswith(f"{key}=") for e in os.scandir(path) if e.is_dir()
+    )
 
 
 def append_lsh_index(
@@ -701,36 +729,16 @@ def append_lsh_index(
     """Add new vectors to an existing persisted LSH index without a
     rebuild (continuous-ingest shape: the delta's bucket rows land in
     the partitions the serve path already prunes on). Layout is
-    auto-detected from the tree on disk: a bucket-partitioned index
-    gets a partitioned append; the small-corpus bkt-sorted layout gets
-    bkt-sorted files appended so per-file row-group min/max pruning
-    still holds. Same at-least-once caveat as every plain-parquet
-    append — production is a lakehouse MERGE/OPTIMIZE table."""
-    import os
+    auto-detected from the tree on disk; ``n_planes`` is validated
+    against the store's ``_meta.json`` — a different hyperplane family
+    would bucket the delta incomparably and silently lose recall.
+    Same at-least-once caveat as every plain-parquet append —
+    production is a lakehouse MERGE/OPTIMIZE table."""
+    from tiki_data_pipeline_spark.sources.files import check_store_meta
 
-    dim = _vec_dim(embeddings, vec_col)
-    rows = embeddings.select(
-        F.col(id_col).alias("id"),
-        as_double(F.col(vec_col)).alias("v"),
-        lsh_bucket(as_double(F.col(vec_col)), dim, n_planes).alias("bkt"),
-    ).withColumn("nrm", _norm(F.col("v"))).filter(F.col("nrm") > 0)
-    partitioned = any(
-        e.name.startswith("bkt=") for e in os.scandir(path) if e.is_dir()
-    )
-    if partitioned:
-        (
-            rows.repartition(F.col("bkt"))
-            .write.mode("append")
-            .partitionBy("bkt")
-            .parquet(path)
-        )
-    else:
-        (
-            rows.repartitionByRange(4, "bkt")
-            .sortWithinPartitions("bkt")
-            .write.mode("append")
-            .parquet(path)
-        )
+    check_store_meta(path, {"kind": "lsh", "n_planes": n_planes})
+    rows = _lsh_index_rows(embeddings, id_col, vec_col, n_planes)
+    _write_index_rows(rows, path, "append", "bkt", _detect_partitioned(path, "bkt"))
 
 
 def _py_norm(v) -> float:
@@ -851,12 +859,7 @@ def write_ivf_index(
     pruning), one cid-sorted dataset below ``partition_min_rows``
     (row-group min/max pruning, no small-files blowup).
     """
-    base = (
-        embeddings.filter(F.col(vec_col).isNotNull())
-        .select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
-        .withColumn("nrm", _norm(F.col("v")))  # see write_lsh_index
-        .filter(F.col("nrm") > 0)
-    )
+    base = _ivf_index_rows(embeddings, id_col, vec_col)
     if centroids is None:
         centroids = ivf_train(
             embeddings, k=n_centroids, id_col=id_col, vec_col=vec_col
@@ -864,23 +867,19 @@ def write_ivf_index(
     assigned = assign_to_centroids(base, centroids).join(base, "id")
     if partitioned is None:
         partitioned = base.count() >= partition_min_rows
-    if partitioned:
-        (
-            # co-locate each list on one task first — otherwise every
-            # input partition writes a file into every cid directory
-            assigned.repartition(F.col("cid"))
-            .write.mode("overwrite")
-            .partitionBy("cid")
-            .parquet(path)
-        )
-    else:
-        (
-            assigned.repartitionByRange(4, "cid")
-            .sortWithinPartitions("cid")
-            .write.mode("overwrite")
-            .parquet(path)
-        )
+    _write_index_rows(assigned, path, "overwrite", "cid", partitioned)
     centroids.write.mode("overwrite").parquet(path.rstrip("/") + "/_centroids")
+
+
+def _ivf_index_rows(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, v, nrm) rows under the IVF admission rule (non-null,
+    non-zero-norm — see write_lsh_index's rationale)."""
+    return (
+        embeddings.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+        .withColumn("nrm", _norm(F.col("v")))
+        .filter(F.col("nrm") > 0)
+    )
 
 
 def append_ivf_index(
@@ -894,37 +893,16 @@ def append_ivf_index(
     PERSISTED centroids (the quantizer is frozen at build time —
     FAISS's add-after-train semantics; re-training would silently
     remap every stored list) and append to the matching inverted
-    lists. Layout auto-detected like :func:`append_lsh_index`.
-    Re-train + rebuild when the delta shifts the distribution enough
-    that recall degrades — that is a monitored offline decision, not
-    an ingest-path one."""
-    import os
-
+    lists. Layout auto-detected like :func:`append_lsh_index`; the
+    quantizer itself needs no parameter validation — it is read from
+    the store. Re-train + rebuild when the delta shifts the
+    distribution enough that recall degrades — that is a monitored
+    offline decision (:func:`ivf_drift_report`), not an ingest-path
+    one."""
     centroids = spark.read.parquet(path.rstrip("/") + "/_centroids")
-    base = (
-        embeddings.filter(F.col(vec_col).isNotNull())
-        .select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
-        .withColumn("nrm", _norm(F.col("v")))
-        .filter(F.col("nrm") > 0)
-    )
+    base = _ivf_index_rows(embeddings, id_col, vec_col)
     assigned = assign_to_centroids(base, centroids).join(base, "id")
-    partitioned = any(
-        e.name.startswith("cid=") for e in os.scandir(path) if e.is_dir()
-    )
-    if partitioned:
-        (
-            assigned.repartition(F.col("cid"))
-            .write.mode("append")
-            .partitionBy("cid")
-            .parquet(path)
-        )
-    else:
-        (
-            assigned.repartitionByRange(4, "cid")
-            .sortWithinPartitions("cid")
-            .write.mode("append")
-            .parquet(path)
-        )
+    _write_index_rows(assigned, path, "append", "cid", _detect_partitioned(path, "cid"))
 
 
 def ivf_drift_report(
@@ -986,9 +964,12 @@ def ivf_drift_report(
 
     stored = _stats(spark.read.parquet(index_path).select("cid", "v"), "stored")
     delta = _stats(
-        new_embeddings.filter(F.col(vec_col).isNotNull()).select(
-            as_double(F.col(vec_col)).alias("v")
-        ),
+        # mirror the writers' admission rule (non-null, non-zero-norm):
+        # the report must score exactly what an append would store, or
+        # degenerate vectors could fake a distribution shift
+        new_embeddings.filter(F.col(vec_col).isNotNull())
+        .select(as_double(F.col(vec_col)).alias("v"))
+        .filter(_norm(F.col("v")) > 0),
         "new",
     )
     # k-row result: the global-total window runs over ≤ n_centroids

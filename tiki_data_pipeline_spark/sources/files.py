@@ -115,6 +115,39 @@ def compact_parquet(spark: SparkSession, path: str, target_files: int) -> None:
     shutil.rmtree(old)
 
 
+def write_store_meta(path: str, meta: dict) -> None:
+    """Record a persisted store's build parameters in
+    ``<path>/_meta.json`` (underscore prefix = invisible to parquet
+    readers). Local-filesystem write; production = object-store put."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def check_store_meta(path: str, expected: dict) -> None:
+    """Raise if ``<path>/_meta.json`` disagrees with the parameters of
+    an incoming append — mixing signature families in one store breaks
+    scoring SILENTLY (nulls/wrong buckets), so it must fail loudly. A
+    store without meta (pre-meta build) skips validation; the caller
+    owns consistency there."""
+    import json
+    import os
+
+    meta_path = os.path.join(path, "_meta.json")
+    if not os.path.exists(meta_path):
+        return
+    with open(meta_path) as f:
+        meta = json.load(f)
+    if meta != expected:
+        raise ValueError(
+            f"store at {path} was built with {meta}; appending with "
+            f"{expected} would mix incomparable signatures — rebuild "
+            "or match the stored parameters"
+        )
+
+
 def compact_store(
     spark: SparkSession, path: str, target_files_per_partition: int = 1
 ) -> int:
@@ -133,13 +166,34 @@ def compact_store(
     twin: lakehouse ``OPTIMIZE``."""
     import os
 
-    leaf_dirs = [
-        e.path
-        for e in os.scandir(path)
-        if e.is_dir()
-        and ("=" in e.name or e.name.startswith("_"))
-        and any(f.endswith(".parquet") for f in os.listdir(e.path))
-    ]
+    # Resolve crash leftovers to their LIVE directory name: a
+    # 'band=0.old' / 'band=0.compacting' sibling is compact_parquet's
+    # mid-swap residue, NOT a partition — compacting it as one would
+    # skip the recovery of the missing live dir and leave bogus
+    # partition values in the tree. compact_parquet(base) performs
+    # the .old recovery itself when only the leftover exists.
+    bases: set[str] = set()
+    for e in os.scandir(path):
+        if not e.is_dir():
+            continue
+        name = e.name
+        for suffix in (".old", ".compacting"):
+            if name.endswith(suffix):
+                name = name[: -len(suffix)]
+                break
+        if "=" in name or name.startswith("_"):
+            bases.add(name)
+    leaf_dirs = sorted(
+        os.path.join(path, b)
+        for b in bases
+        if (
+            os.path.isdir(os.path.join(path, b))
+            and any(
+                f.endswith(".parquet") for f in os.listdir(os.path.join(path, b))
+            )
+        )
+        or os.path.isdir(os.path.join(path, b + ".old"))
+    )
     for d in leaf_dirs:
         compact_parquet(spark, d, target_files_per_partition)
     return len(leaf_dirs)

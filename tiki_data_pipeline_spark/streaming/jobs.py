@@ -216,16 +216,30 @@ def incremental_dedup_sink(
     store (epoch-stamped, distributed write — never collected to the
     driver; a micro-batch can be arbitrarily large). The caller's
     ``statuses`` list receives only (epoch, n_docs) heartbeats.
+
+    What gets appended: of the docs statused ``unique``, one survivor
+    (min id) per distinct normalized text — two copies of the same
+    novel content in ONE micro-batch must not both enter the store —
+    and never a doc whose id already exists in the store (a re-crawled
+    id carrying revised text is a revision; plain parquet cannot
+    replace the stored signature, so the original stays canonical —
+    production MERGEs the revision in the lakehouse-backed store).
+    Within-batch NEAR-dups (distinct texts above the threshold, both
+    unique vs the store) can still both land — bounded by one
+    micro-batch and reclaimed by a periodic full near-dedup pass.
     Plain-parquet append is at-least-once on epoch retry (see
-    ``dedup.append_minhash_index``); production backs the store with a
-    lakehouse table where the append is an idempotent MERGE on id.
+    ``dedup.append_minhash_index``).
     """
     from tiki_data_pipeline_spark.operators import dedup as DD
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint()  # pin the micro-batch once
+        # one shingle explode per epoch, shared by the decision and
+        # append stages (both otherwise recompute it)
+        sh = DD.shingles(batch_df).localCheckpoint()
         status = DD.incremental_dedup_status(
-            spark, index_path, batch_df, threshold=threshold
+            spark, index_path, batch_df, threshold=threshold, sh=sh
         # materialized BEFORE the store append below: the decision is
         # lazy and reads the store — evaluating it after the append
         # would status the batch against itself
@@ -240,7 +254,16 @@ def incremental_dedup_sink(
             "doc_id",
             "semi",
         )
-        DD.append_minhash_index(uniq, index_path)
+        survivors = DD.exact_dedup(uniq).select(
+            F.col("survivor_id").alias("doc_id")
+        )
+        stored_ids = spark.read.parquet(index_path + "/_fingerprints").select(
+            F.col("id").alias("doc_id")
+        )
+        to_add = uniq.join(survivors, "doc_id", "semi").join(
+            stored_ids, "doc_id", "anti"
+        )
+        DD.append_minhash_index(to_add, index_path, sh=sh)
         statuses.append((epoch_id, status.count()))
 
     return (
