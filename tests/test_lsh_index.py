@@ -234,7 +234,7 @@ def test_compact_store_preserves_rows_and_merges_files(spark, tmp_path):
 
     before = _snapshot()
     n = compact_store(spark, store, target_files_per_partition=1)
-    assert n == DD.LSH_BANDS + 1  # band dirs + _fingerprints
+    assert n == DD.LSH_BANDS + 2  # band dirs + _fingerprints + _hot_bands
     for d in Path(store).iterdir():
         if d.is_dir():
             files = [f for f in d.iterdir() if f.name.endswith(".parquet")]

@@ -357,3 +357,39 @@ def test_incremental_dedup_status_all_three_statuses(spark, tmp_path):
     assert rows[11] == ("exact_dup", 2)
     assert rows[13] == ("near_dup", 2)
     assert rows[15] == ("unique", None)
+
+
+def test_hot_band_cap_skips_boilerplate_buckets(spark, tmp_path):
+    """A band signature shared by more stored docs than the cap is
+    excluded from near-dup candidate generation (quadratic fan-out
+    guard); normal buckets are unaffected, and the identical-text
+    mass is still caught by the exact stage."""
+    boiler = "standard legal disclaimer text repeated verbatim on every single page"
+    uniq = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo "
+        "lima mike november oscar papa quebec romeo sierra tango uniform"
+    )
+    corpus = spark.createDataFrame(
+        [(i, boiler) for i in range(2, 42, 2)] + [(100, uniq)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "idx")
+    DD.write_minhash_index(corpus, path)
+    n_hot = DD.rebuild_hot_bands(spark, path, cap=5)
+    assert n_hot >= 1  # the boilerplate buckets crossed the cap
+
+    batch = spark.createDataFrame(
+        [(201, boiler), (203, uniq.replace("tango", "x"))],
+        "doc_id long, text string",
+    )
+    pairs = DD.minhash_index_near_dups(spark, path, batch, threshold=0.3).collect()
+    got = {(r["new_id"], r["old_id"]) for r in pairs}
+    assert all(i != 201 for i, _ in got), "hot bucket not skipped"
+    assert (203, 100) in got, "normal bucket wrongly affected"
+    # the boilerplate doc is still caught — by the exact stage
+    status = {
+        r["doc_id"]: r["status"]
+        for r in DD.incremental_dedup_status(spark, path, batch).collect()
+    }
+    assert status[201] == "exact_dup"
+    assert status[203] == "near_dup"

@@ -339,6 +339,34 @@ def _write_minhash_store(
         write_store_meta(
             path, {"kind": "minhash", "n": n, "k": k, "bands": bands}
         )
+        rebuild_hot_bands(docs.sparkSession, path)
+
+
+HOT_BAND_CAP = 10_000
+
+
+def rebuild_hot_bands(spark, path: str, cap: int = HOT_BAND_CAP) -> int:
+    """Recompute the ``_hot_bands`` sidecar: band signatures shared by
+    more than ``cap`` stored documents. A hot bucket is boilerplate
+    (identical headers, templated pages) whose candidate fan-out is
+    QUADRATIC in bucket size — one 1M-doc bucket × a 1k-doc delta is
+    1e9 candidate rows; exact-first staging already catches the
+    identical-text mass, so the near stage skips these buckets
+    (:func:`minhash_index_near_dups` anti-joins the sidecar).
+    Run at build (automatic) and periodically after appends (the
+    sidecar goes stale as buckets grow — a maintenance companion to
+    ``compact_store``). Returns the number of hot signatures."""
+    hot = (
+        spark.read.parquet(path)
+        .groupBy("band", "band_sig")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > cap)
+        .select("band", "band_sig")
+    )
+    # coalesce(1): an empty result must still write one schema-bearing
+    # file, or the serve-side read of the sidecar fails inference
+    hot.coalesce(1).write.mode("overwrite").parquet(path + "/_hot_bands")
+    return spark.read.parquet(path + "/_hot_bands").count()
 
 
 def minhash_index_near_dups(
@@ -381,6 +409,18 @@ def minhash_index_near_dups(
         sig_arr.alias("new_sig"),
         *[F.col(f"mh{i}") for i in range(k)],
     ).selectExpr("new_id", "new_sig", _band_stack_expr(bands, k))
+    import os
+
+    hot_path = index_path + "/_hot_bands"
+    if os.path.isdir(hot_path):
+        # skip boilerplate buckets (quadratic fan-out; see
+        # rebuild_hot_bands) — the hot set is tiny by construction,
+        # broadcast is free
+        batch = batch.join(
+            F.broadcast(spark.read.parquet(hot_path)),
+            ["band", "band_sig"],
+            "anti",
+        )
     index = spark.read.parquet(index_path)
     pairs = (
         index.join(batch, ["band", "band_sig"])
