@@ -268,3 +268,28 @@ def test_compact_parquet_recovers_from_stale_old_dir(spark, tmp_path):
     compact_parquet(spark, path, target_files=1)
     assert spark.read.parquet(path).count() == 100
     assert not Path(path + ".old").exists()
+
+
+def test_training_shard_manifest_roundtrip_and_tamper(spark, tmp_path):
+    """Export records a per-shard manifest; verification passes on the
+    untouched export and fails loudly after a shard file is lost."""
+    import shutil
+    from pathlib import Path
+
+    import pytest
+
+    from tiki_data_pipeline_spark.io import load_table
+    from tiki_data_pipeline_spark.sources.files import (
+        verify_training_shards,
+        write_training_shards,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(200)
+    path = str(tmp_path / "shards")
+    write_training_shards(spark.createDataFrame(docs.collect()), path, n_shards=4)
+    verify_training_shards(spark, path)  # untouched export: OK
+
+    victim = next(Path(path).glob("shard=*/part-*.parquet"))
+    victim.unlink()
+    with pytest.raises(ValueError, match="diverge"):
+        verify_training_shards(spark, path)

@@ -234,3 +234,54 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+    write_store_meta(path, shard_manifest(docs.sparkSession, path, id_col))
+
+
+def shard_manifest(spark: SparkSession, path: str, id_col: str = "doc_id") -> dict:
+    """Per-shard manifest of a training export: row count and an
+    order-insensitive content checksum (sum of xxhash64 over the
+    packing-relevant columns, as a string — the sum exceeds int64).
+    One distributed scan, k-row result."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        spark.read.parquet(path)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.xxhash64(F.col(id_col), "seq_id", "tok_offset").cast("decimal(38,0)")
+            ).cast("string").alias("checksum"),
+        )
+        .collect()
+    )
+    return {
+        "kind": "training_shards",
+        "shards": {
+            str(r["shard"]): {"n": r["n"], "checksum": r["checksum"]} for r in rows
+        },
+        "total": sum(r["n"] for r in rows),
+    }
+
+
+def verify_training_shards(spark: SparkSession, path: str, id_col: str = "doc_id") -> None:
+    """Recompute the shard manifest and compare against the one
+    recorded at export time — catches truncated, lost or duplicated
+    shard files before a training run consumes them. Raises with the
+    differing shards on mismatch."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_meta.json")) as f:
+        recorded = json.load(f)
+    current = shard_manifest(spark, path, id_col)
+    if current != recorded:
+        diff = {
+            s
+            for s in set(recorded["shards"]) | set(current["shards"])
+            if recorded["shards"].get(s) != current["shards"].get(s)
+        }
+        raise ValueError(
+            f"training shards at {path} diverge from their manifest "
+            f"(shards {sorted(diff)}); the export is corrupt or modified"
+        )
