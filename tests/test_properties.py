@@ -218,3 +218,76 @@ def test_ancestor_paths_matches_walk_model_on_adversarial_graphs(spark):
     diffs = {u: (got[u], expected[u]) for u in expected if got[u] != expected[u]}
     assert not diffs, f"{len(diffs)} mismatches; first: {list(diffs.items())[:3]}"
     assert all(len(p) <= MAX_HOPS for p in got.values())
+
+
+def test_scalar_parse_cross_engine_fuzz(spark):
+    """Fuzz the scalar parsers across both engines: 300 seeded-random
+    dirty strings (digit runs, separators, currency marks, k/m
+    suffixes, signs, unicode junk, timestamps) must parse to EXACTLY
+    the same values in Spark and DuckDB — this is the surface the
+    transform oracles stand on, so any regex/locale divergence between
+    the engines must surface here, not in a driver hash mismatch."""
+    import random
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+    from tiki_data_pipeline_spark.fixtures import sql_literal
+    from tiki_data_pipeline_spark.functions import scalars as SC
+
+    rng = random.Random(20260814)
+    digits = "0123456789"
+    junk = ["₫", "đ", " ", ".", ",", "-", "+", "k", "m", "K", "M", "vnd", "VND",
+            "~", "x", "❤", "\t", "Đã bán ", "price:", ""]
+
+    def rand_price():
+        n = rng.randint(1, 9)
+        s = "".join(rng.choice(digits) for _ in range(n))
+        for _ in range(rng.randint(0, 4)):
+            pos = rng.randint(0, len(s))
+            s = s[:pos] + rng.choice(junk) + s[pos:]
+        return s
+
+    def rand_ts():
+        y, mo, d = rng.randint(1990, 2030), rng.randint(0, 13), rng.randint(0, 32)
+        h, mi, se = rng.randint(0, 24), rng.randint(0, 60), rng.randint(0, 60)
+        sep = rng.choice(["T", " "])
+        frac = rng.choice(["", f".{rng.randint(0, 999999):06d}"])
+        form = rng.choice([
+            f"{y:04d}-{mo:02d}-{d:02d}{sep}{h:02d}:{mi:02d}:{se:02d}{frac}",
+            f"{y:04d}-{mo:02d}-{d:02d}",
+            rand_price(),  # garbage: must be NULL in both engines
+        ])
+        return form
+
+    cases = [(i, rand_price(), rand_ts()) for i in range(300)]
+
+    sdf = spark.createDataFrame(cases, "case_id long, raw string, ts_raw string")
+    got = {
+        r["case_id"]: (r["p"], r["t"])
+        for r in sdf.select(
+            "case_id",
+            SC.parse_price(F.col("raw")).alias("p"),
+            F.date_format(SC.parse_datetime(F.col("ts_raw")), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("t"),
+        ).collect()
+    }
+
+    vals = ",".join(
+        f"({i}, {sql_literal(p)}, {sql_literal(t)})" for i, p, t in cases
+    )
+    con = duckdb.connect()
+    rows = con.execute(f"""
+        SELECT case_id,
+          TRY_CAST(NULLIF(REGEXP_REPLACE(raw, '[^0-9]', '', 'g'), '') AS BIGINT),
+          strftime(COALESCE(
+            TRY_STRPTIME(ts_raw, '%Y-%m-%d %H:%M:%S'),
+            TRY_STRPTIME(ts_raw, '%Y-%m-%dT%H:%M:%S'),
+            TRY_STRPTIME(ts_raw, '%Y-%m-%dT%H:%M:%S.%f'),
+            TRY_STRPTIME(ts_raw, '%Y-%m-%d %H:%M:%S.%f'),
+            TRY_STRPTIME(ts_raw, '%Y-%m-%d')), '%Y-%m-%d %H:%M:%S.%f')
+        FROM (VALUES {vals}) AS t(case_id, raw, ts_raw)
+    """).fetchall()
+    want = {r[0]: (r[1], r[2]) for r in rows}
+
+    diffs = {i: (got[i], want[i]) for i in got if got[i] != want[i]}
+    assert not diffs, f"{len(diffs)} cross-engine divergences, e.g. {list(diffs.items())[:5]}"

@@ -245,8 +245,14 @@ def incremental_dedup_sink(
         # would status the batch against itself
         ).localCheckpoint()
         (
+            # epoch-partitioned dynamic overwrite: a retried epoch
+            # REPLACES its own partition instead of duplicating rows —
+            # the decisions log is exactly-once even though the store
+            # append below stays at-least-once
             status.withColumn("epoch", F.lit(epoch_id))
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
             .parquet(index_path + "/_decisions")
         )
         uniq = batch_df.join(
