@@ -264,10 +264,11 @@ def test_scalar_parse_cross_engine_fuzz(spark):
 
     sdf = spark.createDataFrame(cases, "case_id long, raw string, ts_raw string")
     got = {
-        r["case_id"]: (r["p"], r["t"])
+        r["case_id"]: (r["p"], r["s"], r["t"])
         for r in sdf.select(
             "case_id",
             SC.parse_price(F.col("raw")).alias("p"),
+            SC.parse_sales_count(F.col("raw")).alias("s"),
             F.date_format(SC.parse_datetime(F.col("ts_raw")), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("t"),
         ).collect()
     }
@@ -279,6 +280,13 @@ def test_scalar_parse_cross_engine_fuzz(spark):
     rows = con.execute(f"""
         SELECT case_id,
           TRY_CAST(NULLIF(REGEXP_REPLACE(raw, '[^0-9]', '', 'g'), '') AS BIGINT),
+          TRY_CAST(ROUND(
+            TRY_CAST(NULLIF(REPLACE(REGEXP_EXTRACT(LOWER(TRIM(raw)),
+                '([0-9]+(?:[.,][0-9]+)?)\\s*([km]?)', 1), ',', '.'), '') AS DOUBLE)
+            * (CASE REGEXP_EXTRACT(LOWER(TRIM(raw)),
+                '([0-9]+(?:[.,][0-9]+)?)\\s*([km]?)', 2)
+               WHEN 'k' THEN 1000.0 WHEN 'm' THEN 1000000.0 ELSE 1.0 END)
+          ) AS BIGINT),
           strftime(COALESCE(
             TRY_STRPTIME(ts_raw, '%Y-%m-%d %H:%M:%S'),
             TRY_STRPTIME(ts_raw, '%Y-%m-%dT%H:%M:%S'),
@@ -287,7 +295,7 @@ def test_scalar_parse_cross_engine_fuzz(spark):
             TRY_STRPTIME(ts_raw, '%Y-%m-%d')), '%Y-%m-%d %H:%M:%S.%f')
         FROM (VALUES {vals}) AS t(case_id, raw, ts_raw)
     """).fetchall()
-    want = {r[0]: (r[1], r[2]) for r in rows}
+    want = {r[0]: (r[1], r[2], r[3]) for r in rows}
 
     diffs = {i: (got[i], want[i]) for i in got if got[i] != want[i]}
     assert not diffs, f"{len(diffs)} cross-engine divergences, e.g. {list(diffs.items())[:5]}"
