@@ -39,13 +39,24 @@ def _md5_long(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
-def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Distinct word n-gram shingles per document.
+def shingles(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    distinct: bool = True,
+) -> DataFrame:
+    """Word n-gram shingles per document, distinct by default.
 
     The token array is materialized as a column BEFORE the transform
     lambda references it — an inline ``split()`` expression would be
     re-evaluated per ``element_at`` call inside the lambda (3 regex
     splits per shingle ≈ 10× slower at scale).
+
+    ``distinct=False`` skips the dedup exchange — one full shuffle of
+    the exploded shingle set. Correct ONLY for consumers invariant to
+    duplicate shingles (MinHash: MIN over repeated equal hashes is
+    unchanged); Jaccard set counts NEED the distinct.
     """
     with_toks = docs.select(
         id_col, F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("toks")
@@ -57,7 +68,8 @@ def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str 
             " ", *[F.element_at(toks, i + k) for k in range(n)]
         ),
     )
-    return with_toks.select(id_col, F.explode(grams).alias("shingle")).distinct()
+    out = with_toks.select(id_col, F.explode(grams).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def _content_fingerprint(text_col: str) -> Column:
@@ -301,7 +313,9 @@ def _write_minhash_store(
     sh: DataFrame | None = None,
 ) -> None:
     if sh is None:
-        sh = shingles(docs, n=n, id_col=id_col, text_col=text_col)
+        # non-distinct: MinHash MIN is invariant to duplicate
+        # shingles, so the dedup exchange would be a wasted shuffle
+        sh = shingles(docs, n=n, id_col=id_col, text_col=text_col, distinct=False)
     else:
         # precomputed shingles may cover a superset (e.g. the whole
         # micro-batch when only its unique subset is appended)
@@ -362,11 +376,14 @@ def rebuild_hot_bands(spark, path: str, cap: int = HOT_BAND_CAP) -> int:
         .agg(F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") > cap)
         .select("band", "band_sig")
+        # materialize once: the aggregation feeds both the write and
+        # the returned count — without this it would run twice
+        .localCheckpoint()
     )
     # coalesce(1): an empty result must still write one schema-bearing
     # file, or the serve-side read of the sidecar fails inference
     hot.coalesce(1).write.mode("overwrite").parquet(path + "/_hot_bands")
-    return spark.read.parquet(path + "/_hot_bands").count()
+    return hot.count()
 
 
 def minhash_index_near_dups(
@@ -399,7 +416,8 @@ def minhash_index_near_dups(
     driver.
     """
     if sh is None:
-        sh = shingles(new_docs, n=n, id_col=id_col, text_col=text_col)
+        # see _write_minhash_store: MinHash is duplicate-invariant
+        sh = shingles(new_docs, n=n, id_col=id_col, text_col=text_col, distinct=False)
     else:
         sh = sh.join(new_docs.select(id_col), id_col, "semi")
     sigs = minhash_signatures(sh, k=k, id_col=id_col)
