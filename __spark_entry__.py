@@ -62,6 +62,7 @@ _PREVIOUSLY_UNSAMPLED = [
     "embedding_ann_ivf_index_topk",
     "doc_incremental_near_dup",
     "doc_incremental_dedup_status",
+    "embedding_incremental_near_dup",
     # -- refresh of the r4 window (already hash-green, keeps the
     #    remaining slots productive) --
     "json_recursive_product_search",

@@ -350,3 +350,33 @@ def test_compact_store_recovers_mid_swap_crash(spark, tmp_path):
     assert Path(store + "/band=0").is_dir()
     assert not Path(store + "/band=0.old").exists()
     assert spark.read.parquet(store).count() == before
+
+
+def test_lsh_index_near_dups_matches_in_session_blocking(spark, tmp_path):
+    """Distributed batch-vs-index near-dup with query-side radius 2R
+    must produce exactly the cross-split pairs the in-session
+    both-sides-radius-R path produces (pair meets iff Hamming ≤ 2R),
+    with cosines agreeing to the in-session rounding."""
+    emb = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "idx")
+    SIM.write_lsh_index(emb.filter(F.col("vec_id") % 2 == 0), path)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+
+    got = {
+        (r["new_id"], r["old_id"]): r["cosine_sim"]
+        for r in SIM.lsh_index_near_dups(
+            spark, path, batch, threshold=0.45, emit_radius=4
+        ).collect()
+    }
+
+    both = SIM.near_dup_pairs(emb, threshold=0.45, blocking="lsh", emit_radius=2)
+    want = {}
+    for r in both.collect():
+        i, j = r["i"], r["j"]
+        if (i % 2) != (j % 2):  # cross-split pairs only
+            new, old = (i, j) if i % 2 == 1 else (j, i)
+            want[(new, old)] = r["cosine_sim"]
+    assert set(got) == set(want)
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-4, k
+    assert got, "no cross pairs on the fixture corpus"

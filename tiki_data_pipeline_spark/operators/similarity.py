@@ -311,16 +311,20 @@ def lsh_bucket(v: Column, dim: int, n_planes: int = N_PLANES) -> Column:
 
 
 def probe_masks(n_planes: int, radius: int) -> list[int]:
-    """All XOR masks with popcount ≤ radius — the multi-probe set."""
-    masks = [0]
-    if radius >= 1:
-        masks += [1 << a for a in range(n_planes)]
-    if radius >= 2:
-        masks += [
-            (1 << a) | (1 << b)
-            for a in range(n_planes)
-            for b in range(a + 1, n_planes)
-        ]
+    """All XOR masks with popcount ≤ radius — the multi-probe set.
+    General over any radius (an earlier version silently capped at 2,
+    which made a larger requested radius UNDER-probe with no error);
+    ordering is deterministic: by popcount, then ascending bit
+    combinations."""
+    from itertools import combinations
+
+    masks = []
+    for r in range(min(radius, n_planes) + 1):
+        for bits in combinations(range(n_planes), r):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(m)
     return masks
 
 
@@ -717,6 +721,90 @@ def _detect_partitioned(path: str, key: str) -> bool:
     return any(
         e.name.startswith(f"{key}=") for e in os.scandir(path) if e.is_dir()
     )
+
+
+def lsh_index_near_dups(
+    spark,
+    index_path: str,
+    new_embeddings: DataFrame,
+    threshold: float = 0.9,
+    emit_radius: int = 2,
+    n_planes: int = N_PLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed incremental embedding near-dup: match a NEW batch
+    of vectors against a persisted LSH index, returning
+    ``(new_id, old_id, cosine_sim)`` pairs with cosine ≥ threshold.
+
+    Unlike :func:`lsh_index_topk` (which collects a SMALL query set to
+    the driver — the ANN serving shape), the batch here stays fully
+    distributed: each batch vector is replicated into its Hamming-
+    ``emit_radius`` probe buckets via one Arrow pass, then equi-joined
+    against the single-copy index on ``bkt`` — a delta of any size
+    works. Query-side-only replication at radius R yields the same
+    candidate set as both-sides replication at radius R/2 (a pair
+    meets iff Hamming(a,b) ≤ R), so ``emit_radius=2`` here matches the
+    in-session ``near_dup_pairs(blocking='lsh')`` candidates.
+    """
+    import numpy as np
+    import pandas as pd
+
+    dim = _vec_dim(new_embeddings, vec_col)
+    wmat = np.array(
+        [[_plane_weight(p, i) for i in range(1, dim + 1)] for p in range(n_planes)]
+    )
+    masks = np.array(probe_masks(n_planes, emit_radius), dtype=np.int64)
+    bitvals = 1 << np.arange(n_planes, dtype=np.int64)
+
+    base = new_embeddings.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("new_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+
+    def emit_probes(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(list(pdf["qv"]), dtype=np.float64)
+            qn = np.sqrt((m * m).sum(axis=1))
+            keep = qn > 0  # zero-norm: no defined cosine
+            if not keep.any():
+                continue
+            pdf, m, qn = pdf[keep], m[keep], qn[keep]
+            b0 = ((m @ wmat.T > 0) * bitvals).sum(axis=1)
+            reps = len(masks)
+            yield pd.DataFrame(
+                {
+                    "new_id": pdf["new_id"].to_numpy().repeat(reps),
+                    "qv": [v for v in pdf["qv"] for _ in range(reps)],
+                    "qn": qn.repeat(reps),
+                    "bkt": np.bitwise_xor(
+                        b0.repeat(reps), np.tile(masks, len(pdf))
+                    ),
+                }
+            )
+
+    probes = base.mapInPandas(
+        emit_probes, schema="new_id long, qv array<double>, qn double, bkt long"
+    )
+    index = _with_nrm(spark.read.parquet(index_path)).withColumn(
+        "bkt", F.col("bkt").cast("long")
+    )
+    scored = (
+        index.join(probes, "bkt")
+        .filter(F.col("id") != F.col("new_id"))
+        .select(
+            "new_id",
+            F.col("id").alias("old_id"),
+            F.round(
+                _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
+            ).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+        # a pair colliding in several probe buckets scores identically
+        .dropDuplicates(["new_id", "old_id"])
+    )
+    return scored
 
 
 def append_lsh_index(

@@ -635,6 +635,56 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.near_dup_pairs(emb, threshold=0.45, blocking="lsh")
 
 
+def _emb_even_index_cached(spark: SparkSession, sf_dir: str) -> str:
+    """Persisted LSH index over the even-id half of the embeddings
+    (the 'existing corpus' for the incremental embedding-dedup
+    split), built once per (session, sf_dir)."""
+    return _session_index(
+        spark,
+        sf_dir,
+        "lsh_even",
+        lambda p: SIM.write_lsh_index(
+            load_table(spark, sf_dir, "embeddings").filter(
+                F.col("vec_id") % 2 == 0
+            ),
+            p,
+        ),
+    )
+
+
+@query(
+    "embedding_incremental_near_dup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {_LSH_BUCKET_SQL} AS bucket FROM e)
+    SELECT new_id, old_id, cosine_sim FROM (
+      SELECT n.vec_id AS new_id, o.vec_id AS old_id,
+             ROUND(list_cosine_similarity(n.v, o.v), 6) AS cosine_sim
+      FROM b o JOIN b n
+        ON o.vec_id % 2 = 0 AND n.vec_id % 2 = 1
+       AND bit_count(xor(o.bucket::BIGINT, n.bucket::BIGINT)) <= 2
+    ) t WHERE cosine_sim >= 0.45
+    """,
+)
+def embedding_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed incremental embedding near-dup: the odd-id half of
+    the embeddings arrives as a delta and is matched against the
+    persisted LSH index of the even-id corpus — the batch stays
+    distributed (no driver collect), so a delta of ANY size works;
+    probe replication happens on the query side only, preserving the
+    single-copy index. Oracle: exact Hamming-≤radius candidates over
+    the same md5-derived buckets, cosine ≥ 0.45."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    return SIM.lsh_index_near_dups(
+        spark,
+        _emb_even_index_cached(spark, sf_dir),
+        batch,
+        threshold=0.45,
+        emit_radius=2,
+    )
+
+
 @query(
     "embedding_label_stats",
     oracle="""
