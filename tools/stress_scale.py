@@ -167,6 +167,24 @@ def main() -> None:
         f"{time.perf_counter() - t0:.2f}s ({rows} docs) at {n}x"
     )
 
+    # Distributed embedding dedup: a large delta vs the persisted LSH
+    # index — no driver collect, probe replication query-side only.
+    lsh_store = f"{dst}/lsh_even_index"
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    delta_emb = emb.filter(F.col("vec_id") % 100 == 7)
+    t0 = time.perf_counter()
+    if not os.path.isdir(lsh_store):
+        SIM.write_lsh_index(even, lsh_store)
+    built = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    rows = SIM.lsh_index_near_dups(
+        spark, lsh_store, delta_emb, threshold=0.45, emit_radius=2
+    ).count()
+    print(
+        f"emb_incremental: build {built:.2f}s delta-match "
+        f"{time.perf_counter() - t0:.2f}s ({rows} pairs) at {n}x"
+    )
+
 
 if __name__ == "__main__":
     main()
