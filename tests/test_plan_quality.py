@@ -146,3 +146,19 @@ def test_exchange_count_exact_dedup(spark):
     someone added an accidental repartition or join."""
     plan = _plan(spark, "doc_exact_dedup")
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_incremental_dedup_plan_prunes_and_broadcasts(spark):
+    """The incremental dedup serve plan must (a) scan the persisted
+    index exactly once with dynamic partition pruning on band, and
+    (b) broadcast the batch band-signature side — the shape that keeps
+    a corpus-scale store from ever being shuffled."""
+    plan = _plan(spark, "doc_incremental_near_dup")
+    assert "BroadcastHashJoin" in plan, plan
+    # the index FileScan itself must carry the dynamic band filter
+    index_scans = [
+        l
+        for l in plan.splitlines()
+        if "FileScan" in l and "band" in l and "dynamicpruning" in l
+    ]
+    assert index_scans, plan
