@@ -63,6 +63,7 @@ _PREVIOUSLY_UNSAMPLED = [
     "doc_incremental_near_dup",
     "doc_incremental_dedup_status",
     "embedding_incremental_near_dup",
+    "doc_incremental_near_dup_verified",
     # -- refresh of the r4 window (already hash-green, keeps the
     #    remaining slots productive) --
     "json_recursive_product_search",

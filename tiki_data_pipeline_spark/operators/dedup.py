@@ -462,6 +462,62 @@ def minhash_index_near_dups(
     )
 
 
+def minhash_index_near_dups_verified(
+    spark,
+    index_path: str,
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental near-dedup with EXACT verification: candidates come
+    from the persisted band index (cheap, batch-side-only hashing),
+    but instead of the signature estimate, the exact n-gram Jaccard is
+    computed — re-reading corpus text ONLY for the candidate old-side
+    docs (a semi-join; O(candidates), not O(corpus)). This gives the
+    full in-session path's precision at delta cost: the right tool
+    when the corpus text is still accessible and decisions must be
+    exact (``minhash_index_near_dups`` is the text-free fallback).
+    Returns ``(new_id, old_id, jaccard)`` with jaccard ≥ threshold.
+    """
+    cand = minhash_index_near_dups(
+        spark, index_path, new_docs, threshold=0.0, n=n, k=k, bands=bands,
+        id_col=id_col, text_col=text_col,
+    ).select("new_id", "old_id")
+    sh_new = shingles(new_docs, n=n, id_col=id_col, text_col=text_col)
+    # corpus side: only candidate old docs are ever shingled
+    old_docs = corpus_docs.join(
+        cand.select(F.col("old_id").alias(id_col)).distinct(), id_col, "semi"
+    )
+    sh_old = shingles(old_docs, n=n, id_col=id_col, text_col=text_col)
+    a = sh_new.select(F.col(id_col).alias("new_id"), "shingle")
+    b = sh_old.select(F.col(id_col).alias("old_id"), "shingle")
+    common = (
+        cand.join(a, "new_id")
+        .join(b, ["old_id", "shingle"])  # equi-join key: hash join, no NLJ
+        .groupBy("new_id", "old_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = sh_new.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_new")).select(
+        F.col(id_col).alias("new_id"), "n_new"
+    )
+    nb = sh_old.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_old")).select(
+        F.col(id_col).alias("old_id"), "n_old"
+    )
+    jac = F.col("n_common") / (F.col("n_new") + F.col("n_old") - F.col("n_common"))
+    return (
+        common.join(na, "new_id")
+        .join(nb, "old_id")
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "old_id", "jaccard")
+    )
+
+
 def incremental_dedup_status(
     spark,
     index_path: str,

@@ -411,6 +411,61 @@ def doc_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_incremental_near_dup_verified",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    hashed AS (
+      SELECT doc_id,
+             try_cast(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT)
+               & {(1 << 30) - 1} AS h0
+      FROM sh
+    ),
+    mh AS (
+      SELECT doc_id, {_MH_MINS}
+      FROM hashed GROUP BY doc_id
+    ),
+    sigs AS (
+      {_MH_BANDS}
+    ),
+    cand AS (
+      SELECT DISTINCT b.doc_id AS new_id, a.doc_id AS old_id
+      FROM sigs a JOIN sigs b
+        ON a.band = b.band AND a.band_sig = b.band_sig
+      WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+    ),
+    common AS (
+      SELECT c.new_id, c.old_id, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.new_id
+      JOIN sh sb ON sb.doc_id = c.old_id AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    )
+    SELECT new_id, old_id, jaccard FROM (
+      SELECT c.new_id, c.old_id,
+             ROUND(c.n_common / CAST(na.n_shingles + nb.n_shingles - c.n_common
+                                     AS DOUBLE), 4) AS jaccard
+      FROM common c
+      JOIN sh_counts na ON na.doc_id = c.new_id
+      JOIN sh_counts nb ON nb.doc_id = c.old_id
+    ) t WHERE jaccard >= 0.5
+    """,
+)
+def doc_incremental_near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-verified incremental near-dedup: candidates from the
+    persisted band index, EXACT n-gram Jaccard computed only over the
+    candidate old-side docs (corpus text re-read is O(candidates)) —
+    full-path precision at delta cost."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.minhash_index_near_dups_verified(
+        spark,
+        _mh_index_cached(spark, sf_dir),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+        threshold=0.5,
+    )
+
+
+@query(
     "doc_incremental_dedup_status",
     oracle=f"""
     WITH {_SHINGLES_SQL},
