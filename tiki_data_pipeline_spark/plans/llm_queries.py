@@ -402,7 +402,9 @@ def doc_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the batch is shingled; the corpus contributes stored band
     rows. The 100 TB shape: daily deltas dedup against a signature
     store instead of re-deduping the whole corpus (reference re-runs
-    full-corpus dedup per crawl, deduplicator.py)."""
+    full-corpus dedup per crawl, deduplicator.py). The oracle models
+    the uncapped path — HOT_BAND_CAP (10k docs/bucket) can never
+    trigger at oracle scale factors, so engine and oracle agree."""
     docs = load_table(spark, sf_dir, "documents")
     batch = docs.filter(F.col("doc_id") % 2 == 1)
     return DD.minhash_index_near_dups(
