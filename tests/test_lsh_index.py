@@ -380,3 +380,47 @@ def test_lsh_index_near_dups_matches_in_session_blocking(spark, tmp_path):
     for k in got:
         assert abs(got[k] - want[k]) < 1e-4, k
     assert got, "no cross pairs on the fixture corpus"
+
+
+def test_compact_store_on_appended_ann_index_preserves_serving(spark, tmp_path):
+    """Maintenance end-to-end on the ANN side: build partitioned,
+    append a delta, compact the store — serving results must be
+    identical before and after compaction, with bucket dirs merged."""
+    from pathlib import Path
+
+    from tiki_data_pipeline_spark.sources.files import compact_store
+
+    emb = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "idx")
+    SIM.write_lsh_index(emb.filter(F.col("vec_id") % 2 == 0), path, partitioned=True)
+    SIM.append_lsh_index(emb.filter(F.col("vec_id") % 2 == 1), path)
+    queries = emb.orderBy("vec_id").limit(5)
+
+    before = _serve_pairs(spark, path, queries)
+    n = compact_store(spark, path)
+    assert n > 0
+    for d in Path(path).glob("bkt=*"):
+        files = [f for f in d.iterdir() if f.name.endswith(".parquet")]
+        assert len(files) == 1, f"{d.name} not compacted"
+    assert _serve_pairs(spark, path, queries) == before
+
+
+def test_epoch_partition_overwrite_is_idempotent(spark, tmp_path):
+    """The decisions-log write pattern (epoch-partitioned dynamic
+    overwrite) must replace a retried epoch's rows, not duplicate
+    them — the exactly-once mechanism incremental_dedup_sink uses."""
+    path = str(tmp_path / "log")
+    df = spark.range(10).withColumn("epoch", F.lit(0))
+    for _ in range(2):  # original attempt + retry of the SAME epoch
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(path)
+        )
+    spark.range(5).withColumn("epoch", F.lit(1)).write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("epoch").parquet(path)
+    out = spark.read.parquet(path)
+    assert out.count() == 15  # 10 from epoch 0 (not 20), 5 from epoch 1
+    assert out.filter(F.col("epoch") == 0).count() == 10
