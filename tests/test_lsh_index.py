@@ -329,6 +329,12 @@ def test_append_param_mismatch_raises(spark, tmp_path):
     with pytest.raises(ValueError, match="incomparable"):
         SIM.append_lsh_index(emb.limit(10), lsh, n_planes=12)
 
+    # cross-kind: appending LSH rows onto an IVF tree must also raise
+    ivf = str(tmp_path / "ivf")
+    SIM.write_ivf_index(emb.limit(50), ivf)
+    with pytest.raises(ValueError, match="incomparable"):
+        SIM.append_lsh_index(emb.limit(10), ivf)
+
 
 def test_compact_store_recovers_mid_swap_crash(spark, tmp_path):
     """A compact_parquet crash between the two renames leaves only

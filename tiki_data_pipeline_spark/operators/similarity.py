@@ -957,6 +957,10 @@ def write_ivf_index(
         partitioned = base.count() >= partition_min_rows
     _write_index_rows(assigned, path, "overwrite", "cid", partitioned)
     centroids.write.mode("overwrite").parquet(path.rstrip("/") + "/_centroids")
+    from tiki_data_pipeline_spark.sources.files import write_store_meta
+
+    # kind pinning only — the quantizer itself lives in _centroids
+    write_store_meta(path, {"kind": "ivf"})
 
 
 def _ivf_index_rows(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -987,6 +991,9 @@ def append_ivf_index(
     distribution enough that recall degrades — that is a monitored
     offline decision (:func:`ivf_drift_report`), not an ingest-path
     one."""
+    from tiki_data_pipeline_spark.sources.files import check_store_meta
+
+    check_store_meta(path, {"kind": "ivf"})
     centroids = spark.read.parquet(path.rstrip("/") + "/_centroids")
     base = _ivf_index_rows(embeddings, id_col, vec_col)
     assigned = assign_to_centroids(base, centroids).join(base, "id")
