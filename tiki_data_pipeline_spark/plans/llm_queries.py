@@ -1206,3 +1206,22 @@ def embedding_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .select("query_id", F.col("label").alias("predicted_label"), "votes")
     )
+
+
+# ---------------------------------------------------------------------------
+# One-time session builds (for bench.py's build/serve split)
+# ---------------------------------------------------------------------------
+# Each entry materializes a session-cached artifact (a checkpointed
+# DataFrame or an on-disk index) that multiple queries then serve
+# from. bench.py times these separately as a ``builds`` map so the
+# per-query serve timings reflect the steady-state shape a deployed
+# pipeline runs (build amortized across days of deltas), not the
+# one-time construction cost.
+SESSION_BUILDS: dict = {
+    "shingle_set": lambda spark, sf_dir: _shingles_cached(spark, sf_dir),
+    "minhash_index": lambda spark, sf_dir: _mh_index_cached(spark, sf_dir),
+    "lsh_index": lambda spark, sf_dir: _lsh_index_cached(spark, sf_dir),
+    "lsh_even_index": lambda spark, sf_dir: _emb_even_index_cached(spark, sf_dir),
+    "ivf_centroids": lambda spark, sf_dir: _ivf_centroids_cached(spark, sf_dir),
+    "ivf_index": lambda spark, sf_dir: _ivf_index_cached(spark, sf_dir),
+}
