@@ -1,0 +1,173 @@
+"""Crash-recovery for the streaming corpus-store ingest
+(``jobs.incremental_dedup_sink``): kill a foreachBatch epoch
+mid-flight, restart from the checkpoint, and assert the decisions
+log stays exactly-once (one row per doc, original statuses) and the
+store's canonical contract (one min-id survivor per distinct text,
+no duplicate fingerprint ids) holds.
+
+Two crash points bracket the epoch's non-atomic window:
+  A. after the decisions partition committed, BEFORE the store
+     append — retry must complete the append without rewriting (or
+     re-deriving) the decisions;
+  B. after the store append, BEFORE the epoch commit — retry
+     re-enters the epoch with its own docs already in the store;
+     recomputing would flip them to dup-of-self, so the sink must
+     reuse the committed pre-append decisions and the anti-join must
+     make the second append a no-op.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from tiki_data_pipeline_spark.operators import dedup as DD
+from tiki_data_pipeline_spark.streaming import jobs
+
+BASE = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo "
+    "lima mike november oscar papa quebec romeo sierra tango uniform "
+    "victor whiskey xray yankee zulu one two three four five six seven"
+)
+NOVEL_A = (
+    "first micro batch delivers a genuinely novel document whose text "
+    "must enter the persisted store exactly once even when the epoch "
+    "that carried it is killed half way through and replayed later"
+)
+NOVEL_B = (
+    "second micro batch carries another unique document plus a near "
+    "duplicate of the first batch arrival proving the store grew in "
+    "between and survived the crash and the checkpointed replay"
+)
+
+
+def _write_file(src, name, rows, mtime):
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    p = str(src / name)
+    pq.write_table(t, p)
+    os.utime(p, (mtime, mtime))
+
+
+def _mk_source(tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    # epoch 0: an exact dup of the corpus + a novel doc
+    _write_file(src, "a.parquet", [(13, BASE.upper()), (11, NOVEL_A)], 1_000_000_000)
+    # epoch 1: near-dup of epoch 0's novel doc + a fresh one + its
+    # within-batch exact copy (min-id survivor contract)
+    _write_file(
+        src,
+        "b.parquet",
+        [
+            (21, NOVEL_A.replace("later", "soon")),
+            (25, NOVEL_B),
+            (27, NOVEL_B),
+        ],
+        1_000_000_100,
+    )
+    return src
+
+
+def _run(spark, src, store, ckpt, beats):
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    return jobs.incremental_dedup_sink(stream, store, beats, ckpt, threshold=0.3)
+
+
+def _assert_recovered(spark, store):
+    dec = spark.read.parquet(store + "/_decisions")
+    rows = dec.collect()
+    # exactly-once: one decision row per doc, each in exactly one epoch
+    assert sorted(r["doc_id"] for r in rows) == [11, 13, 21, 25, 27]
+    by_doc = {r["doc_id"]: (r["status"], r["matched_id"], r["epoch"]) for r in rows}
+    assert by_doc[13][:2] == ("exact_dup", 2)
+    assert by_doc[11][:2] == ("unique", None), (
+        "replayed epoch flipped its own doc to dup-of-self"
+    )
+    assert by_doc[21][:2] == ("near_dup", 11)
+    # within-batch copies are batch-vs-corpus unique; exact_dedup picks
+    # the min-id survivor for the store
+    assert by_doc[25][:2] == ("unique", None)
+    assert by_doc[27][:2] == ("unique", None)
+
+    fp = spark.read.parquet(store + "/_fingerprints").collect()
+    ids = sorted(r["id"] for r in fp)
+    assert ids == [2, 11, 25], f"store not canonical after replay: {ids}"
+    assert len(ids) == len(set(ids)), "duplicate fingerprint rows after replay"
+    # band rows: one per (band, id) — a double append would duplicate
+    band = spark.read.parquet(store)
+    per = band.groupBy("id", "band").count().filter("count > 1").count()
+    assert per == 0, "duplicate band rows after replay"
+
+
+@pytest.mark.parametrize("crash_point", ["before_append", "after_append"])
+def test_incremental_dedup_sink_crash_replay(spark, tmp_path, crash_point, monkeypatch):
+    src = _mk_source(tmp_path)
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    DD.write_minhash_index(
+        spark.createDataFrame([(2, BASE)], "doc_id long, text string"), store
+    )
+
+    if crash_point == "before_append":
+        # kill epoch 1 after its decisions partition committed but
+        # before the store append ran
+        real_append = DD.append_minhash_index
+        calls = {"n": 0}
+
+        def flaky_append(*a, **kw):
+            calls["n"] += 1
+            if calls["n"] == 2:  # epoch 0 ok, epoch 1 dies pre-append
+                raise RuntimeError("injected crash before store append")
+            return real_append(*a, **kw)
+
+        monkeypatch.setattr(DD, "append_minhash_index", flaky_append)
+        beats: list = []
+        q = _run(spark, src, store, ckpt, beats)
+        with pytest.raises(Exception):
+            q.awaitTermination(120)
+        monkeypatch.setattr(DD, "append_minhash_index", real_append)
+        # mid-epoch state on disk: epoch 1 decisions exist, store does
+        # not yet hold epoch 1's survivors
+        assert 21 in {
+            r["doc_id"]
+            for r in spark.read.parquet(store + "/_decisions").collect()
+        }
+        assert 25 not in {
+            r["id"] for r in spark.read.parquet(store + "/_fingerprints").collect()
+        }
+    else:
+        # kill epoch 1 after the store append, before the epoch commit
+        class DyingBeats(list):
+            def append(self, item):
+                if item[0] == 1 and not getattr(self, "_died", False):
+                    self._died = True
+                    raise RuntimeError("injected crash after store append")
+                super().append(item)
+
+        beats = DyingBeats()
+        q = _run(spark, src, store, ckpt, beats)
+        with pytest.raises(Exception):
+            q.awaitTermination(120)
+        # mid-epoch state on disk: epoch 1's survivors already appended
+        assert 25 in {
+            r["id"] for r in spark.read.parquet(store + "/_fingerprints").collect()
+        }
+
+    # restart from the same checkpoint: the failed epoch replays
+    beats2: list = []
+    q2 = _run(spark, src, store, ckpt, beats2)
+    q2.awaitTermination(120)
+    assert q2.exception() is None
+    _assert_recovered(spark, store)

@@ -229,6 +229,17 @@ def incremental_dedup_sink(
     micro-batch and reclaimed by a periodic full near-dedup pass.
     Plain-parquet append is at-least-once on epoch retry (see
     ``dedup.append_minhash_index``).
+
+    Crash recovery: a retried epoch (restart from the checkpoint
+    after a mid-epoch failure) REUSES its already-committed
+    ``_decisions`` partition instead of recomputing. The decisions
+    are written BEFORE the store append, so a committed partition is
+    the pre-append truth — recomputing after a crash that happened
+    after the append would status the batch against a store that
+    already contains it and flip its own docs to dup-of-self. With
+    the reuse, the decisions log is exactly-once AND replay-stable,
+    and the append stage stays idempotent via the stored-id
+    anti-join below.
     """
     from tiki_data_pipeline_spark.operators import dedup as DD
 
@@ -238,23 +249,48 @@ def incremental_dedup_sink(
         # one shingle explode per epoch, shared by the decision and
         # append stages (both otherwise recompute it)
         sh = DD.shingles(batch_df).localCheckpoint()
-        status = DD.incremental_dedup_status(
-            spark, index_path, batch_df, threshold=threshold, sh=sh
-        # materialized BEFORE the store append below: the decision is
-        # lazy and reads the store — evaluating it after the append
-        # would status the batch against itself
-        ).localCheckpoint()
-        (
-            # epoch-partitioned dynamic overwrite: a retried epoch
-            # REPLACES its own partition instead of duplicating rows —
-            # the decisions log is exactly-once even though the store
-            # append below stays at-least-once
-            status.withColumn("epoch", F.lit(epoch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("epoch")
-            .parquet(index_path + "/_decisions")
-        )
+        status = None
+        try:  # retried epoch → reuse the committed pre-append truth
+            prior = (
+                spark.read.parquet(index_path + "/_decisions")
+                .filter(F.col("epoch") == epoch_id)
+                .select("doc_id", "status", "matched_id")
+            )
+            # Guard against a FOREIGN epoch-id collision (a fresh
+            # checkpoint pointed at an already-ingested store restarts
+            # epoch ids at 0): reuse only if the committed partition
+            # covers exactly this batch's doc set — a checkpointed
+            # retry always replays identical offsets, so a mismatch
+            # means stale decisions, not a retry.
+            p_ids = prior.select("doc_id").distinct()
+            b_ids = batch_df.select("doc_id").distinct()
+            if (
+                prior.limit(1).count() > 0
+                and p_ids.exceptAll(b_ids).unionAll(
+                    b_ids.exceptAll(p_ids)
+                ).limit(1).count() == 0
+            ):
+                status = prior.localCheckpoint()
+        except Exception:  # first epoch ever: no _decisions yet
+            pass
+        if status is None:
+            status = DD.incremental_dedup_status(
+                spark, index_path, batch_df, threshold=threshold, sh=sh
+            # materialized BEFORE the store append below: the decision
+            # is lazy and reads the store — evaluating it after the
+            # append would status the batch against itself
+            ).localCheckpoint()
+            (
+                # epoch-partitioned dynamic overwrite: a retried epoch
+                # REPLACES its own partition instead of duplicating
+                # rows — the decisions log is exactly-once even though
+                # the store append below stays at-least-once
+                status.withColumn("epoch", F.lit(epoch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch")
+                .parquet(index_path + "/_decisions")
+            )
         uniq = batch_df.join(
             status.filter(F.col("status") == "unique").select("doc_id"),
             "doc_id",

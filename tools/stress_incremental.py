@@ -1,0 +1,215 @@
+#!/usr/bin/env python
+"""Incremental-store scaling harness (r5 verdict ask #3).
+
+Generates an N-times synthetic corpus from sf0.1's documents and
+embeddings (5 000 docs / 2 000 vecs at 1x → 5M docs / 2M vecs at
+1000x) and times the incremental-store family end to end:
+
+  1. MinHash store build over the non-delta corpus (one-time cost,
+     grows with corpus size — amortized across every later delta)
+  2. 1%-delta ``incremental_dedup_status`` (the daily serve path —
+     must track DELTA size, staying near-flat in corpus size except
+     for the columnar store scan)
+  3. Persisted-LSH embedding index build + delta
+     ``lsh_index_near_dups`` (the distributed embedding-dedup path)
+  4. K successive ``append_minhash_index`` deltas followed by
+     ``compact_store`` (the maintenance path)
+
+Replicas are content-mutated, not copied: replica ``rep`` of a doc
+rewrites every other word with an md5 token keyed by (word, rep,
+doc) so cross-replica 3-shingle Jaccard is ~0 — the corpus is
+mostly unique, the realistic dedup regime. A planted slice
+(rep % 50 == 1) mutates only the first word, forming genuine
+near-dup clusters. Embedding replicas add deterministic sin-noise
+(large for most reps → unique; tiny for the planted slice →
+near-dup of the base vector).
+
+Delta/store split (disjoint, with planted dups whose match target
+is IN the store): delta = all reps of base % 100 == 7 (mostly
+unique across reps) ∪ planted reps of base % 100 == 8 (whose
+unmutated rep-0 twin stays in the store); store = everything else.
+So the serve path must both pass-through the unique majority and
+catch the planted minority against the persisted index.
+
+Usage: python tools/stress_incremental.py [N] [N...]
+       (default: 1 10 100 1000)
+Each level prints one JSON line; paste the table into SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from tiki_data_pipeline_spark.session import get_spark
+
+SRC = "/root/testdata/sf0.1"
+APPENDS = 5  # successive ingest deltas before compaction
+
+
+def build_corpus(spark, dst: str, n: int) -> None:
+    reps = spark.range(n).withColumnRenamed("id", "rep")
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+
+    words = F.split(F.col("text"), " ")
+    # Per-(word, rep, doc) token: alternate positions rewritten for
+    # normal reps (near-zero shingle overlap with any other replica);
+    # planted reps rewrite position 0 only (a true near-dup cluster).
+    mutated = F.array_join(
+        F.transform(
+            words,
+            lambda w, i: F.when(
+                F.col("rep") == 0, w
+            ).when(
+                ((F.col("rep") % 50 == 1) & (i == 0))
+                | ((F.col("rep") % 50 != 1) & ((i + F.col("rep")) % 2 == 0)),
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "_", w, F.col("rep"), F.col("doc_id"), i.cast("string")
+                        )
+                    ),
+                    1,
+                    6,
+                ),
+            ).otherwise(w),
+        ),
+        " ",
+    )
+    (
+        docs.crossJoin(reps)
+        .withColumn("text", mutated)
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * 10_000)
+        .drop("rep")
+        .repartition(max(32, n // 8))
+        .write.parquet(f"{dst}/documents.parquet")
+    )
+
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    noise_scale = (
+        F.when(F.col("rep") == 0, F.lit(0.0))
+        .when(F.col("rep") % 50 == 1, F.lit(0.001))
+        .otherwise(F.lit(0.3))
+    )
+    (
+        emb.crossJoin(reps)
+        .withColumn(
+            "embedding",
+            F.transform(
+                "embedding",
+                lambda x, i: (
+                    x
+                    + noise_scale
+                    * F.sin(F.col("rep") * 31 + i.cast("double"))
+                ).cast("float"),
+            ),
+        )
+        .withColumn("vec_id", F.col("vec_id") + F.col("rep") * 100_000)
+        .drop("rep")
+        .repartition(max(32, n // 16))
+        .write.parquet(f"{dst}/embeddings.parquet")
+    )
+
+
+def run_level(spark, n: int) -> dict:
+    from tiki_data_pipeline_spark.io import load_table
+    from tiki_data_pipeline_spark.operators import dedup as DD
+    from tiki_data_pipeline_spark.operators import similarity as SIM
+    from tiki_data_pipeline_spark.sources.files import compact_store
+
+    dst = f"/tmp/sf_inc_{n}x"
+    if not os.path.isdir(dst):
+        os.makedirs(dst)
+        t0 = time.perf_counter()
+        build_corpus(spark, dst, n)
+        print(f"# generated {n}x at {dst} in {time.perf_counter()-t0:.1f}s",
+              file=sys.stderr)
+
+    out: dict = {"n": n}
+    docs = load_table(spark, dst, "documents")
+    out["docs"] = docs.count()
+
+    # delta = unique-majority slice ∪ planted near-dups of store docs
+    doc_base = F.col("doc_id") % 10_000
+    doc_rep = (F.col("doc_id") / 10_000).cast("long")
+    doc_is_delta = (doc_base % 100 == 7) | (
+        (doc_base % 100 == 8) & (doc_rep % 50 == 1)
+    )
+
+    # 1. store build over the non-delta corpus
+    store = f"{dst}/mh_store"
+    shutil.rmtree(store, ignore_errors=True)
+    base = docs.filter(~doc_is_delta)
+    t0 = time.perf_counter()
+    DD.write_minhash_index(base, store)
+    out["store_build_s"] = round(time.perf_counter() - t0, 2)
+
+    # 2. ~1% delta decided against the store (the daily serve path)
+    delta = docs.filter(doc_is_delta)
+    t0 = time.perf_counter()
+    decided = DD.incremental_dedup_status(spark, store, delta)
+    out["delta_docs"] = decided.count()
+    out["delta_decide_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    out["delta_dups"] = (
+        decided.filter(F.col("status") != "unique").count()
+        if "status" in decided.columns
+        else None
+    )
+    out["delta_decide2_s"] = round(time.perf_counter() - t0, 2)
+
+    # 3. embedding incremental near-dup vs persisted LSH index
+    emb = load_table(spark, dst, "embeddings")
+    out["vecs"] = emb.count()
+    vec_base = F.col("vec_id") % 100_000
+    vec_rep = (F.col("vec_id") / 100_000).cast("long")
+    vec_is_delta = (vec_base % 100 == 7) | (
+        (vec_base % 100 == 8) & (vec_rep % 50 == 1)
+    )
+    lsh_store = f"{dst}/lsh_store"
+    shutil.rmtree(lsh_store, ignore_errors=True)
+    t0 = time.perf_counter()
+    SIM.write_lsh_index(emb.filter(~vec_is_delta), lsh_store)
+    out["lsh_build_s"] = round(time.perf_counter() - t0, 2)
+    delta_emb = emb.filter(vec_is_delta)
+    t0 = time.perf_counter()
+    out["emb_pairs"] = SIM.lsh_index_near_dups(
+        spark, lsh_store, delta_emb, threshold=0.9, emit_radius=2
+    ).count()
+    out["emb_delta_s"] = round(time.perf_counter() - t0, 2)
+
+    # 4. K successive appends, then compaction
+    t0 = time.perf_counter()
+    for a in range(APPENDS):
+        DD.append_minhash_index(
+            delta.filter(F.col("doc_id") % APPENDS == a), store
+        )
+    out["appends_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    out["compacted_dirs"] = compact_store(spark, store)
+    out["compact_s"] = round(time.perf_counter() - t0, 2)
+    # serve again on the compacted, appended store: cost must not grow
+    t0 = time.perf_counter()
+    DD.incremental_dedup_status(spark, store, delta.limit(out["delta_docs"])).count()
+    out["delta_decide_post_compact_s"] = round(time.perf_counter() - t0, 2)
+    return out
+
+
+def main() -> None:
+    levels = [int(a) for a in sys.argv[1:]] or [1, 10, 100, 1000]
+    spark = get_spark(app_name="stress_incremental")
+    for n in levels:
+        res = run_level(spark, n)
+        print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()
