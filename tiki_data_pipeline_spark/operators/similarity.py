@@ -640,12 +640,28 @@ def label_centroid_stats(
 # the other 2^n_planes − r directories).
 
 
+def auto_n_planes(n_rows: int, target_per_bucket: int = 200) -> int:
+    """Plane count sized to the corpus: enough hyperplanes that the
+    MEAN bucket holds ~``target_per_bucket`` vectors, clamped to
+    [N_PLANES, 24]. A fixed plane count is a scale bug — 8 planes is
+    256 buckets forever, so a 200k-vec corpus averages ~800 vecs per
+    bucket and a radius-2 probe join fans out to tens of millions of
+    candidate rows (measured 265 s on a 200k synthetic corpus vs ~8 s
+    with scaled planes). Buckets must GROW with the corpus for probe
+    cost to stay ~flat."""
+    import math
+
+    if n_rows <= 0:
+        return N_PLANES
+    return min(24, max(N_PLANES, math.ceil(math.log2(max(1, n_rows / target_per_bucket)))))
+
+
 def write_lsh_index(
     embeddings: DataFrame,
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = N_PLANES,
+    n_planes: int | str = N_PLANES,
     partitioned: bool | None = None,
     partition_min_rows: int = 200_000,
 ) -> None:
@@ -653,6 +669,11 @@ def write_lsh_index(
     vector). Bucket assignment is the same md5-derived hyperplane
     family as every other LSH path here — pure JVM column
     expressions, no Python tasks.
+
+    ``n_planes="auto"`` sizes the plane count to the corpus
+    (:func:`auto_n_planes`) — the scale path. Serve functions resolve
+    the actual plane count from the store's ``_meta.json``, so
+    callers never need to know what "auto" chose.
 
     Layout is scale-aware (``partitioned=None`` decides by corpus
     size): a big corpus gets ``bkt`` DIRECTORY partitions (probes
@@ -663,13 +684,33 @@ def write_lsh_index(
     row-group min/max on ``bkt``. ``lsh_index_topk`` reads either
     layout unchanged.
     """
+    n_rows = None
+    if n_planes == "auto":
+        n_rows = embeddings.count()
+        n_planes = auto_n_planes(n_rows)
     base = _lsh_index_rows(embeddings, id_col, vec_col, n_planes)
     if partitioned is None:
-        partitioned = base.count() >= partition_min_rows
+        if n_rows is None:
+            n_rows = base.count()
+        partitioned = n_rows >= partition_min_rows
     _write_index_rows(base, path, "overwrite", "bkt", partitioned)
     from tiki_data_pipeline_spark.sources.files import write_store_meta
 
     write_store_meta(path, {"kind": "lsh", "n_planes": n_planes})
+
+
+def _store_n_planes(path: str, fallback: int) -> int:
+    """Resolve the hyperplane count a persisted LSH index was built
+    with from its ``_meta.json`` — trusting a caller-supplied value
+    would probe the wrong buckets and lose recall SILENTLY when the
+    two disagree (e.g. an "auto"-built store). Pre-meta stores fall
+    back to the caller's value."""
+    from tiki_data_pipeline_spark.sources.files import read_store_meta
+
+    meta = read_store_meta(path)
+    if meta and meta.get("kind") == "lsh" and "n_planes" in meta:
+        return int(meta["n_planes"])
+    return fallback
 
 
 def _lsh_index_rows(
@@ -739,17 +780,29 @@ def lsh_index_near_dups(
 
     Unlike :func:`lsh_index_topk` (which collects a SMALL query set to
     the driver — the ANN serving shape), the batch here stays fully
-    distributed: each batch vector is replicated into its Hamming-
-    ``emit_radius`` probe buckets via one Arrow pass, then equi-joined
-    against the single-copy index on ``bkt`` — a delta of any size
-    works. Query-side-only replication at radius R yields the same
-    candidate set as both-sides replication at radius R/2 (a pair
-    meets iff Hamming(a,b) ≤ R), so ``emit_radius=2`` here matches the
-    in-session ``near_dup_pairs(blocking='lsh')`` candidates.
+    distributed: each batch vector emits its Hamming-``emit_radius``
+    probe bucket ids via one Arrow pass, the LIGHT (new_id, bkt)
+    probe rows equi-join the single-copy index on ``bkt``, and the
+    query vector payload joins back per CANDIDATE — a delta of any
+    size and any probe radius works. (An earlier shape carried the
+    full vector on every probe row: |masks| × dim doubles per batch
+    vector, which OOM-killed the Python worker at radius 6 on 24
+    planes — 190k masks. Payload cost must track candidates, which
+    the data bounds, never the probe count, which the radius
+    explodes.) Query-side-only replication at radius R yields the
+    same candidate set as both-sides replication at radius R/2 (a
+    pair meets iff Hamming(a,b) ≤ R), so ``emit_radius=2`` here
+    matches the in-session ``near_dup_pairs(blocking='lsh')``
+    candidates.
+
+    ``n_planes`` is resolved from the store's ``_meta.json`` when
+    present (an "auto"-built index knows its own plane count); the
+    argument is the pre-meta-store fallback only.
     """
     import numpy as np
     import pandas as pd
 
+    n_planes = _store_n_planes(index_path, n_planes)
     dim = _vec_dim(new_embeddings, vec_col)
     wmat = np.array(
         [[_plane_weight(p, i) for i in range(1, dim + 1)] for p in range(n_planes)]
@@ -760,51 +813,57 @@ def lsh_index_near_dups(
     base = new_embeddings.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("new_id"), as_double(F.col(vec_col)).alias("qv")
     )
+    # zero-norm vectors (no defined cosine) are excluded HERE so both
+    # the probe emission and the payload join see the same set
+    payload = base.withColumn("qn", _norm(F.col("qv"))).filter(F.col("qn") > 0)
 
     def emit_probes(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             m = np.array(list(pdf["qv"]), dtype=np.float64)
-            qn = np.sqrt((m * m).sum(axis=1))
-            keep = qn > 0  # zero-norm: no defined cosine
-            if not keep.any():
-                continue
-            pdf, m, qn = pdf[keep], m[keep], qn[keep]
             b0 = ((m @ wmat.T > 0) * bitvals).sum(axis=1)
+            ids = pdf["new_id"].to_numpy()
             reps = len(masks)
-            yield pd.DataFrame(
-                {
-                    "new_id": pdf["new_id"].to_numpy().repeat(reps),
-                    "qv": [v for v in pdf["qv"] for _ in range(reps)],
-                    "qn": qn.repeat(reps),
-                    "bkt": np.bitwise_xor(
-                        b0.repeat(reps), np.tile(masks, len(pdf))
-                    ),
-                }
-            )
+            # chunk the output: a large Arrow batch × a large mask set
+            # must not materialize one giant frame in the worker
+            step = max(1, 2_000_000 // reps)
+            for s in range(0, len(ids), step):
+                chunk = ids[s : s + step]
+                yield pd.DataFrame(
+                    {
+                        "new_id": chunk.repeat(reps),
+                        "bkt": np.bitwise_xor(
+                            b0[s : s + step].repeat(reps),
+                            np.tile(masks, len(chunk)),
+                        ),
+                    }
+                )
 
-    probes = base.mapInPandas(
-        emit_probes, schema="new_id long, qv array<double>, qn double, bkt long"
+    probes = payload.select("new_id", "qv").mapInPandas(
+        emit_probes, schema="new_id long, bkt long"
     )
     index = _with_nrm(spark.read.parquet(index_path)).withColumn(
         "bkt", F.col("bkt").cast("long")
     )
-    scored = (
+    # each (new, old) pair meets in EXACTLY one probe bucket (the mask
+    # is forced to b_new XOR b_old), so no pair-dedup shuffle is needed
+    cand = (
         index.join(probes, "bkt")
         .filter(F.col("id") != F.col("new_id"))
+        .select("new_id", F.col("id").alias("old_id"), "v", "nrm")
+    )
+    return (
+        cand.join(payload, "new_id")
         .select(
             "new_id",
-            F.col("id").alias("old_id"),
+            "old_id",
             F.round(
                 _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
             ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
-        # a pair colliding in several probe buckets scores identically
-        .dropDuplicates(["new_id", "old_id"])
     )
-    return scored
 
 
 def append_lsh_index(
@@ -865,9 +924,13 @@ def lsh_index_topk(
     probe set becomes a partition filter on the index scan — at any
     corpus size the bytes read are bounded by the probed partitions,
     not the corpus. Returns (query_id, neighbor_id, cosine_sim).
+
+    ``n_planes`` is resolved from the store's ``_meta.json`` when
+    present; the argument is the pre-meta-store fallback only.
     """
     from pyspark.sql import Window as W
 
+    n_planes = _store_n_planes(index_path, n_planes)
     dim = _vec_dim(queries, vec_col)
     q_rows = (
         queries.select(

@@ -126,6 +126,22 @@ def write_store_meta(path: str, meta: dict) -> None:
         json.dump(meta, f)
 
 
+def read_store_meta(path: str) -> dict | None:
+    """Return ``<path>/_meta.json`` as a dict, or None for a
+    pre-meta store. Serve paths use this to resolve build parameters
+    (e.g. the LSH plane count) from the store itself instead of
+    trusting the caller — a mismatched parameter would probe the
+    wrong buckets and lose recall SILENTLY."""
+    import json
+    import os
+
+    meta_path = os.path.join(path, "_meta.json")
+    if not os.path.exists(meta_path):
+        return None
+    with open(meta_path) as f:
+        return json.load(f)
+
+
 def check_store_meta(path: str, expected: dict) -> None:
     """Raise if ``<path>/_meta.json`` disagrees with the parameters of
     an incoming append — mixing signature families in one store breaks

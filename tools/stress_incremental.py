@@ -105,10 +105,27 @@ def build_corpus(spark, dst: str, n: int) -> None:
             "embedding",
             F.transform(
                 "embedding",
+                # chirp noise: sin(c + b·i + a·i²) with per-(vec, rep)
+                # coefficients. A linear phase (sin(φ + i)) lives in
+                # the 2-D span of (sin i, cos i) — every noise vector
+                # on one circle, so buckets collapse into mega-
+                # clusters and the probe join measures the fixture's
+                # pathology, not the engine. Distinct chirp rates are
+                # near-orthogonal, giving each replica its own
+                # pseudo-random direction.
                 lambda x, i: (
                     x
                     + noise_scale
-                    * F.sin(F.col("rep") * 31 + i.cast("double"))
+                    * F.sin(
+                        (F.col("vec_id") * 7 + F.col("rep")) % 107
+                        + ((F.col("vec_id") * 13 + F.col("rep") * 29) % 103)
+                        * 0.113
+                        * i.cast("double")
+                        + ((F.col("vec_id") * 31 + F.col("rep") * 17) % 101)
+                        * 0.0618
+                        * i.cast("double")
+                        * i.cast("double")
+                    )
                 ).cast("float"),
             ),
         )
@@ -177,7 +194,9 @@ def run_level(spark, n: int) -> dict:
     lsh_store = f"{dst}/lsh_store"
     shutil.rmtree(lsh_store, ignore_errors=True)
     t0 = time.perf_counter()
-    SIM.write_lsh_index(emb.filter(~vec_is_delta), lsh_store)
+    # "auto" scales the plane count with the corpus so mean bucket
+    # occupancy (→ probe-join fan-out) stays ~flat across levels
+    SIM.write_lsh_index(emb.filter(~vec_is_delta), lsh_store, n_planes="auto")
     out["lsh_build_s"] = round(time.perf_counter() - t0, 2)
     delta_emb = emb.filter(vec_is_delta)
     t0 = time.perf_counter()
