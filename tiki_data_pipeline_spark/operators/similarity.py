@@ -227,25 +227,33 @@ def _lsh_near_dup_pairs(
     thr = float(threshold)
 
     def emit_probes(batches):
+        # LIGHT (id, bkt) rows only: carrying the vector on every
+        # probe row multiplies the payload by |masks| inside ONE
+        # Python worker (OOM at large radius/planes); the vector is
+        # joined back JVM-side below, where the shuffle can spill.
         for pdf in batches:
             if not len(pdf):
                 continue
             m = np.array(list(pdf["v"]), dtype=np.float64)
             b0 = ((m @ wmat.T > 0) * bitvals).sum(axis=1)
+            ids = pdf["id"].to_numpy()
             reps = len(masks)
-            yield pd.DataFrame(
-                {
-                    "id": pdf["id"].to_numpy().repeat(reps),
-                    "v": [v for v in pdf["v"] for _ in range(reps)],
-                    "bkt": np.bitwise_xor(
-                        b0.repeat(reps), np.tile(masks, len(pdf))
-                    ),
-                }
-            )
+            step = max(1, 2_000_000 // reps)
+            for s in range(0, len(ids), step):
+                chunk = ids[s : s + step]
+                yield pd.DataFrame(
+                    {
+                        "id": chunk.repeat(reps),
+                        "bkt": np.bitwise_xor(
+                            b0[s : s + step].repeat(reps),
+                            np.tile(masks, len(chunk)),
+                        ),
+                    }
+                )
 
     probed = base.select("id", "v").mapInPandas(
-        emit_probes, schema="id long, v array<double>, bkt long"
-    )
+        emit_probes, schema="id long, bkt long"
+    ).join(base.select("id", "v"), "id")
 
     def pairs_in_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["id"].to_numpy()
