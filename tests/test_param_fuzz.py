@@ -273,3 +273,30 @@ def test_serve_resolves_n_planes_from_store_meta(spark, tmp_path):
         ).collect()
     }
     assert t1 == t2 and t1
+
+
+def test_auto_n_centroids_and_auto_ivf_serving(spark, tmp_path):
+    """IVF list count scales ~sqrt(n); an "auto"-built index must
+    serve identical top-k to an explicitly-built one with the same
+    resolved count (the quantizer is read from _centroids, so no
+    caller-side parameter round-trip exists to get wrong)."""
+    assert SIM.auto_n_centroids(0) == 16
+    assert SIM.auto_n_centroids(100) == 16
+    assert SIM.auto_n_centroids(1_000_000) == 1000
+    assert SIM.auto_n_centroids(10**9) == 4096
+
+    emb = load_table(spark, SF, "embeddings")
+    n = emb.count()
+    resolved = SIM.auto_n_centroids(n)
+    p_auto = str(tmp_path / "ivf_auto")
+    p_expl = str(tmp_path / "ivf_expl")
+    SIM.write_ivf_index(emb, p_auto, n_centroids="auto")
+    SIM.write_ivf_index(emb, p_expl, n_centroids=resolved)
+    queries = emb.filter(F.col("vec_id") < 4)
+    a = sorted(
+        map(tuple, SIM.ivf_index_topk(spark, p_auto, queries, k=3).collect())
+    )
+    b = sorted(
+        map(tuple, SIM.ivf_index_topk(spark, p_expl, queries, k=3).collect())
+    )
+    assert a == b and a

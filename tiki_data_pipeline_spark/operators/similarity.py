@@ -997,11 +997,26 @@ def lsh_index_topk(
 # is retrained or reshuffled at query time.
 
 
+def auto_n_centroids(n_rows: int) -> int:
+    """Inverted-list count sized to the corpus: ~sqrt(n) lists (the
+    standard IVF heuristic — FAISS guidance is nlist ≈ 4·sqrt(n) to
+    16·sqrt(n) for billion-scale; sqrt keeps lists ≈ sqrt(n) rows so
+    probe cost and list count grow together), clamped to [16, 4096].
+    A fixed 16-list quantizer is the same scale bug as a fixed LSH
+    plane count: at 2M vectors each list holds 125k rows and a
+    2-probe query scans 250k candidates."""
+    import math
+
+    if n_rows <= 0:
+        return 16
+    return min(4096, max(16, int(math.isqrt(n_rows))))
+
+
 def write_ivf_index(
     embeddings: DataFrame,
     path: str,
     centroids: DataFrame | None = None,
-    n_centroids: int = 16,
+    n_centroids: int | str = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     partitioned: bool | None = None,
@@ -1011,7 +1026,10 @@ def write_ivf_index(
     vector, keyed by its nearest centroid). The centroid table is
     persisted under ``<path>/_centroids`` — an underscore-prefixed
     directory the parquet reader treats as hidden, so a plain read of
-    ``path`` still sees only the corpus rows.
+    ``path`` still sees only the corpus rows. ``n_centroids="auto"``
+    sizes the list count to the corpus (:func:`auto_n_centroids`);
+    serving needs no resolution step because the quantizer itself is
+    read from ``_centroids``.
 
     Layout is scale-aware exactly like ``write_lsh_index``: directory
     partitions by ``cid`` for big corpora (probes become partition
@@ -1019,6 +1037,8 @@ def write_ivf_index(
     (row-group min/max pruning, no small-files blowup).
     """
     base = _ivf_index_rows(embeddings, id_col, vec_col)
+    if n_centroids == "auto":
+        n_centroids = auto_n_centroids(base.count())
     if centroids is None:
         centroids = ivf_train(
             embeddings, k=n_centroids, id_col=id_col, vec_col=vec_col
