@@ -430,3 +430,50 @@ def test_epoch_partition_overwrite_is_idempotent(spark, tmp_path):
     out = spark.read.parquet(path)
     assert out.count() == 15  # 10 from epoch 0 (not 20), 5 from epoch 1
     assert out.filter(F.col("epoch") == 0).count() == 10
+
+
+def test_lsh_hot_buckets_stats_and_optin_skip(spark, tmp_path):
+    """Embedding mega-cluster handling: a planted bucket of 60
+    identical vectors is reported by lsh_bucket_stats, recorded by
+    rebuild_hot_buckets, and excluded ONLY under the explicit
+    skip_hot_buckets opt-in (default serving must keep full recall —
+    there is no exact-first stage on the embedding side to catch the
+    skipped mass)."""
+    import shutil
+
+    base = [float((i * 7) % 13 - 6) for i in range(8)]
+    other = [float((i * 5) % 11 - 5) for i in range(8)]
+    rows = [(i, base) for i in range(60)] + [(1000, other)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "hotidx")
+    shutil.rmtree(path, ignore_errors=True)
+    SIM.write_lsh_index(emb, path)
+
+    stats = SIM.lsh_bucket_stats(spark, path, cap=50)
+    assert stats["rows"] == 61
+    assert stats["max_occupancy"] == 60
+    assert stats["hot_buckets"] == 1
+    assert stats["rows_in_hot_buckets"] == 60
+
+    assert SIM.rebuild_hot_buckets(spark, path, cap=50) == 1
+
+    batch = spark.createDataFrame(
+        [(2000, base), (2001, other)], "vec_id long, embedding array<float>"
+    )
+    # default: full recall — the mega-cluster pairs are returned
+    full = SIM.lsh_index_near_dups(spark, path, batch, threshold=0.99)
+    by_new = {}
+    for r in full.collect():
+        by_new.setdefault(r["new_id"], set()).add(r["old_id"])
+    assert len(by_new.get(2000, set())) == 60
+    assert by_new.get(2001) == {1000}
+
+    # opt-in: the hot bucket is skipped, the cold one still serves
+    skipped = SIM.lsh_index_near_dups(
+        spark, path, batch, threshold=0.99, skip_hot_buckets=True
+    )
+    by_new2 = {}
+    for r in skipped.collect():
+        by_new2.setdefault(r["new_id"], set()).add(r["old_id"])
+    assert 2000 not in by_new2, "hot-bucket candidates not skipped"
+    assert by_new2.get(2001) == {1000}

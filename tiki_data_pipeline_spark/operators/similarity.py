@@ -781,6 +781,7 @@ def lsh_index_near_dups(
     n_planes: int = N_PLANES,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    skip_hot_buckets: bool = False,
 ) -> DataFrame:
     """Distributed incremental embedding near-dup: match a NEW batch
     of vectors against a persisted LSH index, returning
@@ -851,6 +852,17 @@ def lsh_index_near_dups(
     probes = payload.select("new_id", "qv").mapInPandas(
         emit_probes, schema="new_id long, bkt long"
     )
+    if skip_hot_buckets:
+        import os
+
+        hot_path = index_path + "/_hot_buckets"
+        if os.path.isdir(hot_path):
+            # explicit opt-in (see rebuild_hot_buckets: unlike the
+            # MinHash store there is no exact-first stage to catch a
+            # skipped mega-cluster) — the hot set is tiny, broadcast
+            probes = probes.join(
+                F.broadcast(spark.read.parquet(hot_path)), ["bkt"], "anti"
+            )
     index = _with_nrm(spark.read.parquet(index_path)).withColumn(
         "bkt", F.col("bkt").cast("long")
     )
@@ -872,6 +884,59 @@ def lsh_index_near_dups(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+HOT_BUCKET_CAP = 10_000
+
+
+def lsh_bucket_stats(spark, path: str, cap: int = HOT_BUCKET_CAP) -> dict:
+    """Occupancy report for a persisted LSH index — the embedding-side
+    analog of ``ivf_drift_report``. A bucket far above the mean is an
+    embedding mega-cluster (boilerplate content embedded repeatedly):
+    its candidate fan-out is quadratic in bucket size, so operators
+    should either rebuild with more planes (``n_planes="auto"``),
+    dedup the cluster upstream, or serve with
+    ``skip_hot_buckets=True`` after :func:`rebuild_hot_buckets`.
+    Returns driver-side summary scalars only (k-row aggregation)."""
+    occ = (
+        spark.read.parquet(path)
+        .groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    row = occ.agg(
+        F.count(F.lit(1)).alias("buckets"),
+        F.sum("n").alias("rows"),
+        F.max("n").alias("max_occupancy"),
+        F.avg("n").alias("mean_occupancy"),
+        F.sum(F.when(F.col("n") > cap, 1).otherwise(0)).alias("hot_buckets"),
+        F.sum(F.when(F.col("n") > cap, F.col("n")).otherwise(0)).alias(
+            "rows_in_hot_buckets"
+        ),
+    ).collect()[0]
+    return {k: row[k] for k in row.asDict()}
+
+
+def rebuild_hot_buckets(spark, path: str, cap: int = HOT_BUCKET_CAP) -> int:
+    """Record buckets holding more than ``cap`` vectors in a
+    ``_hot_buckets`` sidecar (the embedding-side twin of
+    ``dedup.rebuild_hot_bands``). Unlike the MinHash store there is no
+    exact-first stage to catch a skipped mega-cluster's duplicate
+    mass, so serve paths do NOT skip these by default — the sidecar
+    exists for the explicit ``skip_hot_buckets=True`` opt-in, where an
+    operator has decided the cluster is boilerplate handled upstream.
+    Run at build time or after appends. Returns the hot-bucket count."""
+    hot = (
+        spark.read.parquet(path)
+        .groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > cap)
+        .select(F.col("bkt").cast("long").alias("bkt"))
+        .localCheckpoint()
+    )
+    # coalesce(1): an empty result must still write one schema-bearing
+    # file or the serve-side sidecar read fails schema inference
+    hot.coalesce(1).write.mode("overwrite").parquet(path + "/_hot_buckets")
+    return hot.count()
 
 
 def append_lsh_index(
