@@ -477,3 +477,37 @@ def test_lsh_hot_buckets_stats_and_optin_skip(spark, tmp_path):
         by_new2.setdefault(r["new_id"], set()).add(r["old_id"])
     assert 2000 not in by_new2, "hot-bucket candidates not skipped"
     assert by_new2.get(2001) == {1000}
+
+
+def test_lsh_index_dedup_status_staged(spark, tmp_path):
+    """Staged embedding dedup: a bit-identical vector is exact_dup
+    (lowest store id wins) and never reaches the near stage; a close
+    vector is near_dup with the best (highest-cosine, lowest-id)
+    match; an unrelated one is unique. Mega-cluster defusal: 40
+    identical store vectors produce ONE exact decision row for a
+    matching delta vector, not 40 near-candidates."""
+    import shutil
+
+    base = [float((i * 7) % 13 - 6) for i in range(8)]
+    near = [x + (0.001 if i == 0 else 0.0) for i, x in enumerate(base)]
+    other = [float(-(i * 5) % 11 - 5) for i in range(8)]
+    rows = [(i, base) for i in range(40)] + [(500, other)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "stagedidx")
+    shutil.rmtree(path, ignore_errors=True)
+    SIM.write_lsh_index(emb, path)
+
+    batch = spark.createDataFrame(
+        [(1000, base), (1001, near), (1002, [9.0, -7.0] * 4)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: (r["status"], r["matched_id"])
+        for r in SIM.lsh_index_dedup_status(
+            spark, path, batch, threshold=0.99
+        ).collect()
+    }
+    assert got[1000] == ("exact_dup", 0)
+    assert got[1001] == ("near_dup", 0)
+    assert got[1002][0] == "unique"
+    assert len(got) == 3

@@ -886,6 +886,89 @@ def lsh_index_near_dups(
     )
 
 
+def lsh_index_dedup_status(
+    spark,
+    index_path: str,
+    new_embeddings: DataFrame,
+    threshold: float = 0.9,
+    emit_radius: int = 2,
+    n_planes: int = N_PLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Staged incremental embedding dedup against a persisted LSH
+    index — the embedding twin of ``dedup.incremental_dedup_status``:
+    an EXACT stage first (equi-join on ``xxhash64(vector)`` with an
+    exact array-equality residual — one cheap shuffle, no probe
+    replication), the LSH near stage on the remainder only. The
+    exact-first order is what defuses embedding mega-clusters (the
+    same content embedded repeatedly yields bit-identical vectors):
+    their duplicate mass collapses in the hash join instead of fanning
+    out quadratically through the shared bucket.
+
+    Returns one row per batch vector: ``(id, status, matched_id)``
+    with status ∈ {exact_dup, near_dup, unique}; ``matched_id`` is the
+    lowest-id exact match, else the best near match (highest cosine,
+    ties → lowest id), else NULL.
+    """
+    from pyspark.sql import Window as W
+
+    batch = new_embeddings.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("qv")
+    )
+    store = spark.read.parquet(index_path).select(
+        F.col("id").alias("_store_id"), F.col("v").alias("_sv")
+    )
+    exact = (
+        batch.join(
+            store,
+            (F.xxhash64(F.col("qv")) == F.xxhash64(F.col("_sv")))
+            & (F.col("qv") == F.col("_sv"))
+            & (F.col(id_col) != F.col("_store_id")),
+        )
+        .groupBy(id_col)
+        .agg(F.min("_store_id").alias("matched_id"))
+        .withColumn("status", F.lit("exact_dup"))
+    )
+    fresh = new_embeddings.join(exact.select(id_col), id_col, "left_anti")
+    near_pairs = lsh_index_near_dups(
+        spark,
+        index_path,
+        fresh,
+        threshold=threshold,
+        emit_radius=emit_radius,
+        n_planes=n_planes,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    # best match per vector: window partitioned by the vector, so the
+    # partition size is its true near-dup count, never corpus-sized
+    w = W.partitionBy("new_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("old_id").asc()
+    )
+    near = (
+        near_pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("new_id").alias(id_col),
+            F.col("old_id").alias("matched_id"),
+            F.lit("near_dup").alias("status"),
+        )
+    )
+    hits = exact.select(id_col, "status", "matched_id").unionByName(
+        near.select(id_col, "status", "matched_id")
+    )
+    return (
+        new_embeddings.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("status"), F.lit("unique")).alias("status"),
+            "matched_id",
+        )
+    )
+
+
 HOT_BUCKET_CAP = 10_000
 
 

@@ -743,6 +743,59 @@ def embedding_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "embedding_incremental_dedup_status",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {_LSH_BUCKET_SQL} AS bucket FROM e),
+    store AS (SELECT * FROM b WHERE vec_id % 2 = 0),
+    batch AS (SELECT * FROM b WHERE vec_id % 2 = 1),
+    exact AS (
+      SELECT n.vec_id, MIN(o.vec_id) AS matched_id, 'exact_dup' AS status
+      FROM batch n JOIN store o ON n.v = o.v AND n.vec_id <> o.vec_id
+      GROUP BY n.vec_id
+    ),
+    near AS (
+      SELECT vec_id, matched_id, 'near_dup' AS status FROM (
+        SELECT n.vec_id, o.vec_id AS matched_id,
+               ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(n.v, o.v), 6) DESC,
+                          o.vec_id ASC) AS rn
+        FROM batch n JOIN store o
+          ON bit_count(xor(o.bucket::BIGINT, n.bucket::BIGINT)) <= 2
+         AND ROUND(list_cosine_similarity(n.v, o.v), 6) >= 0.45
+        WHERE n.vec_id NOT IN (SELECT vec_id FROM exact)
+      ) t WHERE rn = 1
+    ),
+    hits AS (
+      SELECT * FROM exact
+      UNION ALL SELECT vec_id, matched_id, status FROM near
+    )
+    SELECT bb.vec_id, COALESCE(h.status, 'unique') AS status, h.matched_id
+    FROM batch bb LEFT JOIN hits h ON bb.vec_id = h.vec_id
+    """,
+)
+def embedding_incremental_dedup_status(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Staged incremental embedding dedup: the odd-id delta is
+    statused against the persisted even-id LSH index — EXACT stage
+    first (xxhash64 equi-join + array-equality residual; bit-identical
+    vectors collapse here instead of fanning out through a shared LSH
+    bucket), LSH near stage on the remainder, one (vec_id, status,
+    matched_id) row per delta vector. The embedding twin of the
+    document-side ``incremental_dedup_status``."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    return SIM.lsh_index_dedup_status(
+        spark,
+        _emb_even_index_cached(spark, sf_dir),
+        batch,
+        threshold=0.45,
+        emit_radius=2,
+    )
+
+
+@query(
     "embedding_label_stats",
     oracle="""
     WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)
