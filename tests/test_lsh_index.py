@@ -511,3 +511,69 @@ def test_lsh_index_dedup_status_staged(spark, tmp_path):
     assert got[1001] == ("near_dup", 0)
     assert got[1002][0] == "unique"
     assert len(got) == 3
+
+
+def test_query_directed_probing_subset_and_recall(spark, tmp_path):
+    """Query-directed multi-probe (probe_planes): results must be a
+    value-exact SUBSET of exhaustive probing (it can only skip
+    buckets, never invent pairs), identical-vector matches must always
+    survive (empty flip set probes the home bucket), and on the
+    fixture corpus the directed recall should stay high while probing
+    C(4,<=2)=11 buckets instead of C(8,<=2)=37."""
+    import shutil
+
+    emb = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "diridx")
+    shutil.rmtree(path, ignore_errors=True)
+    SIM.write_lsh_index(emb.filter(F.col("vec_id") % 2 == 0), path)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+
+    full = {
+        (r["new_id"], r["old_id"]): r["cosine_sim"]
+        for r in SIM.lsh_index_near_dups(
+            spark, path, batch, threshold=0.45, emit_radius=2
+        ).collect()
+    }
+    directed = {
+        (r["new_id"], r["old_id"]): r["cosine_sim"]
+        for r in SIM.lsh_index_near_dups(
+            spark, path, batch, threshold=0.45, emit_radius=2, probe_planes=4
+        ).collect()
+    }
+    assert set(directed) <= set(full), "directed probing invented pairs"
+    for k, v in directed.items():
+        assert v == full[k], k
+    assert full, "no pairs on the fixture"
+
+    # recall in the regime directed probing is FOR — true near-dups
+    # (cos >= ~0.99): plant 30 tiny-perturbation twins of store
+    # vectors; their flips concentrate on the lowest-margin planes,
+    # so probing 11 of 37 buckets must still find nearly all of them
+    src = emb.filter((F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 60)).collect()
+    twins = spark.createDataFrame(
+        [
+            (90000 + r["vec_id"], [x + 0.001 for x in r["embedding"]])
+            for r in src
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    found_dir = {
+        r["new_id"]
+        for r in SIM.lsh_index_near_dups(
+            spark, path, twins, threshold=0.99, emit_radius=2, probe_planes=4
+        ).collect()
+        if r["old_id"] == r["new_id"] - 90000
+    }
+    recall = len(found_dir) / len(src)
+    assert recall >= 0.9, f"directed near-dup recall {recall:.2f} on {len(src)} twins"
+
+    # identical vector: found by BOTH modes via the home bucket
+    twin_src = emb.filter(F.col("vec_id") == 0).collect()[0]
+    twin = spark.createDataFrame(
+        [(99991, twin_src["embedding"])], "vec_id long, embedding array<float>"
+    )
+    for planes in (None, 2):
+        got = SIM.lsh_index_near_dups(
+            spark, path, twin, threshold=0.99, emit_radius=2, probe_planes=planes
+        ).collect()
+        assert any(r["old_id"] == 0 for r in got), f"probe_planes={planes}"

@@ -782,10 +782,24 @@ def lsh_index_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     skip_hot_buckets: bool = False,
+    probe_planes: int | None = None,
 ) -> DataFrame:
     """Distributed incremental embedding near-dup: match a NEW batch
     of vectors against a persisted LSH index, returning
     ``(new_id, old_id, cosine_sim)`` pairs with cosine ≥ threshold.
+
+    ``probe_planes`` enables query-directed multi-probe (Lv et al.,
+    VLDB'07): instead of flipping every subset of ≤ ``emit_radius``
+    of ALL planes, flip only subsets of the ``probe_planes`` planes
+    whose hyperplane margin |w·x| is smallest for THAT query vector —
+    a near-neighbor lands across a hyperplane almost exclusively when
+    the query sits close to it. Probe count drops from
+    C(n_planes, ≤r) to C(probe_planes, ≤r) (e.g. 56 → 11 at 10
+    planes, r=2, probe_planes=4) at a small recall cost, so this is
+    an OPT-IN — the default (None) probes exhaustively and keeps the
+    radius-parity guarantee below. Hamming-0 matches (identical or
+    near-identical vectors) are always found either way: the empty
+    flip set probes the vector's own bucket.
 
     Unlike :func:`lsh_index_topk` (which collects a SMALL query set to
     the driver — the ANN serving shape), the batch here stays fully
@@ -818,6 +832,17 @@ def lsh_index_near_dups(
     )
     masks = np.array(probe_masks(n_planes, emit_radius), dtype=np.int64)
     bitvals = 1 << np.arange(n_planes, dtype=np.int64)
+    if probe_planes is not None:
+        from itertools import combinations
+
+        pp = min(probe_planes, n_planes)
+        # flip patterns over margin-RANK positions (0 = smallest
+        # margin); resolved to actual plane bits per query row below
+        rank_patterns = [
+            list(bits)
+            for r in range(min(emit_radius, pp) + 1)
+            for bits in combinations(range(pp), r)
+        ]
 
     base = new_embeddings.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("new_id"), as_double(F.col(vec_col)).alias("qv")
@@ -831,22 +856,42 @@ def lsh_index_near_dups(
             if not len(pdf):
                 continue
             m = np.array(list(pdf["qv"]), dtype=np.float64)
-            b0 = ((m @ wmat.T > 0) * bitvals).sum(axis=1)
+            marg = m @ wmat.T
+            b0 = ((marg > 0) * bitvals).sum(axis=1)
             ids = pdf["new_id"].to_numpy()
-            reps = len(masks)
+            if probe_planes is None:
+                row_masks = None
+                reps = len(masks)
+            else:
+                # per-row masks from the pp lowest-|margin| planes
+                order = np.argsort(np.abs(marg), axis=1)[:, :pp]
+                pb = bitvals[order]  # N × pp plane bit values
+                row_masks = np.stack(
+                    [
+                        pb[:, pat].sum(axis=1)
+                        if pat
+                        else np.zeros(len(ids), dtype=np.int64)
+                        for pat in rank_patterns
+                    ],
+                    axis=1,
+                )  # N × n_patterns
+                reps = row_masks.shape[1]
             # chunk the output: a large Arrow batch × a large mask set
             # must not materialize one giant frame in the worker
             step = max(1, 2_000_000 // reps)
             for s in range(0, len(ids), step):
                 chunk = ids[s : s + step]
+                if row_masks is None:
+                    bkts = np.bitwise_xor(
+                        b0[s : s + step].repeat(reps),
+                        np.tile(masks, len(chunk)),
+                    )
+                else:
+                    bkts = np.bitwise_xor(
+                        b0[s : s + step, None], row_masks[s : s + step]
+                    ).ravel()
                 yield pd.DataFrame(
-                    {
-                        "new_id": chunk.repeat(reps),
-                        "bkt": np.bitwise_xor(
-                            b0[s : s + step].repeat(reps),
-                            np.tile(masks, len(chunk)),
-                        ),
-                    }
+                    {"new_id": chunk.repeat(reps), "bkt": bkts}
                 )
 
     probes = payload.select("new_id", "qv").mapInPandas(

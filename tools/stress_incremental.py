@@ -204,6 +204,13 @@ def run_level(spark, n: int) -> dict:
         spark, lsh_store, delta_emb, threshold=0.9, emit_radius=2
     ).count()
     out["emb_delta_s"] = round(time.perf_counter() - t0, 2)
+    # staged per-vector decision (exact-first, near on the remainder)
+    t0 = time.perf_counter()
+    status = SIM.lsh_index_dedup_status(
+        spark, lsh_store, delta_emb, threshold=0.9, emit_radius=2
+    )
+    out["emb_status_dups"] = status.filter(F.col("status") != "unique").count()
+    out["emb_status_s"] = round(time.perf_counter() - t0, 2)
 
     # 4. K successive appends, then compaction
     t0 = time.perf_counter()
