@@ -577,3 +577,38 @@ def test_query_directed_probing_subset_and_recall(spark, tmp_path):
             spark, path, twin, threshold=0.99, emit_radius=2, probe_planes=planes
         ).collect()
         assert any(r["old_id"] == 0 for r in got), f"probe_planes={planes}"
+
+
+def test_lsh_index_topk_directed_probing(spark, tmp_path):
+    """Directed probing on the ANN serve path: results are a subset
+    of exhaustive probing with identical cosines, and a query that IS
+    a store vector always finds itself-adjacent neighbors via the
+    home bucket."""
+    import shutil
+
+    emb = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "topkdir")
+    shutil.rmtree(path, ignore_errors=True)
+    SIM.write_lsh_index(emb, path)
+    queries = emb.filter(F.col("vec_id") < 6)
+
+    full = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_sim"]
+        for r in SIM.lsh_index_topk(
+            spark, path, queries, k=5, emit_radius=2
+        ).collect()
+    }
+    directed = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_sim"]
+        for r in SIM.lsh_index_topk(
+            spark, path, queries, k=5, emit_radius=2, probe_planes=4
+        ).collect()
+    }
+    assert directed, "directed probing returned nothing"
+    # top-k of a candidate SUBSET can only surface pairs the full run
+    # also scored (possibly below its top-k cut) — so every shared key
+    # must agree on the cosine, and every query still gets neighbors
+    for key, v in directed.items():
+        if key in full:
+            assert v == full[key], key
+    assert {q for q, _ in directed} == {q for q, _ in full}

@@ -1119,6 +1119,7 @@ def lsh_index_topk(
     n_planes: int = N_PLANES,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_planes: int | None = None,
 ) -> DataFrame:
     """ANN top-k against a persisted LSH index: each query probes the
     buckets within Hamming ``emit_radius`` of its own code, and the
@@ -1128,6 +1129,9 @@ def lsh_index_topk(
 
     ``n_planes`` is resolved from the store's ``_meta.json`` when
     present; the argument is the pre-meta-store fallback only.
+    ``probe_planes`` enables query-directed multi-probe exactly as in
+    :func:`lsh_index_near_dups` (flip only the query's lowest-margin
+    planes) — fewer partitions read per query at a small recall cost.
     """
     from pyspark.sql import Window as W
 
@@ -1143,11 +1147,36 @@ def lsh_index_topk(
         .collect()
     )
     _check_query_set(len(q_rows))
-    masks = probe_masks(n_planes, emit_radius)
+    if probe_planes is None:
+        masks = probe_masks(n_planes, emit_radius)
+        mask_for = lambda r: masks  # noqa: E731 — shared exhaustive set
+    else:
+        from itertools import combinations
+
+        import numpy as np
+
+        pp = min(probe_planes, n_planes)
+        wmat = np.array(
+            [
+                [_plane_weight(p, i) for i in range(1, dim + 1)]
+                for p in range(n_planes)
+            ]
+        )
+        patterns = [
+            bits
+            for r in range(min(emit_radius, pp) + 1)
+            for bits in combinations(range(pp), r)
+        ]
+
+        def mask_for(r):
+            marg = np.abs(wmat @ np.array(r["qv"], dtype=np.float64))
+            low = np.argsort(marg)[:pp]
+            return [sum(1 << int(low[i]) for i in pat) for pat in patterns]
+
     probe_rows = [
         (r["query_id"], r["qv"], _py_norm(r["qv"]), int(r["qb"]) ^ m)
         for r in q_rows
-        for m in masks
+        for m in mask_for(r)
         if _py_norm(r["qv"]) > 0  # zero-norm query: no defined cosine
     ]
     probe_buckets = sorted({b for _, _, _, b in probe_rows})
