@@ -300,3 +300,54 @@ def test_auto_n_centroids_and_auto_ivf_serving(spark, tmp_path):
         map(tuple, SIM.ivf_index_topk(spark, p_expl, queries, k=3).collect())
     )
     assert a == b and a
+
+
+def test_band_params_for_threshold_scurve():
+    """Chosen bands must be the divisor of k whose S-curve midpoint
+    (1/b)^(1/r) is nearest the threshold, and the mapping must be
+    monotone: higher thresholds -> fewer bands (longer bands are more
+    selective)."""
+    for k in (16, 24):
+        divisors = [b for b in range(1, k + 1) if k % b == 0]
+        for t in (0.3, 0.5, 0.7, 0.9):
+            b = DD.band_params_for_threshold(t, k=k)
+            assert k % b == 0
+            err = abs((1.0 / b) ** (b / k) - t)
+            for other in divisors:
+                assert err <= abs((1.0 / other) ** (other / k) - t) + 1e-12
+        picks = [DD.band_params_for_threshold(t, k=k) for t in (0.3, 0.6, 0.9)]
+        assert picks == sorted(picks, reverse=True), picks
+
+
+def test_tuned_bands_beat_mistuned_on_planted_pairs(spark):
+    """End-to-end S-curve check: at threshold 0.5, the tuned band
+    count must catch planted ~0.55-Jaccard pairs that the most
+    selective layout (bands=1, midpoint 1.0) misses, while both agree
+    on exact duplicates."""
+    words = [f"w{i}" for i in range(40)]
+    base = " ".join(words)
+    # ~0.55 weighted-Jaccard neighbor: rewrite the last 11 words
+    near = " ".join(words[:29] + [f"x{i}" for i in range(11)])
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, base), (4, "totally different text here ok")],
+        "doc_id long, text string",
+    )
+    sh = DD.shingles(docs).localCheckpoint()
+    tuned = DD.band_params_for_threshold(0.5)  # -> 8 bands of 2
+    got_tuned = {
+        (r["i"], r["j"])
+        for r in DD.minhash_lsh_near_dups(
+            docs, threshold=0.3, bands=tuned, sh=sh
+        ).collect()
+    }
+    got_one_band = {
+        (r["i"], r["j"])
+        for r in DD.minhash_lsh_near_dups(
+            docs, threshold=0.3, bands=1, sh=sh
+        ).collect()
+    }
+    assert (1, 3) in got_tuned and (1, 3) in got_one_band  # exact dup always
+    assert (1, 2) in got_tuned, "tuned bands missed the planted near pair"
+    # the single-band layout's midpoint is 1.0 — it should (almost
+    # always, deterministic here) miss the 0.55 pair
+    assert (1, 2) not in got_one_band

@@ -30,6 +30,29 @@ from pyspark.sql import functions as F
 
 MINHASH_K = 16  # number of hash functions
 LSH_BANDS = 4  # bands of r = K/BANDS rows each
+
+
+def band_params_for_threshold(threshold: float, k: int = MINHASH_K) -> int:
+    """Pick the band count whose LSH S-curve midpoint sits closest to
+    the target Jaccard threshold: with b bands of r = k/b rows, the
+    candidate probability for a pair at similarity s is
+    1 − (1 − s^r)^b, which crosses ~50% near s ≈ (1/b)^(1/r) (MMDS
+    ch.3). Tuning bands to the query threshold is what keeps both
+    error directions small — too many bands floods the verify stage
+    with low-similarity candidates, too few misses pairs just above
+    the threshold. Returns the best divisor of k (the default 4×16
+    layout sits at ≈0.71, tuned for the 0.5–0.7 thresholds the
+    registry queries use)."""
+    best_bands, best_err = 1, float("inf")
+    for bands in range(1, k + 1):
+        if k % bands:
+            continue
+        r = k // bands
+        midpoint = (1.0 / bands) ** (1.0 / r)
+        err = abs(midpoint - threshold)
+        if err < best_err:
+            best_bands, best_err = bands, err
+    return best_bands
 SIMHASH_BITS = 32
 
 

@@ -1072,18 +1072,23 @@ def append_lsh_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = N_PLANES,
+    n_planes: int | None = N_PLANES,
 ) -> None:
     """Add new vectors to an existing persisted LSH index without a
     rebuild (continuous-ingest shape: the delta's bucket rows land in
     the partitions the serve path already prunes on). Layout is
-    auto-detected from the tree on disk; ``n_planes`` is validated
-    against the store's ``_meta.json`` — a different hyperplane family
-    would bucket the delta incomparably and silently lose recall.
-    Same at-least-once caveat as every plain-parquet append —
-    production is a lakehouse MERGE/OPTIMIZE table."""
+    auto-detected from the tree on disk; an EXPLICIT ``n_planes`` is
+    validated against the store's ``_meta.json`` — a different
+    hyperplane family would bucket the delta incomparably and
+    silently lose recall — while ``n_planes=None`` resolves from the
+    meta (required for an "auto"-built store, whose plane count the
+    caller cannot know). Same at-least-once caveat as every
+    plain-parquet append — production is a lakehouse MERGE/OPTIMIZE
+    table."""
     from tiki_data_pipeline_spark.sources.files import check_store_meta
 
+    if n_planes is None:
+        n_planes = _store_n_planes(path, N_PLANES)
     check_store_meta(path, {"kind": "lsh", "n_planes": n_planes})
     rows = _lsh_index_rows(embeddings, id_col, vec_col, n_planes)
     _write_index_rows(rows, path, "append", "bkt", _detect_partitioned(path, "bkt"))
