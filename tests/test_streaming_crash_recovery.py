@@ -171,3 +171,98 @@ def test_incremental_dedup_sink_crash_replay(spark, tmp_path, crash_point, monke
     q2.awaitTermination(120)
     assert q2.exception() is None
     _assert_recovered(spark, store)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-ingest sink (the vector twin)
+# ---------------------------------------------------------------------------
+
+VBASE = [float((i * 7) % 13 - 6) for i in range(8)]
+VNEAR = [x + (0.0001 if i == 0 else 0.0) for i, x in enumerate(VBASE)]
+# cosine vs VBASE ≈ -0.02 and vs VFRESH ≈ -0.05 — genuinely unrelated
+# (the obvious modular-arithmetic pick was accidentally 0.993-parallel
+# to VBASE and read as a near-dup at threshold 0.99)
+VOTHER = [2.0, 6.0, -3.0, 5.0, 1.0, -6.0, 4.0, 3.0]
+VFRESH = [9.0, -7.0, 3.0, -1.0, 8.0, -2.0, 5.0, -4.0]
+
+
+def _mk_vec_source(tmp_path):
+    src = tmp_path / "vsrc"
+    src.mkdir()
+
+    def write(name, rows, mtime):
+        t = pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                "embedding": pa.array(
+                    [r[1] for r in rows], pa.list_(pa.float32())
+                ),
+            }
+        )
+        p = str(src / name)
+        pq.write_table(t, p)
+        os.utime(p, (mtime, mtime))
+
+    # epoch 0: exact dup of the store + a novel vector
+    write("a.parquet", [(13, VBASE), (11, VOTHER)], 1_000_000_000)
+    # epoch 1: near-dup of epoch 0's novel vector + a fresh one + its
+    # within-batch identical copy (min-id survivor contract)
+    near_other = [x + (0.0001 if i == 0 else 0.0) for i, x in enumerate(VOTHER)]
+    write(
+        "b.parquet",
+        [(21, near_other), (25, VFRESH), (27, VFRESH)],
+        1_000_000_100,
+    )
+    return src
+
+
+def _run_vec(spark, src, store, ckpt, beats):
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    return jobs.incremental_embedding_sink(stream, store, beats, ckpt, threshold=0.99)
+
+
+def test_incremental_embedding_sink_cross_batch_and_replay(spark, tmp_path, monkeypatch):
+    from tiki_data_pipeline_spark.operators import similarity as SIM
+
+    store = str(tmp_path / "vstore")
+    SIM.write_lsh_index(
+        spark.createDataFrame([(2, VBASE)], "vec_id long, embedding array<float>"),
+        store,
+    )
+    src = _mk_vec_source(tmp_path)
+    ckpt = str(tmp_path / "vckpt")
+
+    # crash epoch 1 after the index append, before the epoch commit
+    class DyingBeats(list):
+        def append(self, item):
+            if item[0] == 1 and not getattr(self, "_died", False):
+                self._died = True
+                raise RuntimeError("injected crash after index append")
+            super().append(item)
+
+    beats = DyingBeats()
+    q = _run_vec(spark, src, store, ckpt, beats)
+    with pytest.raises(Exception):
+        q.awaitTermination(120)
+    assert 25 in {r["id"] for r in spark.read.parquet(store).collect()}
+
+    beats2: list = []
+    q2 = _run_vec(spark, src, store, ckpt, beats2)
+    q2.awaitTermination(120)
+    assert q2.exception() is None
+
+    dec = {
+        r["vec_id"]: (r["status"], r["matched_id"])
+        for r in spark.read.parquet(store + "/_decisions").collect()
+    }
+    assert dec[13] == ("exact_dup", 2)
+    assert dec[11] == ("unique", None), "replayed epoch flipped its own vector"
+    assert dec[21] == ("near_dup", 11), "store did not grow between batches"
+    assert dec[25] == ("unique", None)
+    assert dec[27] == ("unique", None)
+    ids = sorted(r["id"] for r in spark.read.parquet(store).collect())
+    assert ids == [2, 11, 25], f"index not canonical after replay: {ids}"

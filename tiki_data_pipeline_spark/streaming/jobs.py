@@ -196,6 +196,60 @@ def cdc_foreach_batch(
     )
 
 
+def _epoch_decisions(
+    spark, index_path: str, epoch_id: int, batch_df: DataFrame,
+    id_col: str, compute,
+) -> DataFrame:
+    """Exactly-once, replay-stable per-epoch decisions for a
+    continuous-ingest sink. A retried epoch (restart from the
+    checkpoint after a mid-epoch failure) REUSES its committed
+    ``_decisions`` partition instead of recomputing: decisions are
+    written BEFORE the store append, so the committed partition is
+    the pre-append truth — recomputing after a post-append crash
+    would status the batch against a store that already contains it
+    and flip its own rows to dup-of-self. A FOREIGN epoch-id
+    collision (fresh checkpoint over an already-ingested store
+    restarts epoch ids at 0) is rejected by requiring the committed
+    partition to cover exactly this batch's id set — a checkpointed
+    retry always replays identical offsets, so a mismatch means
+    stale decisions, not a retry. ``compute`` is called only when no
+    reusable partition exists; its result is localCheckpointed and
+    written via epoch-partitioned dynamic overwrite."""
+    try:  # retried epoch → reuse the committed pre-append truth
+        prior = (
+            spark.read.parquet(index_path + "/_decisions")
+            .filter(F.col("epoch") == epoch_id)
+            .select(id_col, "status", "matched_id")
+        )
+        p_ids = prior.select(id_col).distinct()
+        b_ids = batch_df.select(id_col).distinct()
+        if (
+            prior.limit(1).count() > 0
+            and p_ids.exceptAll(b_ids).unionAll(
+                b_ids.exceptAll(p_ids)
+            ).limit(1).count() == 0
+        ):
+            return prior.localCheckpoint()
+    except Exception:  # first epoch ever: no _decisions yet
+        pass
+    # materialized BEFORE the store append: the decision plan is lazy
+    # and reads the store — evaluating it after the append would
+    # status the batch against itself
+    status = compute().localCheckpoint()
+    (
+        # epoch-partitioned dynamic overwrite: a retried epoch
+        # REPLACES its own partition instead of duplicating rows —
+        # the decisions log is exactly-once even though the store
+        # append stays at-least-once
+        status.withColumn("epoch", F.lit(epoch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch")
+        .parquet(index_path + "/_decisions")
+    )
+    return status
+
+
 def incremental_dedup_sink(
     docs: DataFrame,
     index_path: str,
@@ -249,48 +303,16 @@ def incremental_dedup_sink(
         # one shingle explode per epoch, shared by the decision and
         # append stages (both otherwise recompute it)
         sh = DD.shingles(batch_df).localCheckpoint()
-        status = None
-        try:  # retried epoch → reuse the committed pre-append truth
-            prior = (
-                spark.read.parquet(index_path + "/_decisions")
-                .filter(F.col("epoch") == epoch_id)
-                .select("doc_id", "status", "matched_id")
-            )
-            # Guard against a FOREIGN epoch-id collision (a fresh
-            # checkpoint pointed at an already-ingested store restarts
-            # epoch ids at 0): reuse only if the committed partition
-            # covers exactly this batch's doc set — a checkpointed
-            # retry always replays identical offsets, so a mismatch
-            # means stale decisions, not a retry.
-            p_ids = prior.select("doc_id").distinct()
-            b_ids = batch_df.select("doc_id").distinct()
-            if (
-                prior.limit(1).count() > 0
-                and p_ids.exceptAll(b_ids).unionAll(
-                    b_ids.exceptAll(p_ids)
-                ).limit(1).count() == 0
-            ):
-                status = prior.localCheckpoint()
-        except Exception:  # first epoch ever: no _decisions yet
-            pass
-        if status is None:
-            status = DD.incremental_dedup_status(
+        status = _epoch_decisions(
+            spark,
+            index_path,
+            epoch_id,
+            batch_df,
+            "doc_id",
+            lambda: DD.incremental_dedup_status(
                 spark, index_path, batch_df, threshold=threshold, sh=sh
-            # materialized BEFORE the store append below: the decision
-            # is lazy and reads the store — evaluating it after the
-            # append would status the batch against itself
-            ).localCheckpoint()
-            (
-                # epoch-partitioned dynamic overwrite: a retried epoch
-                # REPLACES its own partition instead of duplicating
-                # rows — the decisions log is exactly-once even though
-                # the store append below stays at-least-once
-                status.withColumn("epoch", F.lit(epoch_id))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("epoch")
-                .parquet(index_path + "/_decisions")
-            )
+            ),
+        )
         uniq = batch_df.join(
             status.filter(F.col("status") == "unique").select("doc_id"),
             "doc_id",
@@ -346,3 +368,69 @@ def corpus_ingest(docs: DataFrame, min_tokens: int = 5) -> DataFrame:
     for _, pat, token in PII_PATTERNS:
         redacted = F.regexp_replace(redacted, pat, token)
     return quality.select("doc_id", redacted.alias("text"), "lang")
+
+
+def incremental_embedding_sink(
+    vectors: DataFrame,
+    index_path: str,
+    statuses: list,
+    checkpoint_dir: str,
+    threshold: float = 0.9,
+):
+    """Continuous embedding-store ingest — the vector twin of
+    :func:`incremental_dedup_sink`: each micro-batch of
+    ``(vec_id, embedding)`` rows is statused against the persisted
+    LSH index (exact xxhash64+equality stage first, near stage on the
+    remainder — ``similarity.lsh_index_dedup_status``), decisions
+    land in the epoch-partitioned ``_decisions`` log (exactly-once
+    and replay-stable via :func:`_epoch_decisions`), and the batch's
+    UNIQUE vectors are appended to the index so the next micro-batch
+    dedups against them. Of within-batch identical vectors one min-id
+    survivor enters the store, and an id already present in the index
+    is never appended again (the stored-id anti-join keeps epoch
+    retries idempotent). The caller's ``statuses`` list receives
+    (epoch, n_vectors) heartbeats only.
+    """
+    from tiki_data_pipeline_spark.operators import similarity as SIM
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint()  # pin the micro-batch once
+        status = _epoch_decisions(
+            spark,
+            index_path,
+            epoch_id,
+            batch_df,
+            "vec_id",
+            lambda: SIM.lsh_index_dedup_status(
+                spark, index_path, batch_df, threshold=threshold
+            ),
+        )
+        uniq = batch_df.join(
+            status.filter(F.col("status") == "unique").select("vec_id"),
+            "vec_id",
+            "semi",
+        )
+        # one min-id survivor per distinct vector within the batch
+        # (group on the array itself — a hash-only key could collapse
+        # two colliding but different vectors)
+        survivors = (
+            uniq.groupBy("embedding")
+            .agg(F.min("vec_id").alias("vec_id"))
+            .select("vec_id")
+        )
+        stored_ids = spark.read.parquet(index_path).select(
+            F.col("id").alias("vec_id")
+        )
+        to_add = uniq.join(survivors, "vec_id", "semi").join(
+            stored_ids, "vec_id", "anti"
+        )
+        SIM.append_lsh_index(to_add, index_path, n_planes=None)
+        statuses.append((epoch_id, status.count()))
+
+    return (
+        vectors.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
