@@ -34,20 +34,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's CORRECTNESS sweep samples a bounded window of queries
 # in iteration order (50 per round). After r5 every registered query
-# has been driver-green at least once (116/117; the residue is the
-# by-construction rows-only HLL sketch). Round 6 is the freshness
-# rotation the r5 verdict asked for: the 45 queries whose *latest*
-# driver-green row is r3 (the code under them was refactored in
-# r4-r5) lead, after a few always-green sentinels spanning the core
-# operator families. 5 sentinels + 45 stale = exactly the 50-slot
-# window, so every query's latest driver record then postdates the
-# last refactor.
+# had been driver-green at least once (117/118 now; the residue is
+# the by-construction rows-only HLL sketch). Round 6 is the
+# freshness rotation the r5 verdict asked for: the 45 queries whose
+# *latest* driver-green row is r3 (the code under them was refactored
+# in r4-r5) lead, after always-green sentinels spanning the core
+# operator families. The LLM-family sentinel slot goes to this
+# round's NEW query (embedding_incremental_dedup_status — the staged
+# exact-first embedding dedup) so it gets a driver sample in its
+# first round; 5 front entries + 45 stale = exactly the 50-slot
+# window, and every query's latest driver record postdates the last
+# refactor.
 _SENTINELS = [
     "q1_pricing_summary",      # relational agg
     "category_path_closure",   # hierarchy / graph
     "history_change_detection",  # CDC / window
     "transform_products",      # transform pipeline
-    "doc_minhash_lsh_near_dup",  # LLM-data dedup
+    "embedding_incremental_dedup_status",  # LLM-data dedup (new r6)
 ]
 _FRESHNESS_ROTATION = [
     # -- the 45 queries whose latest driver-green row is r3 --

@@ -98,28 +98,37 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     failures: list[str] = []
+    flaky: list[str] = []
     for name in BENCH_QUERIES:
         best = None
         rows = None
+        errs = 0
+        # every attempt runs (no break on error): a transient failure
+        # on EITHER run must neither drop a working query from the
+        # round nor be silently masked by the other run's success
         for _ in range(max(1, RUNS)):
             t0 = time.perf_counter()
             try:
                 rows = QUERIES[name](spark, SF_DIR).count()
             except Exception as exc:  # one broken query must not kill the run
-                if best is None:
-                    failures.append(name)
-                    print(f"# {name}: FAILED ({exc})", file=sys.stderr)
-                break
+                errs += 1
+                print(f"# {name}: attempt FAILED ({exc})", file=sys.stderr)
+                continue
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         if best is None:
+            failures.append(name)
             continue
+        if errs:
+            flaky.append(name)
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({rows} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     if failures:
         print(f"# failed queries: {failures}", file=sys.stderr)
+    if flaky:
+        print(f"# flaky queries (some attempts failed): {flaky}", file=sys.stderr)
     payload = {
         "metric": "sum_query_seconds",
         "value": total,
@@ -128,6 +137,7 @@ def main() -> None:
         "builds": builds,
         "build_seconds": round(sum(builds.values()), 3),
         "runs_per_query": max(1, RUNS),
+        "flaky": flaky,
         "sf": _sf_from_dir(SF_DIR),
     }
     # The driver records stdout with a bounded tail, which can truncate

@@ -232,7 +232,13 @@ def minhash_lsh_near_dups(
 ) -> DataFrame:
     """Full MinHash+LSH pipeline: shingle → minhash → band → bucket
     join → exact-Jaccard verification of candidates. Pass a
-    pre-materialized ``sh`` to share the shingle set across queries."""
+    pre-materialized ``sh`` to share the shingle set across queries.
+    ``bands="auto"`` tunes the band count to the threshold via
+    :func:`band_params_for_threshold` (the default stays the fixed
+    registry layout — persisted stores pin their own band scheme in
+    ``_meta.json``, so auto applies to in-session runs only)."""
+    if bands == "auto":
+        bands = band_params_for_threshold(threshold, k)
     if sh is None:
         # The shingle set feeds three subtrees (minhash, counts, verify
         # join); localCheckpoint materializes it once instead of

@@ -693,13 +693,19 @@ def write_lsh_index(
     layout unchanged.
     """
     n_rows = None
+    if n_planes == "auto" or partitioned is None:
+        # count ADMITTED rows (non-null, non-zero-norm) — the raw
+        # input count can overestimate both the plane sizing and the
+        # layout decision at exactly the small-files boundary
+        n_rows = (
+            embeddings.filter(F.col(vec_col).isNotNull())
+            .filter(_norm(as_double(F.col(vec_col))) > 0)
+            .count()
+        )
     if n_planes == "auto":
-        n_rows = embeddings.count()
         n_planes = auto_n_planes(n_rows)
     base = _lsh_index_rows(embeddings, id_col, vec_col, n_planes)
     if partitioned is None:
-        if n_rows is None:
-            n_rows = base.count()
         partitioned = n_rows >= partition_min_rows
     _write_index_rows(base, path, "overwrite", "bkt", partitioned)
     from tiki_data_pipeline_spark.sources.files import write_store_meta
@@ -912,7 +918,10 @@ def lsh_index_near_dups(
         "bkt", F.col("bkt").cast("long")
     )
     # each (new, old) pair meets in EXACTLY one probe bucket (the mask
-    # is forced to b_new XOR b_old), so no pair-dedup shuffle is needed
+    # is forced to b_new XOR b_old), so a CLEAN index yields each pair
+    # once — but the plain-parquet append contract is at-least-once on
+    # retry, so a store MAY hold duplicate id rows; dedup the
+    # (threshold-filtered, small) result rather than trusting it
     cand = (
         index.join(probes, "bkt")
         .filter(F.col("id") != F.col("new_id"))
@@ -928,6 +937,7 @@ def lsh_index_near_dups(
             ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
+        .dropDuplicates(["new_id", "old_id"])
     )
 
 
@@ -955,19 +965,34 @@ def lsh_index_dedup_status(
     with status ∈ {exact_dup, near_dup, unique}; ``matched_id`` is the
     lowest-id exact match, else the best near match (highest cosine,
     ties → lowest id), else NULL.
+
+    The exact join carries ``bkt`` equality as a leading key:
+    bit-identical vectors share their LSH bucket by construction, so
+    on the partitioned index layout the exact stage prunes to the
+    batch's home buckets instead of shuffling the whole store's
+    vector payload every micro-batch.
     """
     from pyspark.sql import Window as W
 
+    n_planes = _store_n_planes(index_path, n_planes)
+    dim = _vec_dim(new_embeddings, vec_col)
     batch = new_embeddings.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col), as_double(F.col(vec_col)).alias("qv")
+        F.col(id_col),
+        as_double(F.col(vec_col)).alias("qv"),
+        lsh_bucket(as_double(F.col(vec_col)), dim, n_planes)
+        .cast("long")
+        .alias("_qb"),
     )
     store = spark.read.parquet(index_path).select(
-        F.col("id").alias("_store_id"), F.col("v").alias("_sv")
+        F.col("id").alias("_store_id"),
+        F.col("v").alias("_sv"),
+        F.col("bkt").cast("long").alias("_sb"),
     )
     exact = (
         batch.join(
             store,
-            (F.xxhash64(F.col("qv")) == F.xxhash64(F.col("_sv")))
+            (F.col("_qb") == F.col("_sb"))
+            & (F.xxhash64(F.col("qv")) == F.xxhash64(F.col("_sv")))
             & (F.col("qv") == F.col("_sv"))
             & (F.col(id_col) != F.col("_store_id")),
         )

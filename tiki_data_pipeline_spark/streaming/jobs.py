@@ -196,9 +196,20 @@ def cdc_foreach_batch(
     )
 
 
+def _run_lineage(checkpoint_dir: str) -> str:
+    """Stable id for a checkpoint lineage: decisions partitions are
+    keyed by (run, epoch), so a FRESH checkpoint over an
+    already-ingested store (epoch ids restart at 0) writes into its
+    own partition space instead of dynamically overwriting — and
+    destroying — the prior lineage's decision history."""
+    import hashlib
+
+    return hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
+
+
 def _epoch_decisions(
     spark, index_path: str, epoch_id: int, batch_df: DataFrame,
-    id_col: str, compute,
+    id_col: str, compute, run: str,
 ) -> DataFrame:
     """Exactly-once, replay-stable per-epoch decisions for a
     continuous-ingest sink. A retried epoch (restart from the
@@ -207,18 +218,25 @@ def _epoch_decisions(
     written BEFORE the store append, so the committed partition is
     the pre-append truth — recomputing after a post-append crash
     would status the batch against a store that already contains it
-    and flip its own rows to dup-of-self. A FOREIGN epoch-id
-    collision (fresh checkpoint over an already-ingested store
-    restarts epoch ids at 0) is rejected by requiring the committed
-    partition to cover exactly this batch's id set — a checkpointed
-    retry always replays identical offsets, so a mismatch means
-    stale decisions, not a retry. ``compute`` is called only when no
-    reusable partition exists; its result is localCheckpointed and
-    written via epoch-partitioned dynamic overwrite."""
-    try:  # retried epoch → reuse the committed pre-append truth
+    and flip its own rows to dup-of-self. Partitions are keyed by
+    (run, epoch) — see :func:`_run_lineage` — so epoch-id collisions
+    across checkpoint lineages are disjoint. An id-set guard remains
+    as a belt: a checkpointed retry always replays identical offsets,
+    so a mismatch within a lineage means stale decisions, not a
+    retry. Only the missing-directory case is treated as "no
+    decisions yet" — any other read failure propagates and fails the
+    epoch (a swallowed transient error here would silently recompute
+    a genuine post-append retry into dup-of-self decisions).
+    ``compute`` is called only when no reusable partition exists; its
+    result is localCheckpointed and written via partitioned dynamic
+    overwrite."""
+    import os
+
+    dec_path = index_path + "/_decisions"
+    if os.path.isdir(dec_path):  # no try/except: real errors must fail
         prior = (
-            spark.read.parquet(index_path + "/_decisions")
-            .filter(F.col("epoch") == epoch_id)
+            spark.read.parquet(dec_path)
+            .filter((F.col("run") == run) & (F.col("epoch") == epoch_id))
             .select(id_col, "status", "matched_id")
         )
         p_ids = prior.select(id_col).distinct()
@@ -230,22 +248,21 @@ def _epoch_decisions(
             ).limit(1).count() == 0
         ):
             return prior.localCheckpoint()
-    except Exception:  # first epoch ever: no _decisions yet
-        pass
     # materialized BEFORE the store append: the decision plan is lazy
     # and reads the store — evaluating it after the append would
     # status the batch against itself
     status = compute().localCheckpoint()
     (
-        # epoch-partitioned dynamic overwrite: a retried epoch
+        # (run, epoch)-partitioned dynamic overwrite: a retried epoch
         # REPLACES its own partition instead of duplicating rows —
         # the decisions log is exactly-once even though the store
         # append stays at-least-once
-        status.withColumn("epoch", F.lit(epoch_id))
+        status.withColumn("run", F.lit(run))
+        .withColumn("epoch", F.lit(epoch_id))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("epoch")
-        .parquet(index_path + "/_decisions")
+        .partitionBy("run", "epoch")
+        .parquet(dec_path)
     )
     return status
 
@@ -312,6 +329,7 @@ def incremental_dedup_sink(
             lambda: DD.incremental_dedup_status(
                 spark, index_path, batch_df, threshold=threshold, sh=sh
             ),
+            _run_lineage(checkpoint_dir),
         )
         uniq = batch_df.join(
             status.filter(F.col("status") == "unique").select("doc_id"),
@@ -324,8 +342,12 @@ def incremental_dedup_sink(
         stored_ids = spark.read.parquet(index_path + "/_fingerprints").select(
             F.col("id").alias("doc_id")
         )
-        to_add = uniq.join(survivors, "doc_id", "semi").join(
-            stored_ids, "doc_id", "anti"
+        to_add = (
+            uniq.join(survivors, "doc_id", "semi")
+            .join(stored_ids, "doc_id", "anti")
+            # a batch carrying the same doc_id twice (semi join keeps
+            # left-side duplicates) must still append the id once
+            .dropDuplicates(["doc_id"])
         )
         DD.append_minhash_index(to_add, index_path, sh=sh)
         statuses.append((epoch_id, status.count()))
@@ -405,6 +427,7 @@ def incremental_embedding_sink(
             lambda: SIM.lsh_index_dedup_status(
                 spark, index_path, batch_df, threshold=threshold
             ),
+            _run_lineage(checkpoint_dir),
         )
         uniq = batch_df.join(
             status.filter(F.col("status") == "unique").select("vec_id"),
@@ -422,8 +445,12 @@ def incremental_embedding_sink(
         stored_ids = spark.read.parquet(index_path).select(
             F.col("id").alias("vec_id")
         )
-        to_add = uniq.join(survivors, "vec_id", "semi").join(
-            stored_ids, "vec_id", "anti"
+        to_add = (
+            uniq.join(survivors, "vec_id", "semi")
+            .join(stored_ids, "vec_id", "anti")
+            # a batch carrying the same vec_id twice (semi join keeps
+            # left-side duplicates) must still append the id once
+            .dropDuplicates(["vec_id"])
         )
         SIM.append_lsh_index(to_add, index_path, n_planes=None)
         statuses.append((epoch_id, status.count()))

@@ -143,10 +143,18 @@ def run_level(spark, n: int) -> dict:
     from tiki_data_pipeline_spark.sources.files import compact_store
 
     dst = f"/tmp/sf_inc_{n}x"
+    marker = os.path.join(dst, "_GENERATED")
+    if os.path.isdir(dst) and not os.path.exists(marker):
+        # a crashed/killed generation left a partial corpus — a rerun
+        # would otherwise silently measure a fraction of the level
+        shutil.rmtree(dst)
+        print(f"# discarded partial {dst} (no completeness marker)",
+              file=sys.stderr)
     if not os.path.isdir(dst):
         os.makedirs(dst)
         t0 = time.perf_counter()
         build_corpus(spark, dst, n)
+        open(marker, "w").write("ok\n")
         print(f"# generated {n}x at {dst} in {time.perf_counter()-t0:.1f}s",
               file=sys.stderr)
 
