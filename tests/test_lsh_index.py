@@ -612,3 +612,22 @@ def test_lsh_index_topk_directed_probing(spark, tmp_path):
         if key in full:
             assert v == full[key], key
     assert {q for q, _ in directed} == {q for q, _ in full}
+
+
+def test_staged_status_exact_join_dpp_prunes_partitioned_store(spark, tmp_path):
+    """The exact stage's leading bkt-equality key must let dynamic
+    partition pruning bound the store scan to the batch's home
+    buckets on the partitioned layout — without it every micro-batch
+    of the streaming embedding sink shuffles the whole store's vector
+    payload."""
+    import shutil
+
+    emb = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "dppidx")
+    shutil.rmtree(path, ignore_errors=True)
+    SIM.write_lsh_index(emb.filter(F.col("vec_id") % 2 == 0), path, partitioned=True)
+    batch = emb.filter(F.col("vec_id") < 10)
+    st = SIM.lsh_index_dedup_status(spark, path, batch, threshold=0.99)
+    st.collect()
+    plan = st._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:1500]
