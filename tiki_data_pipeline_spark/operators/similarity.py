@@ -950,6 +950,8 @@ def lsh_index_dedup_status(
     n_planes: int = N_PLANES,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    skip_hot_buckets: bool = False,
+    probe_planes: int | None = None,
 ) -> DataFrame:
     """Staged incremental embedding dedup against a persisted LSH
     index — the embedding twin of ``dedup.incremental_dedup_status``:
@@ -1010,6 +1012,8 @@ def lsh_index_dedup_status(
         n_planes=n_planes,
         id_col=id_col,
         vec_col=vec_col,
+        skip_hot_buckets=skip_hot_buckets,
+        probe_planes=probe_planes,
     )
     # best match per vector: window partitioned by the vector, so the
     # partition size is its true near-dup count, never corpus-sized
