@@ -49,7 +49,7 @@ _SENTINELS = [
     "q1_pricing_summary",      # relational agg
     "category_path_closure",   # hierarchy / graph
     "history_change_detection",  # CDC / window
-    "transform_products",      # transform pipeline
+    "doc_duplicate_span_stats",  # span-level dedup (new r6)
     "embedding_incremental_dedup_status",  # LLM-data dedup (new r6)
 ]
 _FRESHNESS_ROTATION = [

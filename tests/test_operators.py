@@ -393,3 +393,28 @@ def test_hot_band_cap_skips_boilerplate_buckets(spark, tmp_path):
     }
     assert status[201] == "exact_dup"
     assert status[203] == "near_dup"
+
+
+def test_duplicate_span_stats_planted_boilerplate(spark):
+    """Span-level dedup signal: two docs sharing an 8+-token
+    boilerplate footer inside otherwise-distinct text must show the
+    shared windows as dup spans; a fully distinct doc shows zero; a
+    doc shorter than the span width reports (0, 0, 0.0)."""
+    footer = "all rights reserved contact us at support example dot com today"  # 11 tokens
+    a = "completely original first document body text here " + footer
+    b = "second unrelated page with different words entirely " + footer
+    c = "nothing shared with anybody else in this tiny corpus at all ok"
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (4, "too short")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"], r["dup_span_frac"])
+        for r in DD.duplicate_span_stats(docs, span=8).collect()
+    }
+    # 11-token shared footer → 4 shared 8-token windows per doc
+    assert got[1][0] == len(a.split()) - 7
+    assert got[1][1] == 4 and got[2][1] == 4
+    assert got[3] == (len(c.split()) - 7, 0, 0.0)
+    assert got[4] == (0, 0, 0.0)
+    assert 0 < got[1][2] < 1

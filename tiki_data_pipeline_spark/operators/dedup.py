@@ -53,6 +53,8 @@ def band_params_for_threshold(threshold: float, k: int = MINHASH_K) -> int:
         if err < best_err:
             best_bands, best_err = bands, err
     return best_bands
+
+
 SIMHASH_BITS = 32
 
 
@@ -773,4 +775,79 @@ def simhash_near_dups(
         candidates.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("i", "j", "hamming")
+    )
+
+
+def duplicate_span_stats(
+    docs: DataFrame,
+    span: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide exact-substring duplication signal (the span-level
+    dedup of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"): hash every ``span``-token window with
+    the cross-engine polynomial rolling hash (ROLLING_BASE/MOD — same
+    family as :func:`rolling_fingerprint`, exact in BIGINT and
+    doubles), count each window hash's document frequency corpus-wide,
+    and report per document ``(n_spans, n_dup_spans, dup_span_frac)``
+    where a dup span is a window whose hash occurs in ≥2 distinct
+    documents. High dup_span_frac flags boilerplate/templated text
+    that document-level dedup misses because the surrounding text
+    differs.
+
+    Shape at 100 TB: one narrow scan computes O(tokens) window hashes
+    JVM-side (columnar slice+fold, no Python); the only shuffles are
+    the (span_hash → doc-frequency) aggregation and the join back —
+    both carry (doc_id, span_hash) longs, never text. Window count is
+    linear in corpus tokens; a ``span``-token window at the default 8
+    keeps the hash space dense enough that chance collisions
+    (~n²/2³¹ for n distinct windows) stay negligible at test scale
+    and are CONSERVATIVE (a collision can only over-report
+    duplication; production at trillions of windows widens the hash).
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    tok_hashes = F.transform(
+        toks, lambda t: _md5_long(t).bitwiseAND(F.lit(_TOKEN_MASK))
+    )
+    span_hashes = F.when(
+        F.size(tok_hashes) >= span,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tok_hashes) - (span - 1)),
+            lambda i: F.aggregate(
+                F.slice(tok_hashes, i, span),
+                F.lit(0).cast("bigint"),
+                lambda a, b: (a * ROLLING_BASE + b) % ROLLING_MOD,
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    wins = docs.select(
+        F.col(id_col), F.explode(span_hashes).alias("span_hash")
+    )
+    df_tbl = wins.groupBy("span_hash").agg(
+        F.count_distinct(F.col(id_col)).alias("span_df")
+    )
+    per = (
+        wins.join(df_tbl, "span_hash")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("span_df") >= 2, 1).otherwise(0)).alias(
+                "n_dup_spans"
+            ),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_spans"), F.lit(0)).alias("n_spans"),
+            F.coalesce(F.col("n_dup_spans"), F.lit(0)).alias("n_dup_spans"),
+            F.when(F.coalesce(F.col("n_spans"), F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.round(F.col("n_dup_spans") / F.col("n_spans"), 4)
+            )
+            .alias("dup_span_frac"),
+        )
     )

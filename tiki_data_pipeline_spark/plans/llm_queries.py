@@ -1278,3 +1278,55 @@ SESSION_BUILDS: dict = {
     "ivf_centroids": lambda spark, sf_dir: _ivf_centroids_cached(spark, sf_dir),
     "ivf_index": lambda spark, sf_dir: _ivf_index_cached(spark, sf_dir),
 }
+
+
+@query(
+    "doc_duplicate_span_stats",
+    oracle=f"""
+    WITH tokh AS (
+      SELECT doc_id,
+             list_transform(string_split_regex(lower(trim(text)), '\\s+'),
+               t -> try_cast(('0x' || substring(md5(t), 1, 15)) AS BIGINT)
+                    & {DD._TOKEN_MASK}) AS hs
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, hs, UNNEST(range(1, len(hs) - 6)) AS i
+      FROM tokh WHERE len(hs) >= 8
+    ),
+    wins AS (
+      SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), hs[i:i+7]),
+               (a, b) -> (a * {DD.ROLLING_BASE} + b) % {DD.ROLLING_MOD})
+               AS span_hash
+      FROM idx
+    ),
+    dfq AS (
+      SELECT span_hash, COUNT(DISTINCT doc_id) AS span_df
+      FROM wins GROUP BY span_hash
+    ),
+    per AS (
+      SELECT w.doc_id,
+             COUNT(*) AS n_spans,
+             CAST(SUM(CASE WHEN d.span_df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_spans
+      FROM wins w JOIN dfq d USING (span_hash)
+      GROUP BY w.doc_id
+    )
+    SELECT doc.doc_id,
+           COALESCE(per.n_spans, 0) AS n_spans,
+           COALESCE(per.n_dup_spans, 0) AS n_dup_spans,
+           CASE WHEN COALESCE(per.n_spans, 0) = 0 THEN 0.0
+                ELSE ROUND(per.n_dup_spans / per.n_spans, 4) END
+             AS dup_span_frac
+    FROM documents doc LEFT JOIN per USING (doc_id)
+    """,
+)
+def doc_duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level (exact-substring) duplication report: per document,
+    how many of its 8-token windows also occur verbatim in another
+    document (rolling-hash window inventory, corpus-wide document
+    frequency — the dedup signal of Lee et al. 2022 that
+    document-level dedup misses when boilerplate is embedded in
+    otherwise-distinct pages)."""
+    return DD.duplicate_span_stats(load_table(spark, sf_dir, "documents"))
