@@ -44,6 +44,9 @@ STRESS_QUERIES = [
     "corpus_curation_pipeline",
     "doc_pii_redaction",
     "daily_revenue_7d_ma",
+    # round-6 additions: span-level dedup + staged embedding dedup
+    "doc_duplicate_span_stats",
+    "embedding_incremental_dedup_status",
     # NB: doc_simhash_near_dup output grows with the SQUARE of the
     # duplicate multiplicity under synthetic N× replication (every
     # copy pairs with every other) — run it at small N only.
