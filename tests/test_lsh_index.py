@@ -631,3 +631,42 @@ def test_staged_status_exact_join_dpp_prunes_partitioned_store(spark, tmp_path):
     st.collect()
     plan = st._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:1500]
+
+
+def test_dedup_status_null_and_zero_norm_vectors_are_no_vector(spark, tmp_path):
+    """A NULL or zero-norm batch vector has no defined cosine: both
+    stages exclude it and the index writer drops it at append time, so
+    statusing it 'unique' made the ingest sink re-'append' it every
+    epoch and re-report it unique forever (ADVICE r6, fixed r8). It
+    must come back as 'no_vector', and scoreable vectors in the same
+    batch must be unaffected."""
+    import shutil
+
+    base = [float((i * 7) % 13 - 6) for i in range(8)]
+    emb = spark.createDataFrame(
+        [(0, base)], "vec_id long, embedding array<float>"
+    )
+    path = str(tmp_path / "novecidx")
+    shutil.rmtree(path, ignore_errors=True)
+    SIM.write_lsh_index(emb, path)
+
+    batch = spark.createDataFrame(
+        [
+            (100, base),            # exact dup of stored vector
+            (101, None),            # NULL vector
+            (102, [0.0] * 8),       # zero norm
+            (103, [9.0, -7.0] * 4), # scoreable, unrelated
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: (r["status"], r["matched_id"])
+        for r in SIM.lsh_index_dedup_status(
+            spark, path, batch, threshold=0.99
+        ).collect()
+    }
+    assert got[100] == ("exact_dup", 0)
+    assert got[101] == ("no_vector", None)
+    assert got[102] == ("no_vector", None)
+    assert got[103][0] == "unique"
+    assert len(got) == 4

@@ -266,3 +266,112 @@ def test_incremental_embedding_sink_cross_batch_and_replay(spark, tmp_path, monk
     assert dec[27] == ("unique", None)
     ids = sorted(r["id"] for r in spark.read.parquet(store).collect())
     assert ids == [2, 11, 25], f"index not canonical after replay: {ids}"
+
+
+def test_run_lineage_spelling_invariant(tmp_path):
+    """Equivalent spellings of one checkpoint dir resume the SAME
+    Spark checkpoint, so they must map to the same run id — a
+    spelling-sensitive hash would miss the lineage's committed
+    decisions on replay and recompute a post-append retry into
+    dup-of-self statuses (ADVICE r6, fixed r8)."""
+    import os
+
+    base = str(tmp_path / "ckpt")
+    os.makedirs(base)
+    canonical = jobs._run_lineage(base)
+    assert jobs._run_lineage(base + "/") == canonical
+    assert jobs._run_lineage(base + "/.") == canonical
+    assert jobs._run_lineage(str(tmp_path) + "/./ckpt") == canonical
+    cwd = os.getcwd()
+    try:
+        os.chdir(tmp_path)
+        assert jobs._run_lineage("ckpt") == canonical
+    finally:
+        os.chdir(cwd)
+    assert jobs._run_lineage(str(tmp_path / "other")) != canonical
+
+
+def test_epoch_decisions_migrates_legacy_layout(spark, tmp_path):
+    """A ``_decisions`` log written by the pre-``run`` code (epoch
+    partitions only) must not wedge a resumed stream with
+    UNRESOLVED_COLUMN (ADVICE r6, fixed r8): the layout is migrated
+    once to run=legacy partitions, a retried epoch REUSES its
+    committed legacy decisions (compute must not run), and a NEW
+    lineage's epochs land beside them without mixing layouts."""
+    import os
+
+    store = str(tmp_path / "legacystore")
+    dec = store + "/_decisions"
+    legacy_rows = spark.createDataFrame(
+        [(11, "unique", None, 0), (13, "exact_dup", 2, 0)],
+        "doc_id long, status string, matched_id long, epoch int",
+    )
+    legacy_rows.write.partitionBy("epoch").parquet(dec)
+
+    batch = spark.createDataFrame([(11,), (13,)], "doc_id long")
+
+    def compute():
+        raise AssertionError(
+            "compute ran: committed legacy decisions were not reused"
+        )
+
+    run = jobs._run_lineage(str(tmp_path / "ck"))
+    got = {
+        r["doc_id"]: (r["status"], r["matched_id"])
+        for r in jobs._epoch_decisions(
+            spark, store, 0, batch, "doc_id", compute, run
+        ).collect()
+    }
+    assert got == {11: ("unique", None), 13: ("exact_dup", 2)}
+    # layout migrated on disk: (run, epoch) partitions, no mixed tree
+    assert os.path.isdir(dec + "/run=legacy/epoch=0")
+    assert not any(
+        e.name.startswith("epoch=") for e in os.scandir(dec) if e.is_dir()
+    )
+
+    # a different epoch of the same resumed lineage: no committed
+    # partition anywhere -> compute runs and lands under the new run id
+    batch2 = spark.createDataFrame([(21,)], "doc_id long")
+    out2 = jobs._epoch_decisions(
+        spark,
+        store,
+        1,
+        batch2,
+        "doc_id",
+        lambda: spark.createDataFrame(
+            [(21, "unique", None)], "doc_id long, status string, matched_id long"
+        ),
+        run,
+    )
+    assert [r["doc_id"] for r in out2.collect()] == [21]
+    assert os.path.isdir(dec + f"/run={run}/epoch=1")
+    # the whole log still reads as one dataset
+    allrows = spark.read.parquet(dec)
+    assert allrows.count() == 3
+    assert set(allrows.columns) >= {"doc_id", "status", "matched_id", "run", "epoch"}
+
+
+def test_epoch_decisions_legacy_id_mismatch_recomputes(spark, tmp_path):
+    """A legacy epoch partition whose id set does NOT match the batch
+    (a colliding OTHER lineage's epoch) must fall through to
+    recompute, exactly like a stale same-layout partition."""
+    store = str(tmp_path / "legacystore2")
+    dec = store + "/_decisions"
+    spark.createDataFrame(
+        [(99, "unique", None, 0)],
+        "doc_id long, status string, matched_id long, epoch int",
+    ).write.partitionBy("epoch").parquet(dec)
+    batch = spark.createDataFrame([(11,)], "doc_id long")
+    ran = []
+
+    def compute():
+        ran.append(True)
+        return spark.createDataFrame(
+            [(11, "unique", None)], "doc_id long, status string, matched_id long"
+        )
+
+    out = jobs._epoch_decisions(
+        spark, store, 0, batch, "doc_id", compute, "runx"
+    )
+    assert ran, "mismatched legacy partition was wrongly reused"
+    assert [r["doc_id"] for r in out.collect()] == [11]

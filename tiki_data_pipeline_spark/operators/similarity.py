@@ -291,8 +291,14 @@ def _plane_weight(plane: int, dim_index: int) -> float:
 
 
 def _vec_dim(df: DataFrame, vec_col: str) -> int:
-    """Vector dimensionality, from the first row (one tiny job)."""
-    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    """Vector dimensionality, from the first row carrying an actual
+    vector (one tiny job) — a NULL/empty leading row must not crash
+    dim resolution for the scoreable rows behind it."""
+    row = (
+        df.select(F.size(F.col(vec_col)).alias("d"))
+        .filter(F.col("d") > 0)
+        .first()
+    )
     return int(row["d"]) if row is not None else 1
 
 
@@ -964,9 +970,14 @@ def lsh_index_dedup_status(
     out quadratically through the shared bucket.
 
     Returns one row per batch vector: ``(id, status, matched_id)``
-    with status ∈ {exact_dup, near_dup, unique}; ``matched_id`` is the
-    lowest-id exact match, else the best near match (highest cosine,
-    ties → lowest id), else NULL.
+    with status ∈ {exact_dup, near_dup, unique, no_vector};
+    ``matched_id`` is the lowest-id exact match, else the best near
+    match (highest cosine, ties → lowest id), else NULL. A NULL or
+    zero-norm vector (no defined cosine — both stages exclude it, and
+    ``_lsh_index_rows`` would drop it at append time) is statused
+    ``no_vector``, NOT ``unique``: coalescing it to unique made the
+    ingest sink re-"append" it every epoch while the index writer
+    silently dropped it, so it re-reported unique forever.
 
     The exact join carries ``bkt`` equality as a leading key:
     bit-identical vectors share their LSH bucket by construction, so
@@ -1032,12 +1043,20 @@ def lsh_index_dedup_status(
     hits = exact.select(id_col, "status", "matched_id").unionByName(
         near.select(id_col, "status", "matched_id")
     )
+    no_vec = F.col(vec_col).isNull() | (
+        F.coalesce(_norm(as_double(F.col(vec_col))), F.lit(0.0)) <= 0
+    )
     return (
-        new_embeddings.select(id_col)
+        new_embeddings.select(id_col, no_vec.alias("_no_vec"))
         .join(hits, id_col, "left")
         .select(
             id_col,
-            F.coalesce(F.col("status"), F.lit("unique")).alias("status"),
+            F.coalesce(
+                F.col("status"),
+                F.when(F.col("_no_vec"), F.lit("no_vector")).otherwise(
+                    F.lit("unique")
+                ),
+            ).alias("status"),
             "matched_id",
         )
     )

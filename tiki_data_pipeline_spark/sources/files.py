@@ -80,15 +80,15 @@ def write_sorted(
     )
 
 
-def compact_parquet(spark: SparkSession, path: str, target_files: int) -> None:
-    """Small-files compaction: rewrite a parquet dataset into
-    ``target_files`` files. The 100 TB failure mode this prevents:
-    thousands of KB-sized files from fine-grained incremental appends
-    turn every scan into a metadata storm. ``coalesce`` (no shuffle)
-    merges partitions. The swap renames the live dir aside, moves the
-    staged rewrite into place, then deletes the old copy — a valid
-    dataset exists at ``path`` at all times except during one rename,
-    and a crash mid-swap leaves both copies on disk (never zero)."""
+def swap_parquet_rewrite(path: str, write_staging) -> None:
+    """Crash-safe in-place dataset rewrite: recover any interrupted
+    prior swap, call ``write_staging(staging_dir)`` to build the new
+    copy, then swap it in — rename the live dir aside, move the staged
+    rewrite into place, delete the old copy. A valid dataset exists at
+    ``path`` at all times except during one rename, and a crash
+    mid-swap leaves both copies on disk (never zero). Shared by
+    :func:`compact_parquet` and the streaming decisions-log layout
+    migration (``streaming.jobs``)."""
     import os
     import shutil
 
@@ -103,9 +103,9 @@ def compact_parquet(spark: SparkSession, path: str, target_files: int) -> None:
         else:
             # crash BETWEEN the two renames: .old IS the live data
             shutil.move(old, path)
-    df = spark.read.parquet(path)
-    staging = path + ".compacting"
-    df.coalesce(target_files).write.mode("overwrite").parquet(staging)
+    staging = path + ".staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    write_staging(staging)
     shutil.move(path, old)
     try:
         shutil.move(staging, path)
@@ -113,6 +113,24 @@ def compact_parquet(spark: SparkSession, path: str, target_files: int) -> None:
         shutil.move(old, path)  # roll back: restore the primary copy
         raise
     shutil.rmtree(old)
+
+
+def compact_parquet(spark: SparkSession, path: str, target_files: int) -> None:
+    """Small-files compaction: rewrite a parquet dataset into
+    ``target_files`` files. The 100 TB failure mode this prevents:
+    thousands of KB-sized files from fine-grained incremental appends
+    turn every scan into a metadata storm. ``coalesce`` (no shuffle)
+    merges partitions; the swap discipline is
+    :func:`swap_parquet_rewrite`."""
+    # the read happens inside the callback — AFTER crash recovery has
+    # restored ``path``, and while it is still the live copy
+    swap_parquet_rewrite(
+        path,
+        lambda staging: spark.read.parquet(path)
+        .coalesce(target_files)
+        .write.mode("overwrite")
+        .parquet(staging),
+    )
 
 
 def write_store_meta(path: str, meta: dict) -> None:
@@ -177,23 +195,24 @@ def compact_store(
     compacted by this helper; use ``compact_parquet`` directly on
     sidecar-free flat datasets). Returns the number of directories
     compacted. Offline maintenance — run between ingest windows (the
-    per-directory swap briefly exposes a ``.compacting`` sibling a
+    per-directory swap briefly exposes a ``.staging`` sibling a
     concurrent partition-discovery scan could trip on). Production
     twin: lakehouse ``OPTIMIZE``."""
     import os
 
     # Resolve crash leftovers to their LIVE directory name: a
-    # 'band=0.old' / 'band=0.compacting' sibling is compact_parquet's
-    # mid-swap residue, NOT a partition — compacting it as one would
+    # 'band=0.old' / 'band=0.staging' sibling is the swap's mid-flight
+    # residue, NOT a partition — compacting it as one would
     # skip the recovery of the missing live dir and leave bogus
     # partition values in the tree. compact_parquet(base) performs
     # the .old recovery itself when only the leftover exists.
+    # ('.compacting' is the pre-r8 staging suffix, still recognized.)
     bases: set[str] = set()
     for e in os.scandir(path):
         if not e.is_dir():
             continue
         name = e.name
-        for suffix in (".old", ".compacting"):
+        for suffix in (".old", ".staging", ".compacting"):
             if name.endswith(suffix):
                 name = name[: -len(suffix)]
                 break

@@ -201,10 +201,48 @@ def _run_lineage(checkpoint_dir: str) -> str:
     keyed by (run, epoch), so a FRESH checkpoint over an
     already-ingested store (epoch ids restart at 0) writes into its
     own partition space instead of dynamically overwriting — and
-    destroying — the prior lineage's decision history."""
-    import hashlib
+    destroying — the prior lineage's decision history.
 
-    return hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
+    The path is canonicalized (realpath, no trailing slash) before
+    hashing: equivalent spellings of one checkpoint dir (trailing
+    slash, relative vs absolute, a symlinked prefix) resume the SAME
+    Spark checkpoint, so they must produce the same run id — a
+    spelling-sensitive hash would miss the lineage's committed
+    decisions on replay and silently recompute a post-append retry
+    into dup-of-self statuses, the exact failure the (run, epoch)
+    log exists to prevent."""
+    import hashlib
+    import os
+
+    canon = os.path.realpath(checkpoint_dir).rstrip("/") or "/"
+    return hashlib.md5(canon.encode()).hexdigest()[:12]
+
+
+LEGACY_RUN = "legacy"
+
+
+def _migrate_legacy_decisions(spark, dec_path: str) -> None:
+    """One-time layout migration for a ``_decisions`` log written by
+    the pre-``run`` code (partitioned by ``epoch`` only). Filtering
+    that layout on ``run`` raises UNRESOLVED_COLUMN on every epoch of
+    a resumed stream, and appending (run, epoch) partitions on top
+    would mix two partition schemes in one tree — so the log is
+    rewritten once, with every legacy row under ``run=legacy``, via
+    the crash-safe :func:`sources.files.swap_parquet_rewrite` swap (a
+    valid log exists at the path at all times; a mid-swap crash
+    leaves both copies, never zero)."""
+    from tiki_data_pipeline_spark.sources.files import swap_parquet_rewrite
+
+    swap_parquet_rewrite(
+        dec_path,
+        # read inside the callback: it runs after crash recovery has
+        # restored dec_path, while it is still the live copy
+        lambda staging: spark.read.parquet(dec_path)
+        .withColumn("run", F.lit(LEGACY_RUN))
+        .write.mode("overwrite")
+        .partitionBy("run", "epoch")
+        .parquet(staging),
+    )
 
 
 def _epoch_decisions(
@@ -234,20 +272,34 @@ def _epoch_decisions(
 
     dec_path = index_path + "/_decisions"
     if os.path.isdir(dec_path):  # no try/except: real errors must fail
-        prior = (
-            spark.read.parquet(dec_path)
-            .filter((F.col("run") == run) & (F.col("epoch") == epoch_id))
-            .select(id_col, "status", "matched_id")
-        )
-        p_ids = prior.select(id_col).distinct()
-        b_ids = batch_df.select(id_col).distinct()
-        if (
-            prior.limit(1).count() > 0
-            and p_ids.exceptAll(b_ids).unionAll(
-                b_ids.exceptAll(p_ids)
-            ).limit(1).count() == 0
-        ):
-            return prior.localCheckpoint()
+        committed = spark.read.parquet(dec_path)
+        if "run" not in committed.columns:
+            # pre-``run`` log (epoch-partitioned only): migrate the
+            # layout once instead of failing UNRESOLVED_COLUMN on
+            # every epoch of the resumed stream
+            _migrate_legacy_decisions(spark, dec_path)
+            committed = spark.read.parquet(dec_path)
+        # consult this lineage's partition first; a pre-upgrade
+        # lineage's committed epochs live under run=legacy, and
+        # skipping them would recompute a post-append retry into
+        # dup-of-self — the id-set guard still arbitrates, so a
+        # colliding OTHER lineage's legacy epoch (different offsets)
+        # falls through to recompute exactly as before
+        for run_key in (run, LEGACY_RUN):
+            prior = committed.filter(
+                (F.col("run") == run_key) & (F.col("epoch") == epoch_id)
+            ).select(id_col, "status", "matched_id")
+            if prior.limit(1).count() == 0:
+                continue
+            p_ids = prior.select(id_col).distinct()
+            b_ids = batch_df.select(id_col).distinct()
+            if (
+                p_ids.exceptAll(b_ids).unionAll(
+                    b_ids.exceptAll(p_ids)
+                ).limit(1).count() == 0
+            ):
+                return prior.localCheckpoint()
+            break  # nonempty but mismatched = stale: recompute
     # materialized BEFORE the store append: the decision plan is lazy
     # and reads the store — evaluating it after the append would
     # status the batch against itself
@@ -410,8 +462,11 @@ def incremental_embedding_sink(
     dedups against them. Of within-batch identical vectors one min-id
     survivor enters the store, and an id already present in the index
     is never appended again (the stored-id anti-join keeps epoch
-    retries idempotent). The caller's ``statuses`` list receives
-    (epoch, n_vectors) heartbeats only.
+    retries idempotent). A NULL or zero-norm vector is statused
+    ``no_vector`` — not ``unique`` — so it is never "appended" (the
+    index admits only scoreable vectors; coalescing it to unique made
+    it re-report unique on every epoch forever). The caller's
+    ``statuses`` list receives (epoch, n_vectors) heartbeats only.
     """
     from tiki_data_pipeline_spark.operators import similarity as SIM
 
