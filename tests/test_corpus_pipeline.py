@@ -56,3 +56,71 @@ def test_corpus_pipeline_end_to_end(spark, tmp_path):
     }
     assert all(i % 20 != 0 for i in out_ids)
     assert report["after_decontamination"] <= report["after_near_dedup"]
+
+
+def test_corpus_pipeline_embedding_branch(spark, tmp_path):
+    """Embedding-store branch e2e (r8): bootstrap builds a canonical
+    index (one min-id survivor per distinct vector), the incremental
+    call statuses exact/near/unique/no_vector correctly, appends only
+    novel vectors (idempotent on re-run), and the report carries
+    occupancy stats + a hot-bucket recommendation only when hot
+    buckets exist."""
+    base = [float((i * 7) % 13 - 6) for i in range(8)]
+    near = [x + (0.001 if i == 0 else 0.0) for i, x in enumerate(base)]
+    other = [float(-(i * 5) % 11 - 5) for i in range(8)]
+    pipe = CorpusPipeline(spark, str(tmp_path))
+
+    boot = pipe.run_embeddings(
+        spark.createDataFrame(
+            [(0, base), (1, base), (2, other)],
+            "vec_id long, embedding array<float>",
+        )
+    )
+    assert boot["bootstrap"] is True
+    assert boot["appended"] == 2  # 0/1 collapse to min-id survivor 0
+    assert boot["bucket_stats"]["rows"] == 2
+    assert "recommendation" not in boot
+
+    inc = pipe.run_embeddings(
+        spark.createDataFrame(
+            [
+                (10, base),             # exact dup of stored 0
+                (11, near),             # near dup of stored 0
+                (12, [9.0, -7.0] * 4),  # novel
+                (13, None),             # no vector
+            ],
+            "vec_id long, embedding array<float>",
+        ),
+        threshold=0.99,
+    )
+    assert inc["exact_dup"] == 1
+    assert inc["near_dup"] == 1
+    assert inc["unique"] == 1
+    assert inc["no_vector"] == 1
+    assert inc["appended"] == 1
+    assert inc["bucket_stats"]["rows"] == 3
+
+    status = {
+        r["vec_id"]: (r["status"], r["matched_id"])
+        for r in spark.read.parquet(str(tmp_path / "embedding_status")).collect()
+    }
+    assert status[10] == ("exact_dup", 0)
+    assert status[11] == ("near_dup", 0)
+    assert status[13] == ("no_vector", None)
+
+    # idempotent re-run of the same batch: nothing appended — 10 is
+    # still an exact dup of 0; 12 meets only ITSELF in the store
+    # (self-matches are excluded by id, so it statuses unique) and the
+    # stored-id anti-join keeps it out of the append
+    again = pipe.run_embeddings(
+        spark.createDataFrame(
+            [(10, base), (12, [9.0, -7.0] * 4), (13, None)],
+            "vec_id long, embedding array<float>",
+        ),
+        threshold=0.99,
+    )
+    assert again["appended"] == 0
+    assert again["exact_dup"] == 1
+    assert again["unique"] == 1
+    assert again["no_vector"] == 1
+    assert again["bucket_stats"]["rows"] == 3

@@ -670,3 +670,223 @@ def test_dedup_status_null_and_zero_norm_vectors_are_no_vector(spark, tmp_path):
     assert got[102] == ("no_vector", None)
     assert got[103][0] == "unique"
     assert len(got) == 4
+
+
+def test_store_meta_records_and_appends_serve_stats(spark, tmp_path):
+    """write_lsh_index records n_rows / n_distinct_vectors in
+    _meta.json; append_lsh_index maintains them with a delta-sized
+    pass (no store rescan). The ingest sink appends pre-deduped
+    uniques, so the zero-duplicate-mass invariant survives appends."""
+    import shutil
+
+    from tiki_data_pipeline_spark.sources.files import read_store_meta
+
+    base = [float((i * 7) % 13 - 6) for i in range(8)]
+    other = [float((i * 5) % 11 - 5) for i in range(8)]
+    emb = spark.createDataFrame(
+        [(0, base), (1, base), (2, other)], "vec_id long, embedding array<float>"
+    )
+    path = str(tmp_path / "metaidx")
+    shutil.rmtree(path, ignore_errors=True)
+    SIM.write_lsh_index(emb, path)
+    meta = read_store_meta(path)
+    assert meta["n_rows"] == 3
+    assert meta["n_distinct_vectors"] == 2  # 0 and 1 are bit-identical
+
+    delta = spark.createDataFrame(
+        [(10, [1.0] * 8), (11, None)], "vec_id long, embedding array<float>"
+    )
+    SIM.append_lsh_index(delta, path)
+    meta = read_store_meta(path)
+    assert meta["n_rows"] == 4, "NULL vector must not count as admitted"
+    assert meta["n_distinct_vectors"] == 3
+
+
+def test_resolve_probe_planes_auto(tmp_path):
+    """The 'auto' serve default: exhaustive (None) for pre-meta and
+    small stores, directed max(4, 2*emit_radius) capped at n_planes
+    for stores at/above DIRECTED_PROBE_MIN_ROWS; explicit values pass
+    through untouched."""
+    import json
+    import os
+
+    store = str(tmp_path / "s")
+    os.makedirs(store)
+    # pre-meta store: exhaustive
+    assert SIM._resolve_probe_planes("auto", store, 16, 2) is None
+    # small store: exhaustive
+    with open(os.path.join(store, "_meta.json"), "w") as f:
+        json.dump({"kind": "lsh", "n_planes": 16, "n_rows": 100}, f)
+    assert SIM._resolve_probe_planes("auto", store, 16, 2) is None
+    # big store: directed
+    with open(os.path.join(store, "_meta.json"), "w") as f:
+        json.dump(
+            {"kind": "lsh", "n_planes": 16,
+             "n_rows": SIM.DIRECTED_PROBE_MIN_ROWS}, f
+        )
+    assert SIM._resolve_probe_planes("auto", store, 16, 2) == 4
+    assert SIM._resolve_probe_planes("auto", store, 16, 3) == 6
+    assert SIM._resolve_probe_planes("auto", store, 3, 2) == 3  # capped
+    # explicit wins
+    assert SIM._resolve_probe_planes(None, store, 16, 2) is None
+    assert SIM._resolve_probe_planes(7, store, 16, 2) == 7
+
+
+def test_auto_directed_default_on_big_store_meta(spark, tmp_path):
+    """With the store meta reporting a big corpus, the DEFAULT serve
+    path must switch to directed probing and stay a value-exact subset
+    of exhaustive probing, with identical-twin recall intact (the
+    round-6 measured 4.7x scale win becomes what a default caller
+    gets)."""
+    import shutil
+
+    from tiki_data_pipeline_spark.sources.files import update_store_meta
+
+    emb = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "bigmetaidx")
+    shutil.rmtree(path, ignore_errors=True)
+    SIM.write_lsh_index(emb.filter(F.col("vec_id") % 2 == 0), path)
+    # pretend the store is at scale (the probe decision reads meta
+    # only; rows on disk stay the fixture's)
+    update_store_meta(path, {"n_rows": SIM.DIRECTED_PROBE_MIN_ROWS})
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+
+    full = {
+        (r["new_id"], r["old_id"]): r["cosine_sim"]
+        for r in SIM.lsh_index_near_dups(
+            spark, path, batch, threshold=0.45, emit_radius=2, probe_planes=None
+        ).collect()
+    }
+    auto = {
+        (r["new_id"], r["old_id"]): r["cosine_sim"]
+        for r in SIM.lsh_index_near_dups(
+            spark, path, batch, threshold=0.45, emit_radius=2
+        ).collect()
+    }
+    assert full, "no pairs on the fixture"
+    assert set(auto) <= set(full), "auto-directed probing invented pairs"
+    for k, v in auto.items():
+        assert v == full[k], k
+
+    # identical-twin recall through the auto default
+    src = emb.filter((F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 60)).collect()
+    twins = spark.createDataFrame(
+        [(90000 + r["vec_id"], [x + 0.001 for x in r["embedding"]]) for r in src],
+        "vec_id long, embedding array<float>",
+    )
+    found = {
+        r["new_id"]
+        for r in SIM.lsh_index_near_dups(
+            spark, path, twins, threshold=0.99, emit_radius=2
+        ).collect()
+        if r["old_id"] == r["new_id"] - 90000
+    }
+    assert len(found) / len(src) >= 0.9
+
+
+def test_skip_hot_buckets_auto_honors_store_policy(spark, tmp_path):
+    """skip_hot_buckets='auto' skips ONLY when the operator recorded
+    serve_default=True via rebuild_hot_buckets; a plain stats rebuild
+    leaves default serving at full recall (pinned by
+    test_lsh_hot_buckets_stats_and_optin_skip)."""
+    import shutil
+
+    base = [float((i * 7) % 13 - 6) for i in range(8)]
+    other = [float((i * 5) % 11 - 5) for i in range(8)]
+    rows = [(i, base) for i in range(60)] + [(1000, other)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "hotpolicy")
+    shutil.rmtree(path, ignore_errors=True)
+    SIM.write_lsh_index(emb, path)
+    assert SIM.rebuild_hot_buckets(spark, path, cap=50, serve_default=True) == 1
+
+    batch = spark.createDataFrame(
+        [(2000, base), (2001, other)], "vec_id long, embedding array<float>"
+    )
+    got = {}
+    for r in SIM.lsh_index_near_dups(
+        spark, path, batch, threshold=0.99
+    ).collect():
+        got.setdefault(r["new_id"], set()).add(r["old_id"])
+    assert 2000 not in got, "recorded serve policy not honored by default"
+    assert got.get(2001) == {1000}, "cold bucket must still serve"
+
+    # recording the policy back off restores full recall
+    SIM.rebuild_hot_buckets(spark, path, cap=50, serve_default=False)
+    full = {}
+    for r in SIM.lsh_index_near_dups(
+        spark, path, batch, threshold=0.99
+    ).collect():
+        full.setdefault(r["new_id"], set()).add(r["old_id"])
+    assert len(full.get(2000, set())) == 60
+
+
+def test_exact_stage_short_circuit_parity(spark, tmp_path):
+    """exact_stage: on a zero-duplicate-mass store the 'auto' default
+    short-circuits the store-wide hash join, and the output —
+    statuses, matched ids, exact/near label split — must be identical
+    to the forced staged join. On a store WITH duplicate mass, auto
+    keeps the staged join, and even a FORCED short-circuit must still
+    produce identical labels (is_exact is computed per candidate, not
+    assumed from meta)."""
+    import shutil
+
+    from tiki_data_pipeline_spark.sources.files import read_store_meta
+
+    base = [float((i * 7) % 13 - 6) for i in range(8)]
+    near = [x + (0.001 if i == 0 else 0.0) for i, x in enumerate(base)]
+    other = [float(-(i * 5) % 11 - 5) for i in range(8)]
+
+    def statuses(path, batch, **kw):
+        return {
+            r["vec_id"]: (r["status"], r["matched_id"])
+            for r in SIM.lsh_index_dedup_status(
+                spark, path, batch, threshold=0.99, **kw
+            ).collect()
+        }
+
+    batch = spark.createDataFrame(
+        [(1000, base), (1001, near), (1002, [9.0, -7.0] * 4), (1003, None)],
+        "vec_id long, embedding array<float>",
+    )
+
+    # unique store: auto must short-circuit with identical output
+    uniq_store = str(tmp_path / "uniqstore")
+    shutil.rmtree(uniq_store, ignore_errors=True)
+    SIM.write_lsh_index(
+        spark.createDataFrame(
+            [(0, base), (500, other)], "vec_id long, embedding array<float>"
+        ),
+        uniq_store,
+    )
+    meta = read_store_meta(uniq_store)
+    assert meta["n_rows"] == meta["n_distinct_vectors"]
+    assert statuses(uniq_store, batch) == statuses(
+        uniq_store, batch, exact_stage=True
+    ) == {
+        1000: ("exact_dup", 0),
+        1001: ("near_dup", 0),
+        1002: ("unique", None),
+        1003: ("no_vector", None),
+    }
+
+    # mega-cluster store: staged and forced-short-circuit agree too
+    dup_store = str(tmp_path / "dupstore")
+    shutil.rmtree(dup_store, ignore_errors=True)
+    SIM.write_lsh_index(
+        spark.createDataFrame(
+            [(i, base) for i in range(40)] + [(500, other)],
+            "vec_id long, embedding array<float>",
+        ),
+        dup_store,
+    )
+    meta = read_store_meta(dup_store)
+    assert meta["n_rows"] > meta["n_distinct_vectors"]
+    staged = statuses(dup_store, batch)  # auto -> staged here
+    forced = statuses(dup_store, batch, exact_stage=False)
+    assert staged == forced == {
+        1000: ("exact_dup", 0),
+        1001: ("near_dup", 0),
+        1002: ("unique", None),
+        1003: ("no_vector", None),
+    }

@@ -418,3 +418,52 @@ def test_duplicate_span_stats_planted_boilerplate(spark):
     assert got[3] == (len(c.split()) - 7, 0, 0.0)
     assert got[4] == (0, 0, 0.0)
     assert 0 < got[1][2] < 1
+
+
+def test_remove_duplicate_spans_planted_boilerplate(spark):
+    """Span-level dedup REMOVAL: the shared 11-token footer must be
+    cut from both carriers (exactly the footer tokens — windows
+    straddling into distinct context have df=1 and stay), the
+    distinct doc and the sub-span doc pass through untouched with
+    normalized text, and every doc comes back exactly once."""
+    footer = "all rights reserved contact us at support example dot com today"
+    a = "completely original first document body text here " + footer
+    b = "second unrelated page with different words entirely " + footer
+    c = "nothing shared with anybody else in this tiny corpus at all ok"
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (4, "Too  SHORT")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["cleaned_text"],
+            r["n_tokens"],
+            r["n_tokens_removed"],
+            r["removed_frac"],
+        )
+        for r in DD.remove_duplicate_spans(docs, span=8, min_df=2).collect()
+    }
+    assert len(got) == 4
+    assert got[1][0] == "completely original first document body text here"
+    assert got[2][0] == "second unrelated page with different words entirely"
+    assert got[1][1:] == (len(a.split()), 11, round(11 / len(a.split()), 4))
+    assert got[2][2] == 11
+    # untouched docs: normalized (lower/trim/single-space) passthrough
+    assert got[3] == (c, len(c.split()), 0, 0.0)
+    assert got[4] == ("too short", 2, 0, 0.0)
+
+
+def test_remove_duplicate_spans_whole_doc_removed(spark):
+    """A document that IS the boilerplate (verbatim duplicate) loses
+    every token: cleaned_text collapses to the empty string with
+    removed_frac 1.0."""
+    t = "one two three four five six seven eight"  # exactly 8 tokens
+    docs = spark.createDataFrame(
+        [(1, t), (2, t)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["cleaned_text"], r["n_tokens_removed"], r["removed_frac"])
+        for r in DD.remove_duplicate_spans(docs, span=8, min_df=2).collect()
+    }
+    assert got[1] == ("", 8, 1.0)
+    assert got[2] == ("", 8, 1.0)

@@ -778,6 +778,31 @@ def simhash_near_dups(
     )
 
 
+def _span_token_exprs(text_col: str, span: int):
+    """(tokens, per-start span-hash array) column expressions shared
+    by the span-duplication family: whitespace tokens of the
+    lower/trim-normalized text, and the cross-engine polynomial
+    rolling hash of every ``span``-token window (1-based starts, same
+    BASE/MOD family as :func:`rolling_fingerprint` — exact in BIGINT
+    and doubles, hence identical in Spark and DuckDB)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    tok_hashes = F.transform(
+        toks, lambda t: _md5_long(t).bitwiseAND(F.lit(_TOKEN_MASK))
+    )
+    span_hashes = F.when(
+        F.size(tok_hashes) >= span,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tok_hashes) - (span - 1)),
+            lambda i: F.aggregate(
+                F.slice(tok_hashes, i, span),
+                F.lit(0).cast("bigint"),
+                lambda a, b: (a * ROLLING_BASE + b) % ROLLING_MOD,
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return toks, span_hashes
+
+
 def duplicate_span_stats(
     docs: DataFrame,
     span: int = 8,
@@ -806,21 +831,7 @@ def duplicate_span_stats(
     and are CONSERVATIVE (a collision can only over-report
     duplication; production at trillions of windows widens the hash).
     """
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    tok_hashes = F.transform(
-        toks, lambda t: _md5_long(t).bitwiseAND(F.lit(_TOKEN_MASK))
-    )
-    span_hashes = F.when(
-        F.size(tok_hashes) >= span,
-        F.transform(
-            F.sequence(F.lit(1), F.size(tok_hashes) - (span - 1)),
-            lambda i: F.aggregate(
-                F.slice(tok_hashes, i, span),
-                F.lit(0).cast("bigint"),
-                lambda a, b: (a * ROLLING_BASE + b) % ROLLING_MOD,
-            ),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
+    _, span_hashes = _span_token_exprs(text_col, span)
     wins = docs.select(
         F.col(id_col), F.explode(span_hashes).alias("span_hash")
     )
@@ -850,4 +861,114 @@ def duplicate_span_stats(
             )
             .alias("dup_span_frac"),
         )
+    )
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    span: int = 8,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Span-level dedup, the REMOVAL half (Lee et al. 2022 §4 — the
+    half training pipelines actually apply; :func:`duplicate_span_stats`
+    is the inventory half): cut every token covered by an
+    exact-duplicate ``span``-token window (one whose rolling hash
+    occurs in ≥ ``min_df`` distinct documents) and re-emit the
+    cleaned text. Returns one row per input document:
+    ``(id, cleaned_text, n_tokens, n_tokens_removed, removed_frac)``
+    where ``cleaned_text`` is the surviving tokens of the
+    lower/trim-normalized text joined by single spaces (normalized
+    for EVERY doc, touched or not, so output text is uniform).
+
+    Shape at 100 TB: the window inventory and coverage interval math
+    shuffle only (doc_id, position/hash) longs — same as the stats
+    half. Token TEXT is shuffled exactly once, and only for documents
+    that actually lose a span (cleaned text must be reassembled in
+    token order); the untouched majority — the common case on a
+    deduplicated corpus — passes through as a narrow projection with
+    no shuffle at all. Coverage is computed relationally (explode the
+    ≤``span``-long position range of each duplicated window, then
+    distinct) rather than per-row interval masks: a boilerplate-heavy
+    document's cost stays linear in its covered tokens instead of
+    quadratic in (tokens × duplicated windows).
+
+    Reference analogue: the transformer's name/description cleaning
+    cuts KNOWN boilerplate phrases per row
+    (src/pipelines/transform/transformer.py:600-753); this operator
+    learns the boilerplate corpus-wide from span document frequency.
+    """
+    toks, span_hashes = _span_token_exprs(text_col, span)
+    wins = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(span_hashes).alias("_p0", "span_hash"),
+        )
+        # 1-based window start, matching the hash family's slice index
+        .select(id_col, (F.col("_p0") + 1).alias("s"), "span_hash")
+    )
+    dup_hashes = (
+        wins.groupBy("span_hash")
+        .agg(F.count_distinct(F.col(id_col)).alias("span_df"))
+        .filter(F.col("span_df") >= min_df)
+        .select("span_hash")
+    )
+    covered = (
+        wins.join(dup_hashes, "span_hash")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("s"), F.col("s") + F.lit(span - 1))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    affected_ids = covered.select(id_col).distinct()
+    normalized = docs.select(F.col(id_col), toks.alias("_toks"))
+    untouched = normalized.join(affected_ids, id_col, "left_anti").select(
+        id_col,
+        F.array_join("_toks", " ").alias("cleaned_text"),
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.lit(0).cast("long").alias("n_tokens_removed"),
+    )
+    tokpos = (
+        normalized.join(affected_ids, id_col, "left_semi")
+        .select(F.col(id_col), F.posexplode("_toks").alias("_p0", "token"))
+        .select(id_col, (F.col("_p0") + 1).alias("p"), "token")
+    )
+    cleaned = (
+        tokpos.join(
+            covered.withColumn("_cov", F.lit(1)), [id_col, "p"], "left"
+        )
+        .groupBy(id_col)
+        .agg(
+            # collect_list drops the NULLs the when() leaves on
+            # covered positions; array_sort orders the structs by
+            # their leading field p — token order survives the shuffle
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_cov").isNull(),
+                                F.struct(F.col("p"), F.col("token")),
+                            )
+                        )
+                    ),
+                    lambda x: x["token"],
+                ),
+                " ",
+            ).alias("cleaned_text"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.count("_cov").cast("long").alias("n_tokens_removed"),
+        )
+    )
+    return untouched.unionByName(cleaned).select(
+        id_col,
+        "cleaned_text",
+        "n_tokens",
+        "n_tokens_removed",
+        F.round(F.col("n_tokens_removed") / F.col("n_tokens"), 4).alias(
+            "removed_frac"
+        ),
     )

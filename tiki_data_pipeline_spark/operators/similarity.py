@@ -716,7 +716,30 @@ def write_lsh_index(
     _write_index_rows(base, path, "overwrite", "bkt", partitioned)
     from tiki_data_pipeline_spark.sources.files import write_store_meta
 
-    write_store_meta(path, {"kind": "lsh", "n_planes": n_planes})
+    # serve statistics, computed from the WRITTEN store (one columnar
+    # pass at build time): n_rows drives the directed-probe default
+    # (below DIRECTED_PROBE_MIN_ROWS exhaustive probing is cheaper
+    # than the recall tradeoff is worth), n_distinct_vectors the
+    # exact-stage short-circuit (a store with zero exact-duplicate
+    # mass has no mega-cluster for the exact stage to defuse)
+    spark = embeddings.sparkSession
+    stats = (
+        spark.read.parquet(path)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.xxhash64(F.col("v"))).alias("d"),
+        )
+        .collect()[0]
+    )
+    write_store_meta(
+        path,
+        {
+            "kind": "lsh",
+            "n_planes": n_planes,
+            "n_rows": int(stats["n"]),
+            "n_distinct_vectors": int(stats["d"]),
+        },
+    )
 
 
 def _store_n_planes(path: str, fallback: int) -> int:
@@ -731,6 +754,56 @@ def _store_n_planes(path: str, fallback: int) -> int:
     if meta and meta.get("kind") == "lsh" and "n_planes" in meta:
         return int(meta["n_planes"])
     return fallback
+
+
+# Below this store size the exhaustive multi-probe join is cheaper
+# than any recall tradeoff is worth (the whole candidate join is
+# sub-second); above it candidate volume — probes × bucket occupancy —
+# dominates serve cost and the directed probe's measured 4.7× win
+# (SCALE.md, 200k-vec store) applies.
+DIRECTED_PROBE_MIN_ROWS = 50_000
+
+
+def _resolve_probe_planes(
+    probe_planes, index_path: str, n_planes: int, emit_radius: int
+):
+    """Resolve the ``probe_planes="auto"`` serve default from the
+    store's recorded size (``_meta.json`` ``n_rows``, written at
+    build/append): small stores probe exhaustively (bit-identical to
+    the pre-auto behavior, keeps the radius-parity guarantee where it
+    is free), big stores get query-directed multi-probe over the
+    ``max(4, 2·emit_radius)`` lowest-margin planes — the measured
+    scale-safe default (4.7× faster at 100× with identical pairs and
+    ≥0.9 pinned recall; exhaustive at 1000× costs ~491 s for a 51k
+    delta, SCALE.md). Explicit ``None`` (exhaustive) or an int always
+    wins — "auto" is the DEFAULT, not a mandate. A pre-meta store has
+    no recorded size and stays exhaustive."""
+    if probe_planes != "auto":
+        return probe_planes
+    from tiki_data_pipeline_spark.sources.files import read_store_meta
+
+    meta = read_store_meta(index_path) or {}
+    n_rows = meta.get("n_rows")
+    if n_rows is None or int(n_rows) < DIRECTED_PROBE_MIN_ROWS:
+        return None
+    return min(n_planes, max(4, 2 * emit_radius))
+
+
+def _resolve_skip_hot_buckets(skip_hot_buckets, index_path: str) -> bool:
+    """Resolve the ``skip_hot_buckets="auto"`` serve default from the
+    store's recorded hot-bucket policy: skip only when an operator ran
+    :func:`rebuild_hot_buckets` with ``serve_default=True`` — an
+    explicit, meta-recorded decision that the hot mass is boilerplate
+    handled upstream. Merely HAVING a ``_hot_buckets`` sidecar does
+    not flip the default: the sidecar also serves one-off diagnostic
+    opt-ins, and silently dropping recall because someone once ran a
+    stats pass would be the wrong kind of automatic."""
+    if skip_hot_buckets != "auto":
+        return bool(skip_hot_buckets)
+    from tiki_data_pipeline_spark.sources.files import read_store_meta
+
+    meta = read_store_meta(index_path) or {}
+    return bool(meta.get("hot_buckets_serve_skip", False))
 
 
 def _lsh_index_rows(
@@ -793,8 +866,9 @@ def lsh_index_near_dups(
     n_planes: int = N_PLANES,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    skip_hot_buckets: bool = False,
-    probe_planes: int | None = None,
+    skip_hot_buckets: bool | str = "auto",
+    probe_planes: int | None | str = "auto",
+    with_exact_flag: bool = False,
 ) -> DataFrame:
     """Distributed incremental embedding near-dup: match a NEW batch
     of vectors against a persisted LSH index, returning
@@ -807,11 +881,17 @@ def lsh_index_near_dups(
     a near-neighbor lands across a hyperplane almost exclusively when
     the query sits close to it. Probe count drops from
     C(n_planes, ≤r) to C(probe_planes, ≤r) (e.g. 56 → 11 at 10
-    planes, r=2, probe_planes=4) at a small recall cost, so this is
-    an OPT-IN — the default (None) probes exhaustively and keeps the
-    radius-parity guarantee below. Hamming-0 matches (identical or
-    near-identical vectors) are always found either way: the empty
-    flip set probes the vector's own bucket.
+    planes, r=2, probe_planes=4) at a small recall cost. The DEFAULT
+    is ``"auto"`` — resolved from the store's recorded size
+    (:func:`_resolve_probe_planes`): a store under
+    ``DIRECTED_PROBE_MIN_ROWS`` probes exhaustively (identical output
+    to the pre-auto behavior, radius-parity guarantee kept where it
+    costs nothing), a bigger store gets the directed probe a default
+    caller at scale should be getting (measured 4.7× at 100×, ~491 s
+    avoided at 1000× — SCALE.md). Pass ``None`` to force exhaustive.
+    Hamming-0 matches (identical or near-identical vectors) are
+    always found in every mode: the empty flip set probes the
+    vector's own bucket.
 
     Unlike :func:`lsh_index_topk` (which collects a SMALL query set to
     the driver — the ANN serving shape), the batch here stays fully
@@ -838,6 +918,10 @@ def lsh_index_near_dups(
     import pandas as pd
 
     n_planes = _store_n_planes(index_path, n_planes)
+    probe_planes = _resolve_probe_planes(
+        probe_planes, index_path, n_planes, emit_radius
+    )
+    skip_hot_buckets = _resolve_skip_hot_buckets(skip_hot_buckets, index_path)
     dim = _vec_dim(new_embeddings, vec_col)
     wmat = np.array(
         [[_plane_weight(p, i) for i in range(1, dim + 1)] for p in range(n_planes)]
@@ -933,15 +1017,24 @@ def lsh_index_near_dups(
         .filter(F.col("id") != F.col("new_id"))
         .select("new_id", F.col("id").alias("old_id"), "v", "nrm")
     )
+    cols = [
+        F.col("new_id"),
+        F.col("old_id"),
+        F.round(
+            _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
+        ).alias("cosine_sim"),
+    ]
+    if with_exact_flag:
+        # bit-identical candidate pairs, flagged at scoring time where
+        # both vectors are already in hand (one array compare beside
+        # the dot product) — lets lsh_index_dedup_status's exact-stage
+        # short-circuit keep the exact_dup/near_dup label split
+        # without a store-wide hash join. Identical vectors share
+        # their home bucket, so they are ALWAYS candidates.
+        cols.append((F.col("qv") == F.col("v")).alias("is_exact"))
     return (
         cand.join(payload, "new_id")
-        .select(
-            "new_id",
-            "old_id",
-            F.round(
-                _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
-            ).alias("cosine_sim"),
-        )
+        .select(*cols)
         .filter(F.col("cosine_sim") >= threshold)
         .dropDuplicates(["new_id", "old_id"])
     )
@@ -956,8 +1049,9 @@ def lsh_index_dedup_status(
     n_planes: int = N_PLANES,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    skip_hot_buckets: bool = False,
-    probe_planes: int | None = None,
+    skip_hot_buckets: bool | str = "auto",
+    probe_planes: int | None | str = "auto",
+    exact_stage: bool | str = "auto",
 ) -> DataFrame:
     """Staged incremental embedding dedup against a persisted LSH
     index — the embedding twin of ``dedup.incremental_dedup_status``:
@@ -968,6 +1062,21 @@ def lsh_index_dedup_status(
     same content embedded repeatedly yields bit-identical vectors):
     their duplicate mass collapses in the hash join instead of fanning
     out quadratically through the shared bucket.
+
+    ``exact_stage="auto"`` consults the store's recorded duplicate
+    mass (``n_rows`` vs ``n_distinct_vectors`` in ``_meta.json``,
+    maintained at build and append): a store with ZERO exact-duplicate
+    mass has no mega-cluster for the exact stage to defuse, so the
+    store-wide hash join (~30 s at 2M vectors, SCALE.md) is skipped
+    and the near stage alone decides — candidate pairs carry an
+    ``is_exact`` array-equality flag computed at scoring time
+    (identical vectors always meet in their home bucket), so the
+    exact_dup/near_dup label split and the min-store-id tiebreak are
+    IDENTICAL to the staged path. The ingest sink appends only unique
+    vectors, so its stores keep ``n_rows == n_distinct_vectors`` and
+    serve on the short-circuit path; pass ``True`` to force the
+    staged join (e.g. a store grown by blind manual appends whose
+    recorded mass understates reality).
 
     Returns one row per batch vector: ``(id, status, matched_id)``
     with status ∈ {exact_dup, near_dup, unique, no_vector};
@@ -988,61 +1097,108 @@ def lsh_index_dedup_status(
     from pyspark.sql import Window as W
 
     n_planes = _store_n_planes(index_path, n_planes)
-    dim = _vec_dim(new_embeddings, vec_col)
-    batch = new_embeddings.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col),
-        as_double(F.col(vec_col)).alias("qv"),
-        lsh_bucket(as_double(F.col(vec_col)), dim, n_planes)
-        .cast("long")
-        .alias("_qb"),
-    )
-    store = spark.read.parquet(index_path).select(
-        F.col("id").alias("_store_id"),
-        F.col("v").alias("_sv"),
-        F.col("bkt").cast("long").alias("_sb"),
-    )
-    exact = (
-        batch.join(
-            store,
-            (F.col("_qb") == F.col("_sb"))
-            & (F.xxhash64(F.col("qv")) == F.xxhash64(F.col("_sv")))
-            & (F.col("qv") == F.col("_sv"))
-            & (F.col(id_col) != F.col("_store_id")),
+    if exact_stage == "auto":
+        from tiki_data_pipeline_spark.sources.files import read_store_meta
+
+        meta = read_store_meta(index_path) or {}
+        n, d = meta.get("n_rows"), meta.get("n_distinct_vectors")
+        # run the staged join unless the meta PROVES zero duplicate
+        # mass; a pre-meta store has nothing recorded and stays staged
+        exact_stage = not (n is not None and d is not None and int(n) == int(d))
+    if exact_stage:
+        dim = _vec_dim(new_embeddings, vec_col)
+        batch = new_embeddings.filter(F.col(vec_col).isNotNull()).select(
+            F.col(id_col),
+            as_double(F.col(vec_col)).alias("qv"),
+            lsh_bucket(as_double(F.col(vec_col)), dim, n_planes)
+            .cast("long")
+            .alias("_qb"),
         )
-        .groupBy(id_col)
-        .agg(F.min("_store_id").alias("matched_id"))
-        .withColumn("status", F.lit("exact_dup"))
-    )
-    fresh = new_embeddings.join(exact.select(id_col), id_col, "left_anti")
-    near_pairs = lsh_index_near_dups(
-        spark,
-        index_path,
-        fresh,
-        threshold=threshold,
-        emit_radius=emit_radius,
-        n_planes=n_planes,
-        id_col=id_col,
-        vec_col=vec_col,
-        skip_hot_buckets=skip_hot_buckets,
-        probe_planes=probe_planes,
-    )
-    # best match per vector: window partitioned by the vector, so the
-    # partition size is its true near-dup count, never corpus-sized
-    w = W.partitionBy("new_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("old_id").asc()
-    )
-    near = (
-        near_pairs.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            F.col("new_id").alias(id_col),
-            F.col("old_id").alias("matched_id"),
-            F.lit("near_dup").alias("status"),
+        store = spark.read.parquet(index_path).select(
+            F.col("id").alias("_store_id"),
+            F.col("v").alias("_sv"),
+            F.col("bkt").cast("long").alias("_sb"),
         )
-    )
-    hits = exact.select(id_col, "status", "matched_id").unionByName(
-        near.select(id_col, "status", "matched_id")
-    )
+        exact = (
+            batch.join(
+                store,
+                (F.col("_qb") == F.col("_sb"))
+                & (F.xxhash64(F.col("qv")) == F.xxhash64(F.col("_sv")))
+                & (F.col("qv") == F.col("_sv"))
+                & (F.col(id_col) != F.col("_store_id")),
+            )
+            .groupBy(id_col)
+            .agg(F.min("_store_id").alias("matched_id"))
+            .withColumn("status", F.lit("exact_dup"))
+        )
+        fresh = new_embeddings.join(exact.select(id_col), id_col, "left_anti")
+        near_pairs = lsh_index_near_dups(
+            spark,
+            index_path,
+            fresh,
+            threshold=threshold,
+            emit_radius=emit_radius,
+            n_planes=n_planes,
+            id_col=id_col,
+            vec_col=vec_col,
+            skip_hot_buckets=skip_hot_buckets,
+            probe_planes=probe_planes,
+        )
+        # best match per vector: window partitioned by the vector, so
+        # the partition size is its true near-dup count, never
+        # corpus-sized
+        w = W.partitionBy("new_id").orderBy(
+            F.col("cosine_sim").desc(), F.col("old_id").asc()
+        )
+        near = (
+            near_pairs.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                F.col("new_id").alias(id_col),
+                F.col("old_id").alias("matched_id"),
+                F.lit("near_dup").alias("status"),
+            )
+        )
+        hits = exact.select(id_col, "status", "matched_id").unionByName(
+            near.select(id_col, "status", "matched_id")
+        )
+    else:
+        # exact-stage short-circuit (zero recorded duplicate mass):
+        # one near pass over the whole batch, with bit-identical
+        # candidates flagged at scoring time. Ordering is_exact FIRST
+        # reproduces the staged path's preference (an exact match
+        # beats any near match; exact matches tie at cosine 1.0, so
+        # old_id ASC is the same min-store-id tiebreak).
+        near_pairs = lsh_index_near_dups(
+            spark,
+            index_path,
+            new_embeddings,
+            threshold=threshold,
+            emit_radius=emit_radius,
+            n_planes=n_planes,
+            id_col=id_col,
+            vec_col=vec_col,
+            skip_hot_buckets=skip_hot_buckets,
+            probe_planes=probe_planes,
+            with_exact_flag=True,
+        )
+        w = W.partitionBy("new_id").orderBy(
+            F.col("is_exact").desc(),
+            F.col("cosine_sim").desc(),
+            F.col("old_id").asc(),
+        )
+        hits = (
+            near_pairs.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                F.col("new_id").alias(id_col),
+                F.col("old_id").alias("matched_id"),
+                F.when(F.col("is_exact"), F.lit("exact_dup"))
+                .otherwise(F.lit("near_dup"))
+                .alias("status"),
+            )
+            .select(id_col, "status", "matched_id")
+        )
     no_vec = F.col(vec_col).isNull() | (
         F.coalesce(_norm(as_double(F.col(vec_col))), F.lit(0.0)) <= 0
     )
@@ -1092,15 +1248,21 @@ def lsh_bucket_stats(spark, path: str, cap: int = HOT_BUCKET_CAP) -> dict:
     return {k: row[k] for k in row.asDict()}
 
 
-def rebuild_hot_buckets(spark, path: str, cap: int = HOT_BUCKET_CAP) -> int:
+def rebuild_hot_buckets(
+    spark, path: str, cap: int = HOT_BUCKET_CAP, serve_default: bool = False
+) -> int:
     """Record buckets holding more than ``cap`` vectors in a
     ``_hot_buckets`` sidecar (the embedding-side twin of
-    ``dedup.rebuild_hot_bands``). Unlike the MinHash store there is no
-    exact-first stage to catch a skipped mega-cluster's duplicate
-    mass, so serve paths do NOT skip these by default — the sidecar
-    exists for the explicit ``skip_hot_buckets=True`` opt-in, where an
-    operator has decided the cluster is boilerplate handled upstream.
+    ``dedup.rebuild_hot_bands``). Skipping a hot bucket forfeits its
+    near-dup recall, so serve paths do NOT skip merely because the
+    sidecar exists — the ``skip_hot_buckets="auto"`` serve default
+    skips only when the OPERATOR records that policy here with
+    ``serve_default=True`` (an explicit, store-meta-pinned decision
+    that the hot mass is boilerplate handled upstream); otherwise the
+    sidecar serves the per-call ``skip_hot_buckets=True`` opt-in.
     Run at build time or after appends. Returns the hot-bucket count."""
+    from tiki_data_pipeline_spark.sources.files import update_store_meta
+
     hot = (
         spark.read.parquet(path)
         .groupBy("bkt")
@@ -1112,6 +1274,7 @@ def rebuild_hot_buckets(spark, path: str, cap: int = HOT_BUCKET_CAP) -> int:
     # coalesce(1): an empty result must still write one schema-bearing
     # file or the serve-side sidecar read fails schema inference
     hot.coalesce(1).write.mode("overwrite").parquet(path + "/_hot_buckets")
+    update_store_meta(path, {"hot_buckets_serve_skip": bool(serve_default)})
     return hot.count()
 
 
@@ -1133,13 +1296,42 @@ def append_lsh_index(
     caller cannot know). Same at-least-once caveat as every
     plain-parquet append — production is a lakehouse MERGE/OPTIMIZE
     table."""
-    from tiki_data_pipeline_spark.sources.files import check_store_meta
+    from tiki_data_pipeline_spark.sources.files import (
+        check_store_meta,
+        read_store_meta,
+        update_store_meta,
+    )
 
     if n_planes is None:
         n_planes = _store_n_planes(path, N_PLANES)
     check_store_meta(path, {"kind": "lsh", "n_planes": n_planes})
     rows = _lsh_index_rows(embeddings, id_col, vec_col, n_planes)
+    # delta-sized stats pass (the serve-default meta must track
+    # appends without a store-wide rescan): n_rows grows by the
+    # admitted delta; n_distinct_vectors by the delta's OWN distinct
+    # count — exact for the ingest sink (it appends pre-deduped,
+    # store-anti-joined uniques, so the zero-duplicate-mass invariant
+    # behind the exact-stage short-circuit is maintained exactly). A
+    # blind manual append overlapping the store overcounts distincts
+    # and can leave the short-circuit on despite new cross-append dup
+    # mass — that costs PERFORMANCE if a mega-cluster forms (the
+    # short-circuit's is_exact scoring keeps labels correct in every
+    # case), and lsh_bucket_stats / a rebuild is the remedy
+    delta = rows.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.xxhash64(F.col("v"))).alias("d"),
+    ).collect()[0]
     _write_index_rows(rows, path, "append", "bkt", _detect_partitioned(path, "bkt"))
+    meta = read_store_meta(path) or {}
+    if "n_rows" in meta and "n_distinct_vectors" in meta:
+        update_store_meta(
+            path,
+            {
+                "n_rows": int(meta["n_rows"]) + int(delta["n"]),
+                "n_distinct_vectors": int(meta["n_distinct_vectors"])
+                + int(delta["d"]),
+            },
+        )
 
 
 def _py_norm(v) -> float:
@@ -1172,7 +1364,7 @@ def lsh_index_topk(
     n_planes: int = N_PLANES,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    probe_planes: int | None = None,
+    probe_planes: int | None | str = "auto",
 ) -> DataFrame:
     """ANN top-k against a persisted LSH index: each query probes the
     buckets within Hamming ``emit_radius`` of its own code, and the
@@ -1185,10 +1377,17 @@ def lsh_index_topk(
     ``probe_planes`` enables query-directed multi-probe exactly as in
     :func:`lsh_index_near_dups` (flip only the query's lowest-margin
     planes) — fewer partitions read per query at a small recall cost.
+    The ``"auto"`` default resolves from the store's recorded size
+    (:func:`_resolve_probe_planes`): exhaustive below
+    ``DIRECTED_PROBE_MIN_ROWS``, directed above it. ``None`` forces
+    exhaustive probing.
     """
     from pyspark.sql import Window as W
 
     n_planes = _store_n_planes(index_path, n_planes)
+    probe_planes = _resolve_probe_planes(
+        probe_planes, index_path, n_planes, emit_radius
+    )
     dim = _vec_dim(queries, vec_col)
     q_rows = (
         queries.select(

@@ -1330,3 +1330,60 @@ def doc_duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     document-level dedup misses when boilerplate is embedded in
     otherwise-distinct pages)."""
     return DD.duplicate_span_stats(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_span_removal",
+    oracle=f"""
+    WITH tokh AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\\s+') AS toks,
+             list_transform(string_split_regex(lower(trim(text)), '\\s+'),
+               t -> try_cast(('0x' || substring(md5(t), 1, 15)) AS BIGINT)
+                    & {DD._TOKEN_MASK}) AS hs
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, hs, UNNEST(range(1, len(hs) - 6)) AS i
+      FROM tokh WHERE len(hs) >= 8
+    ),
+    wins AS (
+      SELECT doc_id, i,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), hs[i:i+7]),
+               (a, b) -> (a * {DD.ROLLING_BASE} + b) % {DD.ROLLING_MOD})
+               AS span_hash
+      FROM idx
+    ),
+    dfq AS (
+      SELECT span_hash FROM wins
+      GROUP BY span_hash HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    covered AS (
+      SELECT DISTINCT doc_id, p FROM (
+        SELECT w.doc_id, UNNEST(range(w.i, w.i + 8)) AS p
+        FROM wins w JOIN dfq d USING (span_hash)
+      )
+    ),
+    tokpos AS (
+      SELECT doc_id, UNNEST(toks) AS token,
+             UNNEST(range(1, len(toks) + 1)) AS p
+      FROM tokh
+    )
+    SELECT t.doc_id,
+           COALESCE(string_agg(CASE WHEN c.p IS NULL THEN t.token END,
+                               ' ' ORDER BY t.p), '') AS cleaned_text,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(c.p) AS BIGINT) AS n_tokens_removed,
+           ROUND(COUNT(c.p) / COUNT(*), 4) AS removed_frac
+    FROM tokpos t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.p = c.p
+    GROUP BY t.doc_id
+    """,
+)
+def doc_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup, the removal half (Lee et al. 2022): every
+    token covered by an 8-token window occurring verbatim in ≥2
+    documents is cut, and the cleaned text re-emitted with per-doc
+    removed-token accounting. The inventory half is
+    ``doc_duplicate_span_stats``; this is what a training pipeline
+    actually applies to its corpus."""
+    return DD.remove_duplicate_spans(load_table(spark, sf_dir, "documents"))

@@ -160,12 +160,25 @@ def read_store_meta(path: str) -> dict | None:
         return json.load(f)
 
 
+def update_store_meta(path: str, updates: dict) -> None:
+    """Merge keys into ``<path>/_meta.json`` (read-modify-write) —
+    used for auxiliary serve statistics (row counts, duplicate mass,
+    hot-bucket policy) that accrete after the build without
+    re-stating the signature parameters."""
+    meta = read_store_meta(path) or {}
+    meta.update(updates)
+    write_store_meta(path, meta)
+
+
 def check_store_meta(path: str, expected: dict) -> None:
     """Raise if ``<path>/_meta.json`` disagrees with the parameters of
     an incoming append — mixing signature families in one store breaks
-    scoring SILENTLY (nulls/wrong buckets), so it must fail loudly. A
-    store without meta (pre-meta build) skips validation; the caller
-    owns consistency there."""
+    scoring SILENTLY (nulls/wrong buckets), so it must fail loudly.
+    Only the EXPECTED keys are compared: the meta also carries
+    auxiliary serve statistics (``n_rows``, duplicate mass, hot-bucket
+    policy) that are not signature parameters. A store without meta
+    (pre-meta build) skips validation; the caller owns consistency
+    there."""
     import json
     import os
 
@@ -174,10 +187,12 @@ def check_store_meta(path: str, expected: dict) -> None:
         return
     with open(meta_path) as f:
         meta = json.load(f)
-    if meta != expected:
+    mismatched = {k: v for k, v in expected.items() if meta.get(k) != v}
+    if mismatched:
+        stored = {k: meta.get(k) for k in mismatched}
         raise ValueError(
-            f"store at {path} was built with {meta}; appending with "
-            f"{expected} would mix incomparable signatures — rebuild "
+            f"store at {path} was built with {stored}; appending with "
+            f"{mismatched} would mix incomparable signatures — rebuild "
             "or match the stored parameters"
         )
 

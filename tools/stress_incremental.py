@@ -31,9 +31,12 @@ unmutated rep-0 twin stays in the store); store = everything else.
 So the serve path must both pass-through the unique majority and
 catch the planted minority against the persisted index.
 
-Usage: python tools/stress_incremental.py [N] [N...]
+Usage: python tools/stress_incremental.py [--compare-exhaustive] [N] [N...]
        (default: 1 10 100 1000)
 Each level prints one JSON line; paste the table into SCALE.md.
+``--compare-exhaustive`` additionally times the pre-r8 serve shape
+(exhaustive probe masks + forced store-wide exact join) beside the
+r8 auto defaults, with pair/dup-count parity in the same line.
 """
 
 from __future__ import annotations
@@ -207,6 +210,17 @@ def run_level(spark, n: int) -> dict:
     SIM.write_lsh_index(emb.filter(~vec_is_delta), lsh_store, n_planes="auto")
     out["lsh_build_s"] = round(time.perf_counter() - t0, 2)
     delta_emb = emb.filter(vec_is_delta)
+    # DEFAULT serve path: probe_planes/skip_hot_buckets/exact_stage
+    # all "auto" — at >= DIRECTED_PROBE_MIN_ROWS store rows this is
+    # the directed multi-probe + (zero-dup-mass) exact short-circuit
+    # a default caller gets since r8
+    from tiki_data_pipeline_spark.sources.files import read_store_meta
+
+    out["lsh_meta"] = {
+        k: v
+        for k, v in (read_store_meta(lsh_store) or {}).items()
+        if k in ("n_planes", "n_rows", "n_distinct_vectors")
+    }
     t0 = time.perf_counter()
     out["emb_pairs"] = SIM.lsh_index_near_dups(
         spark, lsh_store, delta_emb, threshold=0.9, emit_radius=2
@@ -219,6 +233,25 @@ def run_level(spark, n: int) -> dict:
     )
     out["emb_status_dups"] = status.filter(F.col("status") != "unique").count()
     out["emb_status_s"] = round(time.perf_counter() - t0, 2)
+    if COMPARE_EXHAUSTIVE:
+        # the pre-r8 default, for the side-by-side: exhaustive probe
+        # masks + forced store-wide exact join. Pair/dup counts must
+        # agree with the default path (recall parity at this corpus).
+        t0 = time.perf_counter()
+        out["emb_pairs_exhaustive"] = SIM.lsh_index_near_dups(
+            spark, lsh_store, delta_emb, threshold=0.9, emit_radius=2,
+            probe_planes=None,
+        ).count()
+        out["emb_delta_exhaustive_s"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        st_ex = SIM.lsh_index_dedup_status(
+            spark, lsh_store, delta_emb, threshold=0.9, emit_radius=2,
+            probe_planes=None, exact_stage=True,
+        )
+        out["emb_status_dups_exhaustive"] = st_ex.filter(
+            F.col("status") != "unique"
+        ).count()
+        out["emb_status_exhaustive_s"] = round(time.perf_counter() - t0, 2)
 
     # 4. K successive appends, then compaction
     t0 = time.perf_counter()
@@ -237,8 +270,16 @@ def run_level(spark, n: int) -> dict:
     return out
 
 
+COMPARE_EXHAUSTIVE = False
+
+
 def main() -> None:
-    levels = [int(a) for a in sys.argv[1:]] or [1, 10, 100, 1000]
+    global COMPARE_EXHAUSTIVE
+    args = sys.argv[1:]
+    if "--compare-exhaustive" in args:
+        COMPARE_EXHAUSTIVE = True
+        args = [a for a in args if a != "--compare-exhaustive"]
+    levels = [int(a) for a in args] or [1, 10, 100, 1000]
     spark = get_spark(app_name="stress_incremental")
     for n in levels:
         res = run_level(spark, n)
