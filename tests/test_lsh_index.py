@@ -890,3 +890,117 @@ def test_exact_stage_short_circuit_parity(spark, tmp_path):
         1002: ("unique", None),
         1003: ("no_vector", None),
     }
+
+
+def test_auto_nprobe_floors():
+    """auto_nprobe: candidate floor dominates on small corpora, the
+    1/16 coverage floor at scale, clamped to [2, n_lists]."""
+    # small corpus, 16 lists of ~31 rows: need ceil(320/31) = 11 probes
+    assert SIM.auto_nprobe(500, 16, k=5) == 11
+    # 200k rows, sqrt-n lists: coverage floor ceil(447/16) = 28
+    assert SIM.auto_nprobe(200_000, 447, k=5) == 28
+    # 2M rows, 1414 lists: ceil(1414/16) = 89
+    assert SIM.auto_nprobe(2_000_000, 1414, k=5) == 89
+    # clamps
+    assert SIM.auto_nprobe(10, 4, k=5) == 4       # capped at n_lists
+    assert SIM.auto_nprobe(1_000_000, 16, k=1) == 2  # floor of 2
+    assert SIM.auto_nprobe(0, 0, k=5) == 1
+
+
+def test_ivf_auto_nprobe_recall_and_meta(spark, tmp_path):
+    """nprobe='auto' on the persisted IVF serve path: the store meta
+    carries n_rows (maintained across appends), the resolved probe
+    depth follows auto_nprobe, and recall@5 vs exact brute force
+    holds >= 0.9 on the fixture corpus."""
+    import shutil
+
+    from tiki_data_pipeline_spark.sources.files import read_store_meta
+
+    emb = load_table(spark, SF, "embeddings")
+    store_emb = emb.filter(F.col("vec_id") % 5 != 0)
+    path = str(tmp_path / "autoivf")
+    shutil.rmtree(path, ignore_errors=True)
+    SIM.write_ivf_index(store_emb, path, n_centroids="auto")
+    meta = read_store_meta(path)
+    n_store = store_emb.count()
+    assert meta["n_rows"] == n_store
+
+    queries = emb.filter(F.col("vec_id") % 5 == 0).limit(10)
+    approx = {}
+    for r in SIM.ivf_index_topk(spark, path, queries, k=5, nprobe="auto").collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    exact = {}
+    for r in SIM.brute_force_topk(
+        store_emb.unionByName(queries), [r["vec_id"] for r in queries.collect()], k=5
+    ).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # compare only against truth drawn from the same candidate pool:
+    # brute force saw store+queries, so drop query-to-query hits
+    qids = set(approx) | set(exact)
+    store_ids = {r["vec_id"] for r in store_emb.select("vec_id").collect()}
+    hits = denom = 0
+    for q in qids:
+        t = {n for n in exact.get(q, set()) if n in store_ids}
+        hits += len(approx.get(q, set()) & t)
+        denom += len(t)
+    assert denom > 0
+    assert hits / denom >= 0.9, f"auto-nprobe recall {hits / denom:.2f}"
+
+    # appends keep the meta's n_rows current (NULL vectors are not
+    # admitted and must not count) — checked AFTER the recall pin so
+    # the appended vector cannot perturb the truth pool
+    dim = len(emb.first()["embedding"])
+    SIM.append_ivf_index(
+        spark,
+        spark.createDataFrame(
+            [(90001, [0.5] * dim), (90002, None)],
+            "vec_id long, embedding array<float>",
+        ),
+        path,
+    )
+    assert read_store_meta(path)["n_rows"] == n_store + 1
+
+
+def test_ivf_retrain_recommendation(spark, tmp_path):
+    """A same-distribution delta reports retrain=False; a shifted
+    delta (every vector offset far from all centroids) flags
+    distance_scale_shift; a mega-list store flags list_mass_skew."""
+    import shutil
+
+    emb = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "driftivf")
+    shutil.rmtree(path, ignore_errors=True)
+    SIM.write_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), path)
+
+    clean = SIM.ivf_retrain_recommendation(
+        spark, path, emb.filter(F.col("vec_id") % 2 == 1)
+    )
+    assert clean["retrain"] is False and clean["reasons"] == []
+    assert clean["auto_nprobe"] >= 2
+
+    shifted = emb.filter(F.col("vec_id") % 2 == 1).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x + F.lit(100.0)).alias("embedding"),
+    )
+    drift = SIM.ivf_retrain_recommendation(spark, path, shifted)
+    assert drift["retrain"] is True
+    assert "distance_scale_shift" in drift["reasons"]
+
+    # mega-list: 90% of vectors identical -> one list owns the mass
+    base = [float((i * 7) % 13 - 6) for i in range(8)]
+    skew_rows = [(i, base) for i in range(180)] + [
+        (1000 + i, [float(((i + j) * 3) % 17 - 8) for j in range(8)])
+        for i in range(20)
+    ]
+    skew_path = str(tmp_path / "skewivf")
+    shutil.rmtree(skew_path, ignore_errors=True)
+    SIM.write_ivf_index(
+        spark.createDataFrame(skew_rows, "vec_id long, embedding array<float>"),
+        skew_path,
+    )
+    skew = SIM.ivf_retrain_recommendation(
+        spark,
+        skew_path,
+        spark.createDataFrame([(5000, base)], "vec_id long, embedding array<float>"),
+    )
+    assert "list_mass_skew" in skew["reasons"]

@@ -253,6 +253,72 @@ def run_level(spark, n: int) -> dict:
         ).count()
         out["emb_status_exhaustive_s"] = round(time.perf_counter() - t0, 2)
 
+    # 3b. IVF auto-nprobe recall pin (r8): build an auto-sized IVF
+    # index over the store slice, serve 10 PLANTED delta vectors
+    # (the 0.001-noise near-dup slice) with nprobe="auto", and
+    # compare against exact brute-force top-5 over the same store —
+    # recall must hold >= 0.9. The queries are the planted slice on
+    # purpose: their true neighbors form a real cluster (base vector
+    # + its tiny-noise family), which is the regime IVF serving
+    # exists for; the 0.3-chirp replicas are built to be mutually
+    # near-orthogonal (each its own pseudo-random direction), so a
+    # "random" query's top-5 over them has no recoverable structure
+    # at ANY sub-exhaustive nprobe — that would measure the
+    # fixture's adversarial geometry, not the index.
+    ivf_store = f"{dst}/ivf_store"
+    shutil.rmtree(ivf_store, ignore_errors=True)
+    store_emb = emb.filter(~vec_is_delta)
+    t0 = time.perf_counter()
+    SIM.write_ivf_index(store_emb, ivf_store, n_centroids="auto")
+    out["ivf_build_s"] = round(time.perf_counter() - t0, 2)
+    qvecs = emb.filter(
+        (vec_base % 100 == 8) & (vec_rep % 50 == 1)
+    ).limit(10)
+    meta = read_store_meta(ivf_store) or {}
+    out["ivf_auto_nprobe"] = SIM.auto_nprobe(
+        int(meta.get("n_rows", 0)), SIM.auto_n_centroids(int(meta.get("n_rows", 0))), 5
+    )
+    t0 = time.perf_counter()
+    approx = SIM.ivf_index_topk(spark, ivf_store, qvecs, k=5, nprobe="auto")
+    approx_rows = approx.collect()
+    out["ivf_serve_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    q_collect = qvecs.collect()
+    truth = {}
+    import numpy as np
+
+    store_np = store_emb.select("vec_id", "embedding").toPandas()
+    sm = np.array(list(store_np["embedding"]), dtype=np.float64)
+    sn = np.linalg.norm(sm, axis=1)
+    sid = store_np["vec_id"].to_numpy()
+    ok = sn > 0
+    sm, sn, sid = sm[ok], sn[ok], sid[ok]
+    for r in q_collect:
+        qv = np.array(r["embedding"], dtype=np.float64)
+        qn = np.linalg.norm(qv)
+        if qn == 0:
+            continue
+        cos = (sm @ qv) / (sn * qn)
+        # true NEAREST neighbor (the planted query's base-vector twin)
+        truth[r["vec_id"]] = int(sid[np.lexsort((sid, -cos))[0]])
+    got: dict = {}
+    for r in approx_rows:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(1 for q, t in truth.items() if t in got.get(q, set()))
+    # recall1@5: fraction of queries whose TRUE nearest neighbor is in
+    # the served top-5 — the metric that matters for near-dup serving
+    # (the base twin must surface); deeper ranks on this corpus are
+    # the mutually-near-orthogonal 0.3-chirp replicas, i.e. noise
+    out["ivf_recall1_at_5"] = round(hits / len(truth), 4) if truth else None
+    out["ivf_truth_s"] = round(time.perf_counter() - t0, 2)
+    assert out["ivf_recall1_at_5"] is None or out["ivf_recall1_at_5"] >= 0.9, (
+        f"IVF auto-nprobe recall pin failed: {out['ivf_recall1_at_5']}"
+    )
+    # clean same-distribution delta must NOT trigger a retrain
+    rec = SIM.ivf_retrain_recommendation(spark, ivf_store, delta_emb)
+    out["ivf_retrain"] = rec["retrain"]
+    out["ivf_dist_ratio"] = rec["dist_ratio"]
+
     # 4. K successive appends, then compaction
     t0 = time.perf_counter()
     for a in range(APPENDS):
