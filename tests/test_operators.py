@@ -467,3 +467,37 @@ def test_remove_duplicate_spans_whole_doc_removed(spark):
     }
     assert got[1] == ("", 8, 1.0)
     assert got[2] == ("", 8, 1.0)
+
+
+def test_incremental_dedup_status_null_text_is_no_text(spark, tmp_path):
+    """A NULL-text doc can never match either stage (no fingerprint,
+    no shingles); statusing it 'unique' would let the ingest sink
+    store an unmatchable null-fp row. It must come back 'no_text';
+    empty/whitespace-only texts still exact-match via fingerprint."""
+    import shutil
+
+    store_docs = spark.createDataFrame(
+        [(1, "alpha bravo charlie delta echo foxtrot"), (2, "")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "ntstore")
+    shutil.rmtree(path, ignore_errors=True)
+    DD.write_minhash_index(store_docs, path)
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha bravo charlie delta echo foxtrot"),  # exact dup
+            (11, None),                                       # no text
+            (12, ""),                                         # exact dup of 2
+            (13, "completely novel words here now"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["status"], r["matched_id"])
+        for r in DD.incremental_dedup_status(spark, path, batch).collect()
+    }
+    assert got[10] == ("exact_dup", 1)
+    assert got[11] == ("no_text", None)
+    assert got[12] == ("exact_dup", 2)
+    assert got[13][0] == "unique"
+    assert len(got) == 4

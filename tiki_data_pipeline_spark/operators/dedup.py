@@ -569,7 +569,9 @@ def incremental_dedup_status(
     input at 100 TB (same staging as ``corpus_dedup_staged``).
 
     Returns one row per batch doc: ``(id, status, matched_id)`` with
-    status ∈ {exact_dup, near_dup, unique}; ``matched_id`` is the
+    status ∈ {exact_dup, near_dup, unique, no_text} (``no_text`` =
+    NULL text: no fingerprint, no shingles — the document twin of
+    similarity's ``no_vector``); ``matched_id`` is the
     lowest-id exact match, else the best near match (highest
     est_jaccard, ties → lowest id), else NULL. Batch-vs-corpus only —
     within-batch duplicates are the in-session ``exact_dedup`` /
@@ -614,11 +616,24 @@ def incremental_dedup_status(
         near.select(id_col, "status", "matched_id")
     )
     return (
-        new_docs.select(id_col)
+        # a NULL text has no fingerprint and no shingles — neither
+        # stage can ever match it, and "unique" would invite the
+        # ingest sink to store an unmatchable null-fp row per epoch;
+        # status it no_text, the document twin of similarity's
+        # no_vector (whitespace-only/short texts are NOT this case:
+        # they still carry an exact fingerprint)
+        new_docs.select(
+            id_col, F.col(text_col).isNull().alias("_no_text")
+        )
         .join(hits, id_col, "left")
         .select(
             id_col,
-            F.coalesce(F.col("status"), F.lit("unique")).alias("status"),
+            F.coalesce(
+                F.col("status"),
+                F.when(F.col("_no_text"), F.lit("no_text")).otherwise(
+                    F.lit("unique")
+                ),
+            ).alias("status"),
             "matched_id",
         )
     )
