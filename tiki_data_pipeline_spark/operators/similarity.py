@@ -463,13 +463,18 @@ def ivf_train(
 
     A k-centroid coarse quantizer never needs the full corpus — the
     standard practice (FAISS trains on ~max(10k, 39·k) points) is to
-    SAMPLE then train locally. We take ``train_sample`` vectors by
-    xxhash64(id) order — a TakeOrdered (per-partition top-N + small
-    merge), ONE corpus scan with no full shuffle, deterministic across
-    runs, and unbiased w.r.t. id locality — then run Lloyd in numpy on
-    the driver: microseconds instead of 2·iters Spark jobs. At 100 TB
-    the sample scan is the only distributed work, which is exactly why
-    IVF training scales.
+    SAMPLE then train locally. We take ``max(train_sample, 40·k)``
+    vectors by xxhash64(id) order — a TakeOrdered (per-partition
+    top-N + small merge), ONE corpus scan with no full shuffle,
+    deterministic across runs, and unbiased w.r.t. id locality — then
+    run Lloyd in numpy on the driver: microseconds instead of
+    2·iters Spark jobs. At 100 TB the sample scan is the only
+    distributed work, which is exactly why IVF training scales. The
+    40·k floor matters at auto-sized k: a fixed 8192-row sample at
+    sqrt(2M)≈1414 lists is ~6 points per centroid — a sample-starved
+    quantizer whose mass skew `ivf_retrain_recommendation` then
+    (correctly) flags on day one. Small-k callers (every oracle
+    query trains k=16) see the identical sample as before.
 
     The earlier distributed-Lloyd formulation (per-batch partial sums
     via mapInPandas, ≤k rows shuffled per batch) lives on in
@@ -483,7 +488,7 @@ def ivf_train(
     )
     rows = (
         base.orderBy(F.xxhash64(F.col("id").cast("string")), F.col("id"))
-        .limit(train_sample)
+        .limit(max(train_sample, 40 * k))
         .collect()
     )
     rows.sort(key=lambda r: r["id"])
@@ -1699,7 +1704,7 @@ def ivf_retrain_recommendation(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dist_ratio_cap: float = 4.0,
-    mass_skew_cap: float = 8.0,
+    mass_skew_cap: float = 10.0,
     k: int = 5,
 ) -> dict:
     """Turn :func:`ivf_drift_report` into an operational decision —
@@ -1716,8 +1721,10 @@ def ivf_retrain_recommendation(
       corpus's — the delta lives away from every centroid, so its
       neighbors are not concentrated in the probed lists.
     - ``list_mass_skew``: some list's occupancy exceeds
-      ``mass_skew_cap`` × the mean — probing it scans far more than
-      the candidate-floor estimate, and the lists it starved are
+      ``mass_skew_cap`` × the mean (an order of magnitude — natural
+      family-per-centroid imbalance on clustered corpora sits well
+      below this) — probing it scans far more than the
+      candidate-floor estimate, and the lists it starved are
       under-covered.
 
     Returns driver-side scalars only (the report is ≤ n_lists rows):
