@@ -793,29 +793,49 @@ def simhash_near_dups(
     )
 
 
-def _span_token_exprs(text_col: str, span: int):
-    """(tokens, per-start span-hash array) column expressions shared
-    by the span-duplication family: whitespace tokens of the
-    lower/trim-normalized text, and the cross-engine polynomial
-    rolling hash of every ``span``-token window (1-based starts, same
-    BASE/MOD family as :func:`rolling_fingerprint` — exact in BIGINT
-    and doubles, hence identical in Spark and DuckDB)."""
+def _with_span_inputs(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """``(id, _toks, _hs)`` per document — whitespace tokens of the
+    lower/trim-normalized text and their masked md5 hashes —
+    MATERIALIZED as real columns in their own Project. This is a
+    performance barrier, not a convenience: the window fold below is
+    a higher-order function (CodegenFallback, interpreted, no
+    subexpression elimination), so if the token-hash array were an
+    inline subtree, ``slice(tok_hashes, i, span)`` would re-evaluate
+    the whole split+md5 transform for EVERY window start — O(T²) md5
+    per document (measured 15.3 s → 0.7 s on 5k × 54-token docs; a
+    10k-token page would do 10⁸ md5 calls). As attributes under the
+    consuming Generate/Project, each array is computed once per row;
+    Catalyst does not inline a child Project into a generator
+    expression."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    tok_hashes = F.transform(
-        toks, lambda t: _md5_long(t).bitwiseAND(F.lit(_TOKEN_MASK))
-    )
-    span_hashes = F.when(
-        F.size(tok_hashes) >= span,
+    return docs.select(
+        F.col(id_col),
+        toks.alias("_toks"),
         F.transform(
-            F.sequence(F.lit(1), F.size(tok_hashes) - (span - 1)),
+            toks, lambda t: _md5_long(t).bitwiseAND(F.lit(_TOKEN_MASK))
+        ).alias("_hs"),
+    )
+
+
+def _span_hash_array(hs: Column, span: int) -> Column:
+    """Per-start rolling span hashes over a MATERIALIZED token-hash
+    array column (see :func:`_with_span_inputs` for why it must be an
+    attribute): 1-based starts, the cross-engine polynomial family of
+    :func:`rolling_fingerprint` — exact in BIGINT and doubles, hence
+    identical in Spark and DuckDB."""
+    return F.when(
+        F.size(hs) >= span,
+        F.transform(
+            F.sequence(F.lit(1), F.size(hs) - (span - 1)),
             lambda i: F.aggregate(
-                F.slice(tok_hashes, i, span),
+                F.slice(hs, i, span),
                 F.lit(0).cast("bigint"),
                 lambda a, b: (a * ROLLING_BASE + b) % ROLLING_MOD,
             ),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
-    return toks, span_hashes
 
 
 def duplicate_span_stats(
@@ -846,9 +866,9 @@ def duplicate_span_stats(
     and are CONSERVATIVE (a collision can only over-report
     duplication; production at trillions of windows widens the hash).
     """
-    _, span_hashes = _span_token_exprs(text_col, span)
-    wins = docs.select(
-        F.col(id_col), F.explode(span_hashes).alias("span_hash")
+    wins = _with_span_inputs(docs, id_col, text_col).select(
+        F.col(id_col),
+        F.explode(_span_hash_array(F.col("_hs"), span)).alias("span_hash"),
     )
     df_tbl = wins.groupBy("span_hash").agg(
         F.count_distinct(F.col(id_col)).alias("span_df")
@@ -913,11 +933,13 @@ def remove_duplicate_spans(
     (src/pipelines/transform/transformer.py:600-753); this operator
     learns the boilerplate corpus-wide from span document frequency.
     """
-    toks, span_hashes = _span_token_exprs(text_col, span)
+    inputs = _with_span_inputs(docs, id_col, text_col)
     wins = (
-        docs.select(
+        inputs.select(
             F.col(id_col),
-            F.posexplode(span_hashes).alias("_p0", "span_hash"),
+            F.posexplode(_span_hash_array(F.col("_hs"), span)).alias(
+                "_p0", "span_hash"
+            ),
         )
         # 1-based window start, matching the hash family's slice index
         .select(id_col, (F.col("_p0") + 1).alias("s"), "span_hash")
@@ -939,7 +961,7 @@ def remove_duplicate_spans(
         .distinct()
     )
     affected_ids = covered.select(id_col).distinct()
-    normalized = docs.select(F.col(id_col), toks.alias("_toks"))
+    normalized = inputs.select(id_col, "_toks")
     untouched = normalized.join(affected_ids, id_col, "left_anti").select(
         id_col,
         F.array_join("_toks", " ").alias("cleaned_text"),
