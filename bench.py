@@ -14,8 +14,16 @@ charged to whichever query happens to run first.
 Each query is then run TWICE and the minimum kept: this box shows
 2-4x run-to-run swings in the Arrow/pandas-UDF family (documented in
 NOTES.md), and min-of-two makes round-over-round diffs reflect plan
-changes, not scheduler noise. Each run is timed to full
-materialization via count().
+changes, not scheduler noise.
+
+Each run is timed to FULL evaluation through the noop sink
+(``df.write.format("noop")``) — r8 methodology fix: a ``.count()``
+action lets Catalyst eliminate unique-keyed left joins and prune
+generator output, so count-timing measured a plan the serving path
+never runs (the span-stats query "benched" 0.2 s while its real
+evaluation costs ~2.7 s at sf0.1; the correctness driver always
+evaluated real values, so this skewed TIMINGS only). Numbers from
+rounds ≤ 8-early are count-based and not directly comparable.
 """
 
 from __future__ import annotations
@@ -109,7 +117,10 @@ def main() -> None:
         for _ in range(max(1, RUNS)):
             t0 = time.perf_counter()
             try:
-                rows = QUERIES[name](spark, SF_DIR).count()
+                # full evaluation, not count(): see module docstring
+                QUERIES[name](spark, SF_DIR).write.format("noop").mode(
+                    "overwrite"
+                ).save()
             except Exception as exc:  # one broken query must not kill the run
                 errs += 1
                 print(f"# {name}: attempt FAILED ({exc})", file=sys.stderr)
@@ -121,6 +132,10 @@ def main() -> None:
             continue
         if errs:
             flaky.append(name)
+        try:  # rows for the log line only — untimed
+            rows = QUERIES[name](spark, SF_DIR).count()
+        except Exception:
+            rows = "?"
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({rows} rows)", file=sys.stderr)
 

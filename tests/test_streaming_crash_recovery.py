@@ -375,3 +375,45 @@ def test_epoch_decisions_legacy_id_mismatch_recomputes(spark, tmp_path):
     )
     assert ran, "mismatched legacy partition was wrongly reused"
     assert [r["doc_id"] for r in out.collect()] == [11]
+
+
+def test_epoch_decisions_reuses_raw_spelling_lineage(spark, tmp_path):
+    """Upgrade path for the canonicalization fix itself: a store whose
+    epochs were committed under the OLD raw-spelling hash (pre-r8
+    code resumed with a non-canonical checkpoint path) must still
+    reuse those decisions after the upgrade — new writes go under the
+    canonical id, old partitions are consulted as a fallback."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    store = str(tmp_path / "rawstore")
+    dec = store + "/_decisions"
+    raw_spelling = str(tmp_path / "ck") + "/"  # trailing slash
+    old_run = jobs._run_lineage_raw(raw_spelling)
+    new_run = jobs._run_lineage(raw_spelling)
+    assert old_run != new_run
+    spark.createDataFrame(
+        [(11, "unique", None)],
+        "doc_id long, status string, matched_id long",
+    ).withColumn("run", F.lit(old_run)).withColumn(
+        "epoch", F.lit(0)
+    ).write.partitionBy("run", "epoch").parquet(dec)
+
+    batch = spark.createDataFrame([(11,)], "doc_id long")
+
+    def compute():
+        raise AssertionError("raw-spelling lineage decisions not reused")
+
+    got = jobs._epoch_decisions(
+        spark,
+        store,
+        0,
+        batch,
+        "doc_id",
+        compute,
+        new_run,
+        fallback_runs=jobs._lineage_fallbacks(raw_spelling),
+    ).collect()
+    assert [(r["doc_id"], r["status"]) for r in got] == [(11, "unique")]
+    assert os.path.isdir(dec + f"/run={old_run}/epoch=0")

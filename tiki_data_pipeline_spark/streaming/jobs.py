@@ -218,7 +218,27 @@ def _run_lineage(checkpoint_dir: str) -> str:
     return hashlib.md5(canon.encode()).hexdigest()[:12]
 
 
+def _run_lineage_raw(checkpoint_dir: str) -> str:
+    """The pre-canonicalization run id (md5 of the raw spelling) —
+    consulted as a REUSE fallback only: a store written before the
+    realpath fix keyed its partitions by this hash, and skipping them
+    on resume would recompute a post-append retry into dup-of-self
+    decisions, the exact bug the canonicalization fixed forward. New
+    writes always use the canonical id."""
+    import hashlib
+
+    return hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
+
+
 LEGACY_RUN = "legacy"
+
+
+def _lineage_fallbacks(checkpoint_dir: str) -> tuple:
+    """Reuse-only fallback run ids for a resumed checkpoint: the
+    pre-canonicalization raw-spelling hash, when it differs from the
+    canonical id."""
+    raw = _run_lineage_raw(checkpoint_dir)
+    return (raw,) if raw != _run_lineage(checkpoint_dir) else ()
 
 
 def _migrate_legacy_decisions(spark, dec_path: str) -> None:
@@ -247,7 +267,7 @@ def _migrate_legacy_decisions(spark, dec_path: str) -> None:
 
 def _epoch_decisions(
     spark, index_path: str, epoch_id: int, batch_df: DataFrame,
-    id_col: str, compute, run: str,
+    id_col: str, compute, run: str, fallback_runs: tuple = (),
 ) -> DataFrame:
     """Exactly-once, replay-stable per-epoch decisions for a
     continuous-ingest sink. A retried epoch (restart from the
@@ -280,12 +300,14 @@ def _epoch_decisions(
             _migrate_legacy_decisions(spark, dec_path)
             committed = spark.read.parquet(dec_path)
         # consult this lineage's partition first; a pre-upgrade
-        # lineage's committed epochs live under run=legacy, and
+        # lineage's committed epochs live under its old run spelling
+        # (``fallback_runs`` — e.g. the pre-canonicalization raw-path
+        # hash) or under run=legacy (pre-``run`` layout), and
         # skipping them would recompute a post-append retry into
         # dup-of-self — the id-set guard still arbitrates, so a
-        # colliding OTHER lineage's legacy epoch (different offsets)
+        # colliding OTHER lineage's epoch (different offsets)
         # falls through to recompute exactly as before
-        for run_key in (run, LEGACY_RUN):
+        for run_key in (run, *fallback_runs, LEGACY_RUN):
             prior = committed.filter(
                 (F.col("run") == run_key) & (F.col("epoch") == epoch_id)
             ).select(id_col, "status", "matched_id")
@@ -382,6 +404,7 @@ def incremental_dedup_sink(
                 spark, index_path, batch_df, threshold=threshold, sh=sh
             ),
             _run_lineage(checkpoint_dir),
+            fallback_runs=_lineage_fallbacks(checkpoint_dir),
         )
         uniq = batch_df.join(
             status.filter(F.col("status") == "unique").select("doc_id"),
@@ -483,6 +506,7 @@ def incremental_embedding_sink(
                 spark, index_path, batch_df, threshold=threshold
             ),
             _run_lineage(checkpoint_dir),
+            fallback_runs=_lineage_fallbacks(checkpoint_dir),
         )
         uniq = batch_df.join(
             status.filter(F.col("status") == "unique").select("vec_id"),
