@@ -40,11 +40,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # re-checking the already-green r6 set, so the 47 queries whose
 # latest driver record is r5 lead this round — completing current-
 # code driver coverage (the full r4 cohort was judge re-verified via
-# mini_driver in r7). The 3 remaining slots go to (a) this round's
-# NEW span-removal query, (b) embedding_incremental_dedup_status,
-# whose implementation changed in r8 (exact-stage short-circuit +
-# scale-safe probe defaults), and (c) one r4-cohort representative.
+# mini_driver in r7). The leading slots go to (a) this round's NEW
+# queries (SemDeDup semantic dedup, span-removal),
+# (b) embedding_incremental_dedup_status, whose implementation changed
+# in r8 (exact-stage short-circuit + scale-safe probe defaults), and
+# (c) one r4-cohort representative. 5 + 47 = 52 puts the last TWO
+# rotation entries (events_tumbling_windows, events_windowed_topk)
+# past the 50-slot window; both were mini-driver re-verified green
+# this round (full-registry sweep on current code).
 _SENTINELS = [
+    "embedding_semantic_dedup",             # NEW r8: SemDeDup clustering dedup
+    "embedding_ivf_semantic_dedup",         # NEW r8: incremental SemDeDup
     "doc_span_removal",                     # NEW r8: span-level dedup removal
     "embedding_incremental_dedup_status",   # r8: short-circuit + auto defaults
     "scd2_dimension_apply",                 # r4-cohort representative

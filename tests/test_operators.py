@@ -501,3 +501,173 @@ def test_incremental_dedup_status_null_text_is_no_text(spark, tmp_path):
     assert got[12] == ("exact_dup", 2)
     assert got[13][0] == "unique"
     assert len(got) == 4
+
+
+def test_semantic_dedup_planted_fixture(spark):
+    """SemDeDup semantics on a hand-built corpus: exact/near twins in
+    the same cluster collapse to the lowest id, far-apart clusters
+    never interact, NULL/zero-norm vectors surface as no_vector."""
+    rows = [
+        # cluster around +x: 1 kept; 2 and 5 are near-twins of 1
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),
+        (5, [0.998, 0.02, 0.0, 0.0]),
+        # cluster around +y: 3 kept; 7 near-twin of 3
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (7, [0.01, 0.999, 0.0, 0.0]),
+        # lone vector near -z: kept (cluster of one)
+        (9, [0.0, 0.0, -1.0, 0.0]),
+        # degenerate rows
+        (10, None),
+        (11, [0.0, 0.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in rows], "vec_id long, embedding array<double>"
+    )
+    got = {
+        r["vec_id"]: (r["status"], r["matched_id"])
+        for r in SIM.semantic_dedup(emb, threshold=0.9, n_centroids=3).collect()
+    }
+    assert len(got) == len(rows)
+    assert got[1] == ("kept", None)
+    assert got[2] == ("semantic_dup", 1)
+    assert got[5] == ("semantic_dup", 1)  # min id, not nearest (2)
+    assert got[3] == ("kept", None)
+    assert got[7] == ("semantic_dup", 3)
+    assert got[9] == ("kept", None)
+    assert got[10] == ("no_vector", None)
+    assert got[11] == ("no_vector", None)
+
+
+def test_semantic_dedup_matches_within_cluster_bruteforce(spark):
+    """Against the real fixture corpus: per-vector decision equals a
+    numpy brute-force of the same rule (lowest-id cluster-mate with
+    round(cos, 4) >= t) under the same deterministic quantizer."""
+    import numpy as np
+
+    emb = load_table(spark, SF, "embeddings")
+    cents = SIM.ivf_train(emb, k=8)
+    got = {
+        r["vec_id"]: (r["status"], r["matched_id"])
+        for r in SIM.semantic_dedup(
+            emb, threshold=0.3, centroids=cents, row_block=7
+        ).collect()
+    }
+    rows = sorted(
+        emb.filter(F.col("embedding").isNotNull()).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    nrm = np.linalg.norm(m, axis=1)
+    valid = nrm > 0
+    cmat = np.array([r["cv"] for r in sorted(cents.collect(), key=lambda r: r["cid"])])
+    d = -2.0 * (m @ cmat.T) + (cmat * cmat).sum(axis=1)
+    cid = np.argmin(d, axis=1)
+    nm = m[valid] / nrm[valid, None]
+    vids, vcid = ids[valid], cid[valid]
+    cos = np.round(nm @ nm.T, 4)
+    for k, i in enumerate(vids):
+        mates = (vcid == vcid[k]) & (vids < i) & (cos[k] >= 0.3)
+        want = ("semantic_dup", int(vids[mates].min())) if mates.any() else ("kept", None)
+        assert got[int(i)] == want, i
+    for k, i in enumerate(ids):
+        if not valid[k]:
+            assert got[int(i)] == ("no_vector", None)
+
+
+def test_ivf_semantic_dedup_status_planted(spark, tmp_path):
+    """Delta-vs-store SemDeDup against a persisted IVF index: twins
+    of store vectors are flagged with the best store match, vectors
+    in an empty/foreign cluster are unique, degenerate vectors are
+    no_vector, and batch rows never match each other."""
+    store_rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # same cluster as 0
+        (4, [0.0, 1.0, 0.0, 0.0]),
+        (6, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    store = spark.createDataFrame(
+        store_rows, "vec_id long, embedding array<double>"
+    )
+    path = str(tmp_path / "ivf_store")
+    SIM.write_ivf_index(store, path, n_centroids=3)
+    batch = spark.createDataFrame(
+        [
+            (1, [0.9995, 0.005, 0.0, 0.0]),  # twin of 0 AND 2 → best match
+            (3, [0.0, 0.999, 0.01, 0.0]),    # twin of 4
+            (5, [0.0, 0.0, -1.0, 0.0]),      # anti-parallel: cos = -1 → unique
+            (7, [0.7, 0.7, 0.0, 0.0]),       # between clusters → below 0.99
+            (9, None),
+            (11, [0.0, 0.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: (r["status"], r["matched_id"])
+        for r in SIM.ivf_semantic_dedup_status(
+            spark, path, batch, threshold=0.99
+        ).collect()
+    }
+    assert len(got) == 6
+    assert got[1][0] == "semantic_dup" and got[1][1] in (0, 2)
+    assert got[3] == ("semantic_dup", 4)
+    assert got[5] == ("unique", None)
+    assert got[7] == ("unique", None)
+    assert got[9] == ("no_vector", None)
+    assert got[11] == ("no_vector", None)
+
+
+def test_ivf_semantic_dedup_status_matches_bruteforce(spark, tmp_path):
+    """Fixture corpus: the per-vector decision equals a numpy model of
+    the rule (best even-store cluster-mate with round(cos,6) >= t
+    under the store's frozen quantizer)."""
+    import numpy as np
+
+    emb = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "ivf_even")
+    SIM.write_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), path)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    got = {
+        r["vec_id"]: (r["status"], r["matched_id"])
+        for r in SIM.ivf_semantic_dedup_status(
+            spark, path, batch, threshold=0.3
+        ).collect()
+    }
+    cents = sorted(
+        spark.read.parquet(path + "/_centroids").collect(),
+        key=lambda r: r["cid"],
+    )
+    cmat = np.array([r["cv"] for r in cents], dtype=np.float64)
+
+    def assign(m):
+        d = -2.0 * (m @ cmat.T) + (cmat * cmat).sum(axis=1)
+        return np.argmin(d, axis=1)
+
+    rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows if r["embedding"] is not None])
+    m = np.array(
+        [r["embedding"] for r in rows if r["embedding"] is not None],
+        dtype=np.float64,
+    )
+    nrm = np.linalg.norm(m, axis=1)
+    ok = nrm > 0
+    ids, m, nrm = ids[ok], m[ok], nrm[ok]
+    cid = assign(m)
+    nm = m / nrm[:, None]
+    is_store, is_batch = ids % 2 == 0, ids % 2 == 1
+    n_checked = 0
+    for k in np.nonzero(is_batch)[0]:
+        mates = is_store & (cid == cid[k])
+        cos = np.round(nm[mates] @ nm[k], 6)
+        qual = cos >= 0.3
+        if qual.any():
+            # best match: highest cosine, ties → lowest id (ids are
+            # ascending inside the mates slice)
+            best = np.lexsort((ids[mates][qual], -cos[qual]))[0]
+            want = ("semantic_dup", int(ids[mates][qual][best]))
+        else:
+            want = ("unique", None)
+        assert got[int(ids[k])] == want, ids[k]
+        n_checked += 1
+    assert n_checked > 0

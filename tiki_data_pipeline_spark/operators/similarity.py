@@ -636,6 +636,111 @@ def ivf_topk(
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float,
+    n_centroids: int = 16,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    row_block: int = 1024,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus with the deterministic
+    k-means quantizer, then within each cluster drop every vector
+    that has a LOWER-id cluster-mate with cosine ≥ ``threshold``.
+
+    Returns one row per input vector:
+    ``(vec_id, cid, status, matched_id)`` where status is
+
+    - ``kept``          — cluster exemplar (no lower-id near-twin)
+    - ``semantic_dup``  — ``matched_id`` = the LOWEST-id qualifying
+      cluster-mate (deterministic canonical representative)
+    - ``no_vector``     — NULL / zero-norm embedding (cid NULL);
+      mirrors ``lsh_index_dedup_status``'s contract — such rows are
+      surfaced, never silently reported unique.
+
+    Scale shape: the only corpus-wide work is one nearest-centroid
+    assignment pass (Arrow-batched matmul against a broadcast-sized
+    k×dim matrix) plus ONE shuffle on ``cid``; the O(|c|²) pairwise
+    cosine runs per cluster as a numpy gram matrix, row-blocked so
+    memory is O(row_block·|c|), and ids are compared sorted so the
+    min-id match is the FIRST hit. With ``auto_n_centroids`` sizing
+    (k ≈ √n) expected per-cluster work is O(n) overall — the
+    SemDeDup contract. A pathological mega-cluster is an AQE
+    skew-split on the cid exchange, same as the hot-band case.
+
+    Cosine is ``np.round(·, 4)`` before the compare — the proven
+    cross-engine parity convention of ``near_dup_pairs``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    base = embeddings.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", _norm(F.col("v")))
+    valid = base.filter(F.col("v").isNotNull() & (F.col("nrm") > 0))
+    if centroids is None:
+        centroids = ivf_train(
+            embeddings, k=n_centroids, id_col=id_col, vec_col=vec_col
+        )
+    assigned = assign_to_centroids(
+        valid.select("id", "v"), centroids
+    ).join(valid, "id")
+
+    thr = float(threshold)
+    blk = max(1, int(row_block))
+
+    def dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        m = np.array(list(pdf["v"]), dtype=np.float64)
+        nm = m / np.linalg.norm(m, axis=1, keepdims=True)
+        n = len(nm)
+        matched = np.full(n, -1, dtype=np.int64)
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        for i0 in range(1, n, blk):
+            i1 = min(i0 + blk, n)
+            # rows i0:i1 vs ALL strictly-lower-sorted rows 0:i1-1
+            cos = np.round(nm[i0:i1] @ nm[: i1 - 1].T, 4)
+            for li in range(i1 - i0):
+                gi = i0 + li
+                hit = cos[li, :gi] >= thr
+                if hit.any():
+                    # ids ascend with the sort → first hit = min id
+                    matched[gi] = ids[int(np.argmax(hit))]
+        return pd.DataFrame(
+            {
+                "id": ids,
+                "cid": pdf["cid"].to_numpy(dtype=np.int32),
+                "matched_id": pd.array(
+                    [None if x < 0 else int(x) for x in matched],
+                    dtype="Int64",
+                ),
+            }
+        )
+
+    decided = assigned.groupBy("cid").applyInPandas(
+        dedup_cluster, schema="id long, cid int, matched_id long"
+    )
+    no_vec = base.filter(
+        F.col("v").isNull() | (F.col("nrm") <= 0) | F.isnan("nrm")
+    ).select(
+        F.col("id").alias(id_col),
+        F.lit(None).cast("int").alias("cid"),
+        F.lit("no_vector").alias("status"),
+        F.lit(None).cast("long").alias("matched_id"),
+    )
+    dec = decided.select(
+        F.col("id").alias(id_col),
+        "cid",
+        F.when(F.col("matched_id").isNotNull(), F.lit("semantic_dup"))
+        .otherwise(F.lit("kept"))
+        .alias("status"),
+        "matched_id",
+    )
+    return dec.unionByName(no_vec)
+
+
 def label_centroid_stats(
     embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
@@ -1607,6 +1712,104 @@ def append_ivf_index(
     meta = read_store_meta(path) or {}
     if "n_rows" in meta:
         update_store_meta(path, {"n_rows": int(meta["n_rows"]) + int(n_delta)})
+
+
+def ivf_semantic_dedup_status(
+    spark,
+    index_path: str,
+    new_embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental SemDeDup against a persisted IVF index: the
+    cluster-structured twin of ``lsh_index_dedup_status``. The batch
+    is assigned to the STORE's frozen quantizer (``_centroids``) and
+    each vector is compared against its home inverted list only —
+    SemDeDup's within-cluster rule (:func:`semantic_dedup`) applied
+    delta-vs-store instead of corpus-wide.
+
+    Returns one row per batch vector ``(id, status, matched_id)``:
+
+    - ``semantic_dup`` — some store vector in the same cluster has
+      ``round(cos, 6) ≥ threshold``; ``matched_id`` = the best such
+      match (highest cosine, ties → lowest store id)
+    - ``unique``      — no qualifying cluster-mate
+    - ``no_vector``   — NULL / zero-norm embedding (family contract:
+      surfaced, never coalesced to unique)
+
+    Scale shape: a ``cid`` equi-join with the delta-sized batch on
+    one side — no hint, per repo convention AQE broadcasts it while
+    it is small (the store is then never shuffled) and falls back to
+    a shuffle join for a huge backfill batch. On the cid-partitioned
+    layout the join key is the partition key, so the scan prunes to
+    the batch's home lists. Per batch vector the work is one
+    inverted list (~n/k rows), the same serving cost as an
+    ``nprobe=1`` ANN probe; cosine is scored JVM-side (spillable),
+    vectors never replicate through Python.
+    """
+    from pyspark.sql import Window as W
+
+    from tiki_data_pipeline_spark.sources.files import check_store_meta
+
+    check_store_meta(index_path, {"kind": "ivf"})
+    centroids = spark.read.parquet(index_path.rstrip("/") + "/_centroids")
+    valid = _ivf_index_rows(new_embeddings, id_col, vec_col)
+    assigned = assign_to_centroids(valid.select("id", "v"), centroids).join(
+        valid, "id"
+    )
+    index = _with_nrm(spark.read.parquet(index_path))
+    batch = assigned.select(
+        F.col("id").alias("new_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "cid",
+    )
+    scored = (
+        index.select(F.col("id").alias("old_id"), "v", "nrm", "cid")
+        .join(batch, "cid")
+        .filter(F.col("old_id") != F.col("new_id"))
+        .select(
+            "new_id",
+            "old_id",
+            F.round(
+                _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
+            ).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+        # at-least-once append contract: a store MAY hold duplicate id
+        # rows after a retried append — dedup the (small) hit set
+        .dropDuplicates(["new_id", "old_id"])
+    )
+    w = W.partitionBy("new_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("old_id").asc()
+    )
+    hits = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("new_id").alias(id_col),
+            F.lit("semantic_dup").alias("status"),
+            F.col("old_id").alias("matched_id"),
+        )
+    )
+    no_vec = F.col(vec_col).isNull() | (
+        F.coalesce(_norm(as_double(F.col(vec_col))), F.lit(0.0)) <= 0
+    )
+    return (
+        new_embeddings.select(id_col, no_vec.alias("_no_vec"))
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(
+                F.col("status"),
+                F.when(F.col("_no_vec"), F.lit("no_vector")).otherwise(
+                    F.lit("unique")
+                ),
+            ).alias("status"),
+            "matched_id",
+        )
+    )
 
 
 def ivf_drift_report(

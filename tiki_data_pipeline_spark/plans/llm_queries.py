@@ -1103,36 +1103,46 @@ def _ivf_centroids_cached(
 _IVF_ORACLE_CACHE: dict[str, str] = {}
 
 
-def _ivf_oracle(sf_dir: str) -> str:
-    sql = _IVF_ORACLE_CACHE.get(sf_dir)
-    if sql is not None:
-        return sql
+def _centroid_literals(
+    sf_dir: str, k: int = 16, where: str = "TRUE"
+) -> str:
+    """Render the deterministic k-means centroids for ``sf_dir``'s
+    embeddings table (optionally a ``where``-filtered slice of it) as
+    a DuckDB VALUES literal list ``(cid, cv)`` — shared by every
+    clustering oracle (IVF ANN, semantic dedup)."""
     import duckdb
     import numpy as np
 
     con = duckdb.connect()
     src = f"read_parquet('{sf_dir}/embeddings.parquet')"
     (n,) = con.execute(
-        f"SELECT count(*) FROM {src} WHERE embedding IS NOT NULL"
+        f"SELECT count(*) FROM {src} WHERE embedding IS NOT NULL AND {where}"
     ).fetchone()
     if n > SIM.IVF_TRAIN_SAMPLE:
         # ivf_train's xxhash64-ordered sample is Spark-specific; the
         # driver/test corpora are all <= the sample size, where the
         # sample provably equals the whole table in id order.
         raise NotImplementedError(
-            "literal-centroid IVF oracle requires corpus <= train_sample"
+            "literal-centroid oracle requires corpus <= train_sample"
         )
     rows = con.execute(
         f"SELECT embedding::DOUBLE[] FROM {src} "
-        "WHERE embedding IS NOT NULL ORDER BY vec_id"
+        f"WHERE embedding IS NOT NULL AND {where} ORDER BY vec_id"
     ).fetchall()
     con.close()
     m = np.array([r[0] for r in rows], dtype=np.float64)
-    cents = SIM.lloyd_centroids(m, k=16, iters=2)
-    lits = ", ".join(
+    cents = SIM.lloyd_centroids(m, k=k, iters=2)
+    return ", ".join(
         "(%d, [%s]::DOUBLE[])" % (i, ", ".join(repr(float(x)) for x in c))
         for i, c in enumerate(cents)
     )
+
+
+def _ivf_oracle(sf_dir: str) -> str:
+    sql = _IVF_ORACLE_CACHE.get(sf_dir)
+    if sql is not None:
+        return sql
+    lits = _centroid_literals(sf_dir, k=16)
     sql = f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
                WHERE embedding IS NOT NULL),
@@ -1203,6 +1213,153 @@ def embedding_ann_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id").isin(_QUERY_IDS))
     return SIM.ivf_index_topk(
         spark, _ivf_index_cached(spark, sf_dir), queries, k=5, nprobe=2
+    )
+
+
+# SemDeDup (cluster → within-cluster cosine prune): same deterministic
+# quantizer as IVF, so the same literal-centroid rendering pins the
+# cluster assignment, and the keep/drop rule (lower-id cluster-mate
+# with ROUND(cos,4) ≥ t) is exactly SQL-expressible.
+# 0.30 picked against the synthetic fixtures: ~1% of within-cluster
+# pairs qualify (191 dups at sf0.01) and the nearest ROUND(cos,4)
+# value is ≥ 1e-4 from the threshold at sf0.001/0.01 (no cross-engine
+# tie exposure; 0.35 sat exactly ON a rounded pair value).
+_SEMANTIC_THRESHOLD = 0.30
+_SEMANTIC_ORACLE_CACHE: dict = {}  # sf_dir or ("ivf", sf_dir) → SQL
+
+
+def _semantic_dedup_oracle(sf_dir: str) -> str:
+    sql = _SEMANTIC_ORACLE_CACHE.get(sf_dir)
+    if sql is not None:
+        return sql
+    lits = _centroid_literals(sf_dir, k=16)
+    sql = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+          FROM e),
+    valid AS (SELECT vec_id, v FROM n WHERE v IS NOT NULL AND nrm > 0),
+    c AS (SELECT * FROM (VALUES {lits}) AS t(cid, cv)),
+    assigned AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT valid.vec_id, valid.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY valid.vec_id
+                 ORDER BY list_distance(valid.v, c.cv) ASC, c.cid ASC) AS rn
+        FROM valid CROSS JOIN c) t WHERE rn = 1),
+    m AS (
+      SELECT a.vec_id, MIN(b.vec_id) AS matched_id
+      FROM assigned a JOIN assigned b
+        ON a.cid = b.cid AND b.vec_id < a.vec_id
+       AND ROUND(list_cosine_similarity(a.v, b.v), 4) >= {_SEMANTIC_THRESHOLD}
+      GROUP BY a.vec_id)
+    SELECT n.vec_id,
+      CAST(a.cid AS INTEGER) AS cid,
+      CASE WHEN a.vec_id IS NULL THEN 'no_vector'
+           WHEN m.matched_id IS NOT NULL THEN 'semantic_dup'
+           ELSE 'kept' END AS status,
+      CAST(m.matched_id AS BIGINT) AS matched_id
+    FROM n LEFT JOIN assigned a USING (vec_id) LEFT JOIN m USING (vec_id)
+    """
+    _SEMANTIC_ORACLE_CACHE[sf_dir] = sql
+    return sql
+
+
+@query("embedding_semantic_dedup", oracle=_semantic_dedup_oracle)
+def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup: k-means cluster (shared IVF quantizer)
+    then keep-lowest-id within-cluster cosine pruning at 0.30.
+    Oracle: literal-centroid assignment + SQL re-statement of the
+    keep/drop rule (_semantic_dedup_oracle)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.semantic_dedup(
+        emb,
+        threshold=_SEMANTIC_THRESHOLD,
+        centroids=_ivf_centroids_cached(spark, sf_dir),
+    )
+
+
+# Incremental SemDeDup: odd-id delta statused against the persisted
+# even-id IVF index. The store's quantizer is trained on the EVEN
+# slice (frozen at build), so the oracle renders centroids from that
+# slice and re-assigns both sides by literal argmin.
+def _ivf_even_index_cached(spark: SparkSession, sf_dir: str) -> str:
+    return _session_index(
+        spark,
+        sf_dir,
+        "ivf_even",
+        lambda p: SIM.write_ivf_index(
+            load_table(spark, sf_dir, "embeddings").filter(
+                F.col("vec_id") % 2 == 0
+            ),
+            p,
+        ),
+    )
+
+
+def _ivf_semantic_oracle(sf_dir: str) -> str:
+    sql = _SEMANTIC_ORACLE_CACHE.get(("ivf", sf_dir))
+    if sql is not None:
+        return sql
+    lits = _centroid_literals(sf_dir, k=16, where="vec_id % 2 = 0")
+    sql = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+          FROM e),
+    c AS (SELECT * FROM (VALUES {lits}) AS t(cid, cv)),
+    store AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT n.vec_id, n.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                 ORDER BY list_distance(n.v, c.cv) ASC, c.cid ASC) AS rn
+        FROM n CROSS JOIN c
+        WHERE n.vec_id % 2 = 0 AND n.v IS NOT NULL AND n.nrm > 0
+      ) t WHERE rn = 1),
+    batch AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT n.vec_id, n.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                 ORDER BY list_distance(n.v, c.cv) ASC, c.cid ASC) AS rn
+        FROM n CROSS JOIN c
+        WHERE n.vec_id % 2 = 1 AND n.v IS NOT NULL AND n.nrm > 0
+      ) t WHERE rn = 1),
+    hits AS (
+      SELECT vec_id, matched_id FROM (
+        SELECT b.vec_id, s.vec_id AS matched_id,
+               ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(b.v, s.v), 6) DESC,
+                          s.vec_id ASC) AS rn
+        FROM batch b JOIN store s USING (cid)
+        WHERE ROUND(list_cosine_similarity(b.v, s.v), 6)
+              >= {_SEMANTIC_THRESHOLD}
+      ) t WHERE rn = 1)
+    SELECT bb.vec_id,
+      CASE WHEN h.matched_id IS NOT NULL THEN 'semantic_dup'
+           WHEN bb.v IS NULL OR bb.nrm <= 0 OR isnan(bb.nrm)
+             THEN 'no_vector'
+           ELSE 'unique' END AS status,
+      h.matched_id
+    FROM (SELECT * FROM n WHERE vec_id % 2 = 1) bb
+    LEFT JOIN hits h USING (vec_id)
+    """
+    _SEMANTIC_ORACLE_CACHE[("ivf", sf_dir)] = sql
+    return sql
+
+
+@query("embedding_ivf_semantic_dedup", oracle=_ivf_semantic_oracle)
+def embedding_ivf_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup: the odd-id delta assigned to the
+    persisted even-id IVF index's frozen quantizer and statused
+    against its home inverted list only (semantic_dup / unique /
+    no_vector). Oracle: literal centroids trained on the even slice
+    + SQL re-statement of the within-cluster rule."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    return SIM.ivf_semantic_dedup_status(
+        spark,
+        _ivf_even_index_cached(spark, sf_dir),
+        batch,
+        threshold=_SEMANTIC_THRESHOLD,
     )
 
 
@@ -1277,6 +1434,7 @@ SESSION_BUILDS: dict = {
     "lsh_even_index": lambda spark, sf_dir: _emb_even_index_cached(spark, sf_dir),
     "ivf_centroids": lambda spark, sf_dir: _ivf_centroids_cached(spark, sf_dir),
     "ivf_index": lambda spark, sf_dir: _ivf_index_cached(spark, sf_dir),
+    "ivf_even_index": lambda spark, sf_dir: _ivf_even_index_cached(spark, sf_dir),
 }
 
 

@@ -55,7 +55,23 @@ def norm(rows, cols):
     return hashlib.md5("\x1e".join(out).encode()).hexdigest()
 
 queries = entrymod.queries()
-oracles = entrymod.oracle_sql()
+if SF_DIR == entrymod.DRIVER_SF_DIR:
+    oracles = entrymod.oracle_sql()
+else:
+    # oracle_sql() renders callable oracles (data-derived literals,
+    # e.g. k-means centroids) against the REAL driver's sf0.01; when
+    # mini-driving another SF, render them against that SF instead or
+    # the literals come from the wrong table.
+    from tiki_data_pipeline_spark.plans.queries import ORACLES
+
+    oracles = {}
+    for n, o in ORACLES.items():
+        if callable(o):
+            try:
+                o = o(SF_DIR)
+            except Exception:
+                continue
+        oracles[n] = o
 names = [n for n in queries if not ONLY or n in ONLY]
 fails = []
 for name in names:

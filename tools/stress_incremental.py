@@ -319,6 +319,32 @@ def run_level(spark, n: int) -> dict:
     out["ivf_retrain"] = rec["retrain"]
     out["ivf_dist_ratio"] = rec["dist_ratio"]
 
+    # 3b. SemDeDup semantic dedup over the FULL corpus (one k-means
+    # assignment pass + per-cluster gram matrices; k ≈ √n via
+    # auto_n_centroids keeps expected per-cluster pair work ~O(n^1.5)
+    # total). The planted slice (rep % 50 == 1 twins of the rep-0
+    # base, cosine ≈ 1) must be flagged semantic_dup at 0.9 — a
+    # recall pin on the quantizer co-clustering near-identical pairs.
+    k_sem = SIM.auto_n_centroids(out["vecs"])
+    t0 = time.perf_counter()
+    sem_cents = SIM.ivf_train(emb, k=k_sem)
+    sem = SIM.semantic_dedup(emb, threshold=0.9, centroids=sem_cents)
+    sem_counts = {
+        r["status"]: r["cnt"]
+        for r in sem.groupBy("status").agg(F.count("*").alias("cnt")).collect()
+    }
+    out["semantic_dedup_s"] = round(time.perf_counter() - t0, 2)
+    out["semantic_k"] = k_sem
+    out["semantic_dups"] = sem_counts.get("semantic_dup", 0)
+    planted_twins = emb.filter(
+        (vec_base % 100 == 8) & (vec_rep % 50 == 1)
+    ).count()
+    out["semantic_planted"] = planted_twins
+    assert out["semantic_dups"] >= 0.9 * planted_twins, (
+        f"semantic dedup missed planted twins: "
+        f"{out['semantic_dups']} < 0.9*{planted_twins}"
+    )
+
     # 4. K successive appends, then compaction
     t0 = time.perf_counter()
     for a in range(APPENDS):
