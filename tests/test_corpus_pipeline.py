@@ -124,3 +124,68 @@ def test_corpus_pipeline_embedding_branch(spark, tmp_path):
     assert again["unique"] == 1
     assert again["no_vector"] == 1
     assert again["bucket_stats"]["rows"] == 3
+
+
+def test_corpus_pipeline_semantic_stage(spark, tmp_path):
+    """SemDeDup stage composed after the near-dup fence: a vector
+    that PASSES the LSH fence (cos < 0.99 to everything stored) but
+    is semantically redundant (cos >= 0.8 to a stored cluster-mate)
+    is appended to the LSH store yet kept OUT of the IVF store — the
+    two stores intentionally diverge (fence vs curated corpus)."""
+    base = [1.0, 0.0, 0.0, 0.0]
+    orth = [0.0, 1.0, 0.0, 0.0]
+    semi = [0.9, 0.4, 0.0, 0.0]  # cos to base ≈ 0.914: fence-unique, semantically dup
+    novel = [0.0, 0.0, 1.0, 0.0]
+    pipe = CorpusPipeline(spark, str(tmp_path))
+
+    boot = pipe.run_embeddings(
+        spark.createDataFrame(
+            [(0, base), (2, orth)], "vec_id long, embedding array<double>"
+        ),
+        threshold=0.99,
+        semantic_threshold=0.8,
+    )
+    assert boot["semantic"]["bootstrap"] is True
+    assert boot["semantic"]["appended"] == 2
+
+    inc = pipe.run_embeddings(
+        spark.createDataFrame(
+            [(10, semi), (12, novel)], "vec_id long, embedding array<double>"
+        ),
+        threshold=0.99,
+        semantic_threshold=0.8,
+    )
+    assert inc["unique"] == 2 and inc["appended"] == 2  # both pass the fence
+    sem = inc["semantic"]
+    assert sem["semantic_dup"] == 1 and sem["unique"] == 1
+    assert sem["appended"] == 1
+    assert isinstance(sem["retrain"], bool)
+
+    status = {
+        r["vec_id"]: (r["status"], r["matched_id"])
+        for r in spark.read.parquet(str(tmp_path / "semantic_status")).collect()
+    }
+    assert status[10] == ("semantic_dup", 0)
+    assert status[12] == ("unique", None)
+
+    lsh_ids = {
+        r["id"] for r in spark.read.parquet(str(tmp_path / "lsh_index")).collect()
+    }
+    ivf_ids = {
+        r["id"] for r in spark.read.parquet(str(tmp_path / "ivf_index")).collect()
+    }
+    assert lsh_ids == {0, 2, 10, 12}
+    assert ivf_ids == {0, 2, 12}
+
+    # idempotent re-run: everything already stored or redundant
+    again = pipe.run_embeddings(
+        spark.createDataFrame(
+            [(10, semi), (12, novel)], "vec_id long, embedding array<double>"
+        ),
+        threshold=0.99,
+        semantic_threshold=0.8,
+    )
+    assert again["semantic"]["appended"] == 0
+    assert {
+        r["id"] for r in spark.read.parquet(str(tmp_path / "ivf_index")).collect()
+    } == {0, 2, 12}

@@ -145,6 +145,7 @@ class CorpusPipeline:
         threshold: float = 0.9,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        semantic_threshold: float | None = None,
     ) -> dict:
         """The embedding-store branch of the corpus pipeline — the
         vector counterpart of :meth:`run`, composing the staged
@@ -171,6 +172,17 @@ class CorpusPipeline:
         ``streaming.jobs.incremental_embedding_sink`` (same decide →
         append staging per micro-batch, plus the exactly-once
         decisions log).
+
+        ``semantic_threshold`` adds a SemDeDup stage AFTER the
+        near-dup fence: survivors that are neither exact nor near
+        duplicates are statused against a persisted IVF index
+        (``ivf_semantic_dedup_status`` — frozen quantizer, home-list
+        compare), and only the semantically novel ones are appended
+        to it. The two stores intentionally diverge: the LSH store is
+        the dedup fence (holds every near-dup-unique vector), the IVF
+        store is the semantically deduplicated corpus a training-data
+        selection reads. The report gains per-status semantic counts
+        and the quantizer's retrain recommendation.
         """
         from tiki_data_pipeline_spark.operators import similarity as SIM
 
@@ -226,4 +238,67 @@ class CorpusPipeline:
                 "hot buckets present: rebuild with n_planes='auto' or dedup "
                 "the mega-cluster upstream before serve cost degrades"
             )
+        if semantic_threshold is not None:
+            report["semantic"] = self._run_semantic_stage(
+                survivors, semantic_threshold, id_col, vec_col
+            )
         return report
+
+    def _run_semantic_stage(
+        self,
+        survivors: DataFrame,
+        threshold: float,
+        id_col: str,
+        vec_col: str,
+    ) -> dict:
+        """SemDeDup stage over the near-dup-unique survivors: first
+        call bootstraps the IVF index from them (auto-sized quantizer);
+        later calls status each survivor against its home inverted
+        list and append only the semantically novel ones. Idempotent
+        like the LSH append (store-id anti-join)."""
+        from tiki_data_pipeline_spark.operators import similarity as SIM
+
+        out: dict = {}
+        ivf = self._path("ivf_index")
+        if not os.path.isdir(ivf):
+            SIM.write_ivf_index(
+                survivors,
+                ivf,
+                n_centroids="auto",
+                id_col=id_col,
+                vec_col=vec_col,
+            )
+            out["bootstrap"] = True
+            out["appended"] = self.spark.read.parquet(ivf).count()
+        else:
+            stored = self.spark.read.parquet(ivf).select(
+                F.col("id").alias(id_col)
+            )
+            fresh = survivors.join(stored, id_col, "anti")
+            status = SIM.ivf_semantic_dedup_status(
+                self.spark,
+                ivf,
+                fresh,
+                threshold=threshold,
+                id_col=id_col,
+                vec_col=vec_col,
+            )
+            status = self._write(status, "semantic_status")
+            for row in status.groupBy("status").count().collect():
+                out[row["status"]] = row["count"]
+            novel = fresh.join(
+                status.filter(F.col("status") == "unique").select(id_col),
+                id_col,
+                "semi",
+            )
+            out["appended"] = novel.count()
+            if out["appended"]:
+                SIM.append_ivf_index(
+                    self.spark, novel, ivf, id_col=id_col, vec_col=vec_col
+                )
+            rec = SIM.ivf_retrain_recommendation(
+                self.spark, ivf, fresh, id_col=id_col, vec_col=vec_col
+            )
+            out["retrain"] = rec["retrain"]
+        out["index_dir"] = ivf
+        return out
