@@ -417,3 +417,59 @@ def test_epoch_decisions_reuses_raw_spelling_lineage(spark, tmp_path):
     ).collect()
     assert [(r["doc_id"], r["status"]) for r in got] == [(11, "unique")]
     assert os.path.isdir(dec + f"/run={old_run}/epoch=0")
+
+
+def _run_sem(spark, src, store, ckpt, beats):
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    return jobs.incremental_semantic_sink(stream, store, beats, ckpt, threshold=0.99)
+
+
+def test_incremental_semantic_sink_cross_batch_and_replay(spark, tmp_path):
+    """SemDeDup ingest sink: cross-batch detection against the frozen
+    quantizer's inverted lists, exactly-once decisions on a
+    post-append crash replay, canonical store afterwards."""
+    from tiki_data_pipeline_spark.operators import similarity as SIM
+
+    store = str(tmp_path / "semstore")
+    SIM.write_ivf_index(
+        spark.createDataFrame([(2, VBASE)], "vec_id long, embedding array<float>"),
+        store,
+    )
+    src = _mk_vec_source(tmp_path)
+    ckpt = str(tmp_path / "semckpt")
+
+    class DyingBeats(list):
+        def append(self, item):
+            if item[0] == 1 and not getattr(self, "_died", False):
+                self._died = True
+                raise RuntimeError("injected crash after index append")
+            super().append(item)
+
+    beats = DyingBeats()
+    q = _run_sem(spark, src, store, ckpt, beats)
+    with pytest.raises(Exception):
+        q.awaitTermination(120)
+    assert 25 in {r["id"] for r in spark.read.parquet(store).collect()}
+
+    beats2: list = []
+    q2 = _run_sem(spark, src, store, ckpt, beats2)
+    q2.awaitTermination(120)
+    assert q2.exception() is None
+
+    dec = {
+        r["vec_id"]: (r["status"], r["matched_id"])
+        for r in spark.read.parquet(store + "/_decisions").collect()
+    }
+    # identical vector = cosine 1.0 → semantic_dup (no separate exact
+    # stage in the cluster-structured family)
+    assert dec[13] == ("semantic_dup", 2)
+    assert dec[11] == ("unique", None), "replayed epoch flipped its own vector"
+    assert dec[21] == ("semantic_dup", 11), "store did not grow between batches"
+    assert dec[25] == ("unique", None)
+    assert dec[27] == ("unique", None)
+    ids = sorted(r["id"] for r in spark.read.parquet(store).collect())
+    assert ids == [2, 11, 25], f"store not canonical after replay: {ids}"

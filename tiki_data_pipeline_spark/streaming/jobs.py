@@ -540,3 +540,75 @@ def incremental_embedding_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def incremental_semantic_sink(
+    vectors: DataFrame,
+    index_path: str,
+    statuses: list,
+    checkpoint_dir: str,
+    threshold: float = 0.9,
+):
+    """Continuous SemDeDup ingest — the cluster-structured sibling of
+    :func:`incremental_embedding_sink`: each micro-batch is statused
+    against the persisted IVF index's frozen quantizer
+    (``similarity.ivf_semantic_dedup_status`` — home inverted list
+    only, cid partition pruning), decisions land in the same
+    exactly-once, replay-stable ``_decisions`` log, and only the
+    semantically NOVEL vectors are appended to their inverted lists —
+    the store stays the curated (semantically deduplicated) corpus
+    while it grows. The caller bootstraps the store once with
+    ``similarity.write_ivf_index`` (the quantizer is frozen at build;
+    ``ivf_drift_report`` / ``ivf_retrain_recommendation`` monitor
+    when it needs retraining — an offline decision, not an ingest
+    one). Within-batch identical vectors collapse to one min-id
+    survivor; within-batch *semantic* twins both pass (same contract
+    as the LSH sink, which also only collapses identical content —
+    the next epoch's batch dedups against whichever entered the
+    store). NULL / zero-norm vectors status ``no_vector`` and are
+    never appended.
+    """
+    from tiki_data_pipeline_spark.operators import similarity as SIM
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint()  # pin the micro-batch once
+        status = _epoch_decisions(
+            spark,
+            index_path,
+            epoch_id,
+            batch_df,
+            "vec_id",
+            lambda: SIM.ivf_semantic_dedup_status(
+                spark, index_path, batch_df, threshold=threshold
+            ),
+            _run_lineage(checkpoint_dir),
+            fallback_runs=_lineage_fallbacks(checkpoint_dir),
+        )
+        uniq = batch_df.join(
+            status.filter(F.col("status") == "unique").select("vec_id"),
+            "vec_id",
+            "semi",
+        )
+        survivors = (
+            uniq.groupBy("embedding")
+            .agg(F.min("vec_id").alias("vec_id"))
+            .select("vec_id")
+        )
+        stored_ids = spark.read.parquet(index_path).select(
+            F.col("id").alias("vec_id")
+        )
+        to_add = (
+            uniq.join(survivors, "vec_id", "semi")
+            .join(stored_ids, "vec_id", "anti")
+            .dropDuplicates(["vec_id"])
+        )
+        SIM.append_ivf_index(spark, to_add, index_path)
+        statuses.append((epoch_id, status.count()))
+
+    return (
+        vectors.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
