@@ -183,3 +183,34 @@ def test_redact_pii_idempotent_on_redacted_text(spark):
     pairs = once.select("doc_id", "text", twice_expr.alias("text2")).collect()
     for r in pairs:
         assert r["text"] == r["text2"], r["doc_id"]
+
+
+def test_dsir_weights_favor_target_distribution(spark):
+    """DSIR sanity: documents FROM the target slice (en) must score a
+    higher mean log-weight than the rest, and Gumbel-top-k selection
+    must enrich the sample's en-share above the corpus base rate."""
+    from tiki_data_pipeline_spark.io import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    target = docs.filter(F.col("lang") == "en")
+    w = CU.dsir_log_weights(docs, target, n_buckets=256).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    means = {
+        r["is_en"]: r["m"]
+        for r in w.filter(F.col("log_weight").isNotNull())
+        .groupBy((F.col("lang") == "en").alias("is_en"))
+        .agg(F.avg("log_weight").alias("m"))
+        .collect()
+    }
+    assert means[True] > means[False]
+
+    n_docs = docs.count()
+    base_rate = target.count() / n_docs
+    sample = CU.dsir_sample(docs, target, n=50, n_buckets=256).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    got = sample.count()
+    assert got == 50
+    en_share = sample.filter(F.col("lang") == "en").count() / got
+    assert en_share > base_rate

@@ -338,3 +338,126 @@ def redact_pii(
         F.md5(redacted).alias("redacted_md5"),
         *extra,
     )
+
+
+# ------------------------------------------------------------------
+# DSIR: data selection via importance resampling (Xie et al. 2023,
+# arXiv:2302.03169). Hashed-n-gram bag features; a document's log
+# importance weight is sum_b count_b * ln(p_target[b] / p_raw[b])
+# over its feature buckets, with the two bucket distributions
+# estimated (Laplace-smoothed) from the raw corpus and a target
+# corpus. Selection = Gumbel-top-k over the log weights — here the
+# Gumbel noise is derived from md5(doc_id), so selection is
+# deterministic and reproducible across engines.
+#
+# Scale shape: featurization is one narrow pass per corpus (split +
+# higher-order bigram expression + explode → one map-side-combined
+# groupBy per corpus onto n_buckets rows). The bucket table is tiny
+# (n_buckets rows) and broadcast back onto the per-doc bucket counts;
+# the per-doc weight is one more combine-friendly groupBy. Selection
+# is orderBy().limit() = distributed TakeOrdered, never a global
+# window.
+
+
+def _dsir_grams(text: Column) -> Column:
+    """Unigrams + bigrams of the whitespace-lowered token stream.
+    The token array is materialized by callers BEFORE this expression
+    feeds higher-order functions (NOTES invariant)."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit("_"), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(toks, bigrams)
+
+
+def _dsir_buckets(docs: DataFrame, id_col: str, text_col: str, n_buckets: int) -> DataFrame:
+    """(id, bucket, cnt) hashed-feature bag per document (NULL-text
+    docs contribute no rows). Bucket = md5-derived 56-bit hash of the
+    gram mod n_buckets — bit-reproducible in DuckDB."""
+    grams = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), _dsir_grams(F.col(text_col)).alias("_grams")
+    )
+    return (
+        grams.select("id", F.explode("_grams").alias("g"))
+        .select("id", F.pmod(md5_h56(F.col("g"), "dsir"), F.lit(n_buckets)).alias("bucket"))
+        .groupBy("id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dsir_log_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document DSIR log importance weight of ``docs`` (the raw
+    corpus) toward ``target``'s hashed-n-gram distribution:
+    ``(doc_id, log_weight)``, log_weight rounded to 4 decimals
+    (per-bucket log-ratios rounded to 9 first so both engines sum the
+    same addends). A NULL-text document has no features and carries
+    log_weight NULL — surfaced, not silently zero."""
+    raw_b = _dsir_buckets(docs, id_col, text_col, n_buckets)
+    tgt_b = _dsir_buckets(target, id_col, text_col, n_buckets)
+
+    def dist(b: DataFrame, name: str) -> DataFrame:
+        return b.groupBy("bucket").agg(F.sum("cnt").alias(name))
+
+    totals = (
+        dist(raw_b, "c_raw")
+        .join(dist(tgt_b, "c_tgt"), "bucket", "full")
+        .na.fill({"c_raw": 0, "c_tgt": 0})
+    )
+    n_raw = raw_b.agg(F.sum("cnt")).collect()[0][0] or 0
+    n_tgt = tgt_b.agg(F.sum("cnt")).collect()[0][0] or 0
+    lw = totals.select(
+        "bucket",
+        F.round(
+            F.log((F.col("c_tgt") + 1.0) / F.lit(float(n_tgt + n_buckets)))
+            - F.log((F.col("c_raw") + 1.0) / F.lit(float(n_raw + n_buckets))),
+            9,
+        ).alias("lw"),
+    )
+    per_doc = (
+        raw_b.join(F.broadcast(lw), "bucket")
+        .groupBy("id")
+        .agg(F.round(F.sum(F.col("cnt") * F.col("lw")), 4).alias("log_weight"))
+    )
+    return docs.select(F.col(id_col)).join(
+        per_doc.select(F.col("id").alias(id_col), "log_weight"), id_col, "left"
+    )
+
+
+def dsir_sample(
+    docs: DataFrame,
+    target: DataFrame,
+    n: int,
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gumbel-top-``n`` DSIR selection: sampling without replacement
+    with inclusion odds ∝ exp(log_weight) (the Gumbel-max trick),
+    made deterministic by deriving the Gumbel noise from
+    md5('dsir_g:' || doc_id). Returns ``(doc_id, log_weight,
+    sample_key)`` for the selected documents; NULL-weight (no-text)
+    docs are never selected. orderBy().limit() keeps selection a
+    distributed TakeOrdered."""
+    u = (md5_h56(F.col(id_col).cast("string"), "dsir_g") + 0.5) / F.lit(
+        float(_H56_MAX)
+    )
+    gumbel = -F.log(-F.log(u))
+    return (
+        dsir_log_weights(docs, target, n_buckets, id_col, text_col)
+        .filter(F.col("log_weight").isNotNull())
+        .withColumn("sample_key", F.round(F.col("log_weight") + gumbel, 4))
+        .orderBy(F.col("sample_key").desc(), F.col(id_col).asc())
+        .limit(n)
+    )

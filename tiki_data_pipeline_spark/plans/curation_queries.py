@@ -425,3 +425,86 @@ def corpus_composition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(_nt div _at AS BIGINT) AS token_ppm",
         )
     )
+
+
+# ------------------------------------------------------------- DSIR
+# Hashed-n-gram importance weights toward the English slice of the
+# corpus (Xie et al. 2023); 256 buckets for the fixture corpus. The
+# whole computation is md5-hashing, joins, logs and rounded sums, so
+# the oracle restates it exactly.
+_DSIR_K = 256
+_DSIR_GRAMS = f"""
+  SELECT doc_id, UNNEST(list_concat(t, bi)) AS g FROM (
+    SELECT doc_id, t,
+           CASE WHEN len(t) >= 2
+                THEN list_transform(range(1, len(t)),
+                                    i -> t[i] || '_' || t[i + 1])
+                ELSE CAST([] AS VARCHAR[]) END AS bi
+    FROM (SELECT doc_id, {_TOKS} AS t FROM documents
+          WHERE text IS NOT NULL {{extra}}) )
+"""
+_DSIR_SQL = f"""
+    WITH raw_g AS ({_DSIR_GRAMS.format(extra="")}),
+    tgt_g AS ({_DSIR_GRAMS.format(extra="AND lang = 'en'")}),
+    raw_b AS (
+      SELECT doc_id,
+             {_H56.format(key="'dsir:' || g")} % {_DSIR_K} AS bucket,
+             COUNT(*) AS cnt
+      FROM raw_g GROUP BY 1, 2),
+    tgt_b AS (
+      SELECT {_H56.format(key="'dsir:' || g")} % {_DSIR_K} AS bucket,
+             COUNT(*) AS cnt
+      FROM tgt_g GROUP BY 1),
+    dist AS (
+      SELECT COALESCE(r.bucket, t.bucket) AS bucket,
+             COALESCE(r.c_raw, 0) AS c_raw, COALESCE(t.cnt, 0) AS c_tgt
+      FROM (SELECT bucket, SUM(cnt) AS c_raw FROM raw_b GROUP BY 1) r
+      FULL JOIN tgt_b t ON r.bucket = t.bucket),
+    lw AS (
+      SELECT bucket,
+             ROUND(ln((c_tgt + 1.0) /
+                      ((SELECT SUM(cnt) FROM tgt_b) + {_DSIR_K}))
+                 - ln((c_raw + 1.0) /
+                      ((SELECT SUM(cnt) FROM raw_b) + {_DSIR_K})), 9) AS lw
+      FROM dist),
+    per_doc AS (
+      SELECT r.doc_id, ROUND(SUM(r.cnt * l.lw), 4) AS log_weight
+      FROM raw_b r JOIN lw l USING (bucket) GROUP BY 1)
+    SELECT d.doc_id, p.log_weight
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+@query("doc_dsir_weights", oracle=_DSIR_SQL)
+def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR log importance weight of every document toward the
+    English-slice target distribution (hashed uni+bigram features,
+    256 buckets, Laplace smoothing)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return CU.dsir_log_weights(
+        docs, docs.filter(F.col("lang") == "en"), n_buckets=_DSIR_K
+    )
+
+
+@query(
+    "doc_dsir_sample",
+    oracle=f"""
+    WITH w AS ({_DSIR_SQL}),
+    keyed AS (
+      SELECT doc_id, log_weight,
+             ROUND(log_weight
+                   - ln(-ln(({_H56.format(key="'dsir_g:' || CAST(doc_id AS VARCHAR)")}
+                             + 0.5) / {_H56_MAX}.0)), 4) AS sample_key
+      FROM w WHERE log_weight IS NOT NULL)
+    SELECT doc_id, log_weight, sample_key FROM keyed
+    ORDER BY sample_key DESC, doc_id ASC LIMIT 20
+    """,
+)
+def doc_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel-top-20 DSIR selection (deterministic md5-derived Gumbel
+    noise): the 20 documents importance-resampled toward the English
+    target distribution."""
+    docs = load_table(spark, sf_dir, "documents")
+    return CU.dsir_sample(
+        docs, docs.filter(F.col("lang") == "en"), n=20, n_buckets=_DSIR_K
+    )
