@@ -194,6 +194,20 @@ def run_level(spark, n: int) -> dict:
     )
     out["delta_decide2_s"] = round(time.perf_counter() - t0, 2)
 
+    # 2b. DSIR importance weights over the full replicated corpus
+    # (target = the en slice). One featurize pass per corpus, bucket
+    # table broadcast; must scale ~linearly in total token count.
+    from tiki_data_pipeline_spark.operators import curation as CU
+
+    t0 = time.perf_counter()
+    dsir = CU.dsir_log_weights(docs, docs.filter(F.col("lang") == "en"))
+    out["dsir_mean_en"] = round(
+        dsir.join(docs.select("doc_id", "lang"), "doc_id")
+        .filter(F.col("lang") == "en")
+        .agg(F.avg("log_weight")).collect()[0][0], 4,
+    )
+    out["dsir_weights_s"] = round(time.perf_counter() - t0, 2)
+
     # 3. embedding incremental near-dup vs persisted LSH index
     emb = load_table(spark, dst, "embeddings")
     out["vecs"] = emb.count()
