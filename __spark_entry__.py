@@ -44,17 +44,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries (SemDeDup semantic dedup, span-removal),
 # (b) embedding_incremental_dedup_status, whose implementation changed
 # in r8 (exact-stage short-circuit + scale-safe probe defaults), and
-# (c) one r4-cohort representative. 7 + 47 = 54 puts the last FOUR
-# rotation entries (events_sessionization, events_sliding_windows,
-# events_tumbling_windows, events_windowed_topk) past the 50-slot
-# window; all four were mini-driver re-verified green this round
-# (full-registry sweep on current code).
+# (c) one r4-cohort representative. 11 + 47 = 58 puts the last EIGHT
+# rotation entries (embedding_knn_classify through events_windowed_topk)
+# past the 50-slot window; all were mini-driver re-verified green this
+# round (full-registry sweep on current code).
 _SENTINELS = [
     "embedding_semantic_dedup",             # NEW r8: SemDeDup clustering dedup
     "embedding_ivf_semantic_dedup",         # NEW r8: incremental SemDeDup
     "doc_dsir_weights",                     # NEW r8: DSIR importance weights
     "doc_dsir_sample",                      # NEW r8: DSIR Gumbel-top-k select
     "doc_span_removal",                     # NEW r8: span-level dedup removal
+    "doc_line_dedup_removal",               # NEW r8: C4-style line dedup cut
+    "doc_source_frequency_cap",             # NEW r8: per-source cap lottery
+    "doc_shard_assignment",                 # NEW r8: training shard shuffle
+    "corpus_quantile_profile",              # NEW r8: length-quantile card
     "embedding_incremental_dedup_status",   # r8: short-circuit + auto defaults
     "scd2_dimension_apply",                 # r4-cohort representative
 ]

@@ -214,3 +214,68 @@ def test_dsir_weights_favor_target_distribution(spark):
     assert got == 50
     en_share = sample.filter(F.col("lang") == "en").count() / got
     assert en_share > base_rate
+
+
+def test_source_frequency_cap_keeps_at_most_cap(spark):
+    """Every source keeps exactly min(cap, size) docs; ranks are a
+    permutation of 1..size per source; the lottery is deterministic
+    across invocations."""
+    rows = [(i, f"doc {i}", "src%d" % (i % 3)) for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = CU.source_frequency_cap(docs, cap=4, source_col="source")
+    per = {
+        r["source"]: (r["n"], r["kept_n"], r["rank_set"])
+        for r in out.groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("kept").alias("kept_n"),
+            F.sort_array(F.collect_list("src_rank")).alias("rank_set"),
+        )
+        .collect()
+    }
+    for src, (n, kept_n, ranks) in per.items():
+        assert kept_n == min(4, n), src
+        assert ranks == list(range(1, n + 1)), src
+    again = CU.source_frequency_cap(docs, cap=4, source_col="source")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_shard_assignment_partitions_and_positions(spark):
+    """Shards cover [0, n_shards); positions are 1..size within each
+    shard; the assignment is deterministic and total (every doc
+    exactly once); sizes are hash-balanced (no empty shard at 400/8)."""
+    docs = spark.range(400).withColumnRenamed("id", "doc_id")
+    out = CU.shard_assignment(docs, 8).collect()
+    assert len(out) == 400
+    assert {r["doc_id"] for r in out} == set(range(400))
+    by_shard = {}
+    for r in out:
+        assert 0 <= r["shard"] < 8
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) == set(range(8))
+    for s, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), s
+
+
+def test_quantile_profile_exact_known_values(spark):
+    """p50 of 1..4 token docs is interpolated 2.5 tokens; exact and
+    approx modes agree on the median of a tiny distinct-value set."""
+    from tiki_data_pipeline_spark.operators import textstats as TS
+
+    rows = [
+        (1, "a", "en"),
+        (2, "a b", "en"),
+        (3, "a b c", "en"),
+        (4, "a b c d", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = TS.quantile_profile(docs).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_docs"] == 4
+    assert r["tokens_p50"] == 2.5
+    assert r["tokens_p25"] == 1.75
+    # char counts: 1, 3, 5, 7 -> p50 = 4.0
+    assert r["chars_p50"] == 4.0
+    approx = TS.quantile_profile(docs, exact=False).collect()[0]
+    assert approx["tokens_p50"] in (2.0, 2.5, 3.0)  # sketch picks a sample

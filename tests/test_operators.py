@@ -671,3 +671,48 @@ def test_ivf_semantic_dedup_status_matches_bruteforce(spark, tmp_path):
         assert got[int(ids[k])] == want, ids[k]
         n_checked += 1
     assert n_checked > 0
+
+
+def test_remove_duplicate_lines_boilerplate_cut(spark):
+    """Lines duplicated across >=2 docs are cut (trim-variant
+    spellings collapse to one key); blank lines and unique lines
+    survive in original order; untouched docs pass through with text
+    byte-identical; a pure-boilerplate doc collapses to ''."""
+    docs = spark.createDataFrame(
+        [
+            (1, "keep me\nSHARED FOOTER\nbody one"),
+            (2, "body two\n  SHARED FOOTER  \nkeep me too"),
+            (3, "SHARED FOOTER"),
+            (4, "Untouched Doc\n\nwith blank line"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["cleaned_text"],
+            r["n_lines"],
+            r["n_lines_removed"],
+            r["removed_frac"],
+        )
+        for r in DD.remove_duplicate_lines(docs, min_df=2).collect()
+    }
+    assert len(got) == 4
+    assert got[1] == ("keep me\nbody one", 3, 1, round(1 / 3, 4))
+    assert got[2] == ("body two\nkeep me too", 3, 1, round(1 / 3, 4))
+    assert got[3] == ("", 1, 1, 1.0)
+    # untouched: ORIGINAL text (case/blank line preserved), no rewrite
+    assert got[4] == ("Untouched Doc\n\nwith blank line", 3, 0, 0.0)
+
+
+def test_remove_duplicate_lines_blank_lines_never_dup(spark):
+    """Blank lines appear in many docs but are never counted as
+    duplicates — paragraph structure survives the cut."""
+    docs = spark.createDataFrame(
+        [(1, "alpha\n\nbeta"), (2, "gamma\n\ndelta")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["cleaned_text"]
+        for r in DD.remove_duplicate_lines(docs, min_df=2).collect()
+    }
+    assert got == {1: "alpha\n\nbeta", 2: "gamma\n\ndelta"}

@@ -520,3 +520,30 @@ def pii_docs_df(spark: SparkSession) -> DataFrame:
 
 def pii_docs_cte() -> str:
     return values_cte("pii_docs", PII_DOC_COLUMNS, PII_DOC_ROWS)
+
+
+# --------------------------------------------------------------------------
+# Multi-line documents — line-dedup fixtures (synthetic documents are
+# single-line, so the line-removal query unions these in; boilerplate
+# lines repeat across docs, one has a trim-variant spelling, one doc
+# is pure boilerplate, one keeps a blank line).
+
+LINE_DOC_COLUMNS = [("doc_id", "BIGINT"), ("text", "VARCHAR")]
+
+LINE_DOC_ROWS: list[tuple] = [
+    (9101, "subscribe to our newsletter\nproduct one is great\nall rights reserved"),
+    (9102, "subscribe to our newsletter\nsecond doc body line\nall rights reserved"),
+    (9103, "unique opening line\n subscribe to our newsletter \nclosing thoughts here"),
+    (9104, "totally unique document\n\nwith a blank line kept"),
+    (9105, "all rights reserved"),
+]
+
+
+def line_docs_df(spark: SparkSession) -> DataFrame:
+    return jvm_values_df(
+        spark, [("doc_id", "BIGINT"), ("text", "STRING")], LINE_DOC_ROWS
+    )
+
+
+def line_docs_cte() -> str:
+    return values_cte("line_docs", LINE_DOC_COLUMNS, LINE_DOC_ROWS)

@@ -461,3 +461,64 @@ def dsir_sample(
         .orderBy(F.col("sample_key").desc(), F.col(id_col).asc())
         .limit(n)
     )
+
+
+def source_frequency_cap(
+    docs: DataFrame,
+    cap: int,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """RefinedWeb-style per-source frequency cap: keep at most ``cap``
+    documents per source, chosen by a deterministic md5 lottery
+    (hash-ordered, id tie-break — reproducible across runs and
+    engines, no RNG state). Returns every input row annotated with
+    its lottery rank and a 0/1 ``kept`` flag so callers can audit
+    what a hard filter would drop before dropping it.
+
+    Shape at 100 TB: one shuffle on ``source`` for the rank window.
+    Source cardinality is typically millions (domains), so partitions
+    stay balanced; a single mega-source is exactly what the cap
+    exists to cut, and its window group holds at most the pre-cap
+    rows of ONE source — bounded by that source's size, not the
+    corpus. The reference's crawl planner rate-limits per seller the
+    same way (frequency governance, not quality scoring)."""
+    h = md5_h56(F.col(id_col), "srccap")
+    w = Window.partitionBy(source_col).orderBy(h, F.col(id_col))
+    return docs.select(
+        id_col,
+        source_col,
+        F.row_number().over(w).alias("src_rank"),
+    ).withColumn(
+        "kept", (F.col("src_rank") <= cap).cast("integer")
+    )
+
+
+def shard_assignment(
+    docs: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment for training
+    data writing: every document gets a shard in ``[0, n_shards)``
+    and a position within its shard, both derived from an md5 hash of
+    the id — the classic "shuffle once, read sequentially" layout a
+    trainer expects, reproducible across runs and engines.
+
+    Returns ``(id, shard, pos)`` with ``pos`` 1-based in hash order.
+
+    Shape at 100 TB: one shuffle keyed by ``shard``; within-shard
+    positions come from a row_number window per shard, so each shard
+    is ordered by ONE task — pick ``n_shards`` so a shard's (id,
+    hash) pairs fit an executor (e.g. 100 TB of docs → tens of
+    thousands of shards), which is also what keeps downstream
+    shard files trainer-sized. The hash lottery makes shard sizes
+    uniform to O(√(n/shards)) without a global sort."""
+    h = md5_h56(F.col(id_col), "shard")
+    w = Window.partitionBy("shard").orderBy("_h", F.col(id_col))
+    return (
+        docs.select(F.col(id_col), h.alias("_h"))
+        .withColumn("shard", F.pmod(F.col("_h"), F.lit(n_shards)).cast("int"))
+        .withColumn("pos", F.row_number().over(w))
+        .select(id_col, "shard", "pos")
+    )

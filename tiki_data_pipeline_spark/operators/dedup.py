@@ -1009,3 +1009,97 @@ def remove_duplicate_spans(
             "removed_frac"
         ),
     )
+
+
+def remove_duplicate_lines(
+    docs: DataFrame,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level LINE dedup, removal form (C4 §2.2 / Gopher /
+    RefinedWeb line-wise filtering): drop every line whose trimmed
+    text occurs in ≥ ``min_df`` distinct documents, re-emit the
+    surviving lines joined by ``\\n`` in original order. Returns one
+    row per input document:
+    ``(id, cleaned_text, n_lines, n_lines_removed, removed_frac)``.
+    Blank lines (empty after trim) never count as duplicates and are
+    always kept, so paragraph structure survives. The span-granular
+    sibling is :func:`remove_duplicate_spans`; line granularity is
+    the cheap first pass real pipelines run before it.
+
+    Shape at 100 TB: document frequency is aggregated over a 56-bit
+    line hash, so both shuffles (the df groupBy and the dup-key join
+    back) carry (hash, doc_id) longs, never line text. Documents
+    that lose no line — the common case — pass through as a
+    left-anti projection with their ORIGINAL text untouched and no
+    text shuffle at all; only affected documents have their lines
+    reassembled (array_sort over a collect_list of (pos, line)
+    structs, one shuffle keyed by doc id).
+
+    Reference analogue: the transformer strips fixed boilerplate
+    phrases per row (src/pipelines/transform/transformer.py:600-753);
+    this learns boilerplate lines corpus-wide from document frequency.
+    """
+    from tiki_data_pipeline_spark.operators.curation import md5_h56
+
+    lines = docs.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_p0", "line"),
+    ).select(
+        id_col,
+        (F.col("_p0") + 1).alias("p"),
+        "line",
+        F.when(
+            F.trim(F.col("line")) != "",
+            md5_h56(F.trim(F.col("line")), "line"),
+        ).alias("lh"),
+    )
+    dup_keys = (
+        lines.filter(F.col("lh").isNotNull())
+        .groupBy("lh")
+        .agg(F.count_distinct(F.col(id_col)).alias("line_df"))
+        .filter(F.col("line_df") >= min_df)
+        .select("lh")
+    )
+    affected = (
+        lines.join(dup_keys, "lh", "left_semi").select(id_col).distinct()
+    )
+    untouched = docs.join(affected, id_col, "left_anti").select(
+        id_col,
+        F.col(text_col).alias("cleaned_text"),
+        F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_lines"),
+        F.lit(0).cast("long").alias("n_lines_removed"),
+    )
+    cleaned = (
+        lines.join(affected, id_col, "left_semi")
+        .join(dup_keys.withColumn("_dup", F.lit(1)), "lh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_dup").isNull(),
+                                F.struct(F.col("p"), F.col("line")),
+                            )
+                        )
+                    ),
+                    lambda x: x["line"],
+                ),
+                "\n",
+            ).alias("cleaned_text"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.count("_dup").cast("long").alias("n_lines_removed"),
+        )
+    )
+    return untouched.unionByName(cleaned).select(
+        id_col,
+        "cleaned_text",
+        "n_lines",
+        "n_lines_removed",
+        F.round(F.col("n_lines_removed") / F.col("n_lines"), 4).alias(
+            "removed_frac"
+        ),
+    )

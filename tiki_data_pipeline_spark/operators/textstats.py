@@ -158,3 +158,47 @@ def with_text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("lang_guess", lang_guess(t))
         .withColumn("fingerprint", fingerprint(t))
     )
+
+
+QUANTILE_POINTS = [0.25, 0.5, 0.75, 0.95]
+
+
+def quantile_profile(
+    docs: DataFrame,
+    group_col: str = "lang",
+    exact: bool = True,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group length-distribution profile of the corpus — the
+    dataset card a curation run publishes before filtering: doc
+    count plus interpolated p25/p50/p75/p95 of character and
+    whitespace-token counts. Length quantiles drive truncation /
+    min-length cutoffs (C4 drops <3-sentence pages; Gopher cuts on
+    token-count bands), so they are computed FIRST, on the raw corpus.
+
+    ``exact=True`` uses exact interpolated percentiles (one sort per
+    group in a single aggregation — fine to ~billions of rows per
+    group). At 100 TB set ``exact=False``: approx_percentile's
+    mergeable KLL-ish sketch keeps the aggregation map-side
+    combinable with bounded memory (±0.1% rank error), the standard
+    profile-at-scale tradeoff. Both run as ONE groupBy over a narrow
+    (group, n_chars, n_tokens) projection — text never shuffles.
+    """
+    pts = ", ".join(str(p) for p in QUANTILE_POINTS)
+    fn = "percentile" if exact else "approx_percentile"
+    base = docs.select(
+        F.col(group_col),
+        F.length(F.col(text_col)).cast("long").alias("_nc"),
+        token_count(F.col(text_col)).cast("long").alias("_nt"),
+    )
+    agg = base.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr(f"{fn}(_nc, array({pts}))").alias("_qc"),
+        F.expr(f"{fn}(_nt, array({pts}))").alias("_qt"),
+    )
+    cols = [F.col(group_col), F.col("n_docs")]
+    for i, p in enumerate(QUANTILE_POINTS):
+        tag = str(int(p * 100))
+        cols.append(F.round(F.col("_qc")[i], 4).alias(f"chars_p{tag}"))
+        cols.append(F.round(F.col("_qt")[i], 4).alias(f"tokens_p{tag}"))
+    return agg.select(*cols)

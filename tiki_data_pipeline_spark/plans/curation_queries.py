@@ -508,3 +508,88 @@ def doc_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CU.dsir_sample(
         docs, docs.filter(F.col("lang") == "en"), n=20, n_buckets=_DSIR_K
     )
+
+
+_H56_SQL = (
+    "try_cast(('0x' || substring(md5('{salt}:' || CAST({col} AS VARCHAR)),"
+    " 1, 14)) AS BIGINT)"
+)
+
+
+@query(
+    "doc_source_frequency_cap",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {_H56_SQL.format(salt='srccap', col='doc_id')}, doc_id
+             ) AS INTEGER) AS src_rank
+      FROM documents
+    )
+    SELECT doc_id, source, src_rank,
+           CAST(CASE WHEN src_rank <= 10 THEN 1 ELSE 0 END AS INTEGER) AS kept
+    FROM ranked
+    """,
+)
+def doc_source_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style per-source frequency cap: at most 10 docs per
+    source survive a deterministic md5 lottery; every row is emitted
+    with its lottery rank and 0/1 kept flag (audit before drop)."""
+    return CU.source_frequency_cap(
+        load_table(spark, sf_dir, "documents"), cap=10
+    )
+
+
+@query(
+    "doc_shard_assignment",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, {_H56_SQL.format(salt='shard', col='doc_id')} AS _h
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(_h % 8 AS INTEGER) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY _h % 8 ORDER BY _h, doc_id)
+                AS INTEGER) AS pos
+    FROM h
+    """,
+)
+def doc_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into 8 training shards:
+    hash-derived shard + 1-based within-shard position, the
+    shuffle-once / read-sequentially layout a trainer consumes."""
+    return CU.shard_assignment(load_table(spark, sf_dir, "documents"), 8)
+
+
+@query(
+    "corpus_quantile_profile",
+    oracle="""
+    WITH base AS (
+      SELECT lang,
+             CAST(len(text) AS BIGINT) AS _nc,
+             CAST(len(string_split_regex(lower(trim(text)), '\\s+'))
+                  AS BIGINT) AS _nt
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           ROUND(quantile_cont(_nc, 0.25), 4) AS chars_p25,
+           ROUND(quantile_cont(_nt, 0.25), 4) AS tokens_p25,
+           ROUND(quantile_cont(_nc, 0.50), 4) AS chars_p50,
+           ROUND(quantile_cont(_nt, 0.50), 4) AS tokens_p50,
+           ROUND(quantile_cont(_nc, 0.75), 4) AS chars_p75,
+           ROUND(quantile_cont(_nt, 0.75), 4) AS tokens_p75,
+           ROUND(quantile_cont(_nc, 0.95), 4) AS chars_p95,
+           ROUND(quantile_cont(_nt, 0.95), 4) AS tokens_p95
+    FROM base GROUP BY lang
+    """,
+)
+def corpus_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length-distribution profile (exact interpolated
+    p25/p50/p75/p95 of character and whitespace-token counts) — the
+    dataset card computed before choosing filter cutoffs. The
+    operator's ``exact=False`` mode swaps in approx_percentile for
+    the 100 TB path (sketch-mergeable, bounded memory)."""
+    from tiki_data_pipeline_spark.operators import textstats as TS
+
+    return TS.quantile_profile(load_table(spark, sf_dir, "documents"))

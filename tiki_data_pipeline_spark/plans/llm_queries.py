@@ -1545,3 +1545,57 @@ def doc_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``doc_duplicate_span_stats``; this is what a training pipeline
     actually applies to its corpus."""
     return DD.remove_duplicate_spans(load_table(spark, sf_dir, "documents"))
+
+
+def _line_dedup_oracle() -> str:
+    from tiki_data_pipeline_spark import fixtures as FX
+
+    return f"""
+    WITH {FX.line_docs_cte()},
+    unioned AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id, text FROM line_docs
+    ),
+    lns AS (
+      SELECT doc_id,
+             UNNEST(string_split(text, chr(10))) AS line,
+             UNNEST(range(1, len(string_split(text, chr(10))) + 1)) AS p
+      FROM unioned
+    ),
+    keyed AS (
+      SELECT doc_id, p, line,
+             CASE WHEN trim(line) <> '' THEN
+               try_cast(('0x' || substring(md5('line:' || trim(line)), 1, 14))
+                        AS BIGINT)
+             END AS lh
+      FROM lns
+    ),
+    dup AS (
+      SELECT lh FROM keyed WHERE lh IS NOT NULL
+      GROUP BY lh HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT k.doc_id,
+           COALESCE(string_agg(CASE WHEN d.lh IS NULL THEN k.line END,
+                               chr(10) ORDER BY k.p), '') AS cleaned_text,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COUNT(d.lh) AS BIGINT) AS n_lines_removed,
+           ROUND(COUNT(d.lh) / COUNT(*), 4) AS removed_frac
+    FROM keyed k LEFT JOIN dup d ON k.lh = d.lh
+    GROUP BY k.doc_id
+    """
+
+
+@query("doc_line_dedup_removal", oracle=_line_dedup_oracle())
+def doc_line_dedup_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level line dedup, removal form (C4 / Gopher /
+    RefinedWeb): lines whose trimmed text appears in ≥2 distinct
+    documents are cut and the cleaned text re-emitted with per-doc
+    line accounting. The synthetic corpus is single-line, so a
+    multi-line boilerplate fixture set is unioned in on both sides
+    (same VALUES); corpus docs whose whole text repeats verbatim are
+    cut to empty — exact-dup removal falls out of line granularity."""
+    from tiki_data_pipeline_spark import fixtures as FX
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return DD.remove_duplicate_lines(docs.unionByName(FX.line_docs_df(spark)))
