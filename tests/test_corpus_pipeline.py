@@ -189,3 +189,41 @@ def test_corpus_pipeline_semantic_stage(spark, tmp_path):
     assert {
         r["id"] for r in spark.read.parquet(str(tmp_path / "ivf_index")).collect()
     } == {0, 2, 12}
+
+
+def test_corpus_pipeline_line_dedup_and_source_cap(spark, tmp_path):
+    """The optional stages compose: boilerplate lines injected into
+    every src0 doc are removed corpus-wide (so exact dedup then sees
+    the real bodies), and the per-source cap bounds each source's
+    survivor count. The funnel stays monotone and the stage parquets
+    exist."""
+    docs = load_table(spark, SF, "documents").limit(120)
+    # plant a shared footer line on one source's docs
+    boiler = "subscribe footer line shared by every src0 document"
+    docs = docs.withColumn(
+        "text",
+        F.when(
+            F.col("source") == "src0",
+            F.concat(F.col("text"), F.lit("\n" + boiler)),
+        ).otherwise(F.col("text")),
+    )
+    pipe = CorpusPipeline(spark, str(tmp_path))
+    report = pipe.run(
+        docs,
+        seq_len=512,
+        n_shards=2,
+        line_dedup_min_df=2,
+        source_cap=3,
+    )
+    assert report["lines_removed"] > 0
+    assert report["after_line_dedup"] <= report["input_docs"]
+    assert (tmp_path / "line_dedup").exists()
+    assert (tmp_path / "source_capped").exists()
+    # no surviving text carries the boilerplate line
+    survived = spark.read.parquet(str(tmp_path / "source_capped"))
+    assert survived.filter(F.col("text").contains(boiler)).count() == 0
+    # cap actually binds: every source has at most 3 survivors
+    src = survived.join(docs.select("doc_id", "source"), "doc_id")
+    assert src.groupBy("source").count().agg(F.max("count")).collect()[0][0] <= 3
+    assert report["after_source_cap"] <= report["after_repetition"]
+    assert report["final_docs"] > 0

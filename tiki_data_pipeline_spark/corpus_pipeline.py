@@ -65,7 +65,16 @@ class CorpusPipeline:
         sample_tenths: dict[str, int] | None = None,
         seq_len: int = 2048,
         n_shards: int = 8,
+        line_dedup_min_df: int | None = None,
+        source_cap: int | None = None,
     ) -> dict:
+        """``line_dedup_min_df`` inserts a corpus-level line-removal
+        stage (C4/RefinedWeb line-wise filtering) between redaction
+        and exact dedup — cutting shared boilerplate lines BEFORE
+        fingerprinting is what lets exact/near dedup see the real
+        content; docs whose text empties out are dropped.
+        ``source_cap`` inserts a per-source frequency cap (md5
+        lottery) after the repetition filter, before sampling."""
         report: dict = {"input_docs": docs.count()}
 
         # 1. quality: keep docs with enough real tokens
@@ -84,6 +93,27 @@ class CorpusPipeline:
             "doc_id",
         ).select("doc_id", F.col("redacted_text").alias("text"), "lang")
         redacted = self._write(redacted, "redacted")
+
+        # 2b. optional line-level boilerplate removal (corpus-wide df)
+        if line_dedup_min_df is not None:
+            cleaned = DD.remove_duplicate_lines(
+                redacted, min_df=line_dedup_min_df
+            )
+            report["lines_removed"] = (
+                cleaned.agg(F.sum("n_lines_removed")).collect()[0][0] or 0
+            )
+            redacted = (
+                redacted.select("doc_id", "lang")
+                .join(
+                    cleaned.filter(F.trim(F.col("cleaned_text")) != "").select(
+                        "doc_id", F.col("cleaned_text").alias("text")
+                    ),
+                    "doc_id",
+                )
+                .select("doc_id", "text", "lang")
+            )
+            redacted = self._write(redacted, "line_dedup")
+            report["after_line_dedup"] = redacted.count()
 
         # 3. exact dedup: keep each fingerprint's min-id survivor
         exact = DD.exact_dedup(redacted)
@@ -124,6 +154,23 @@ class CorpusPipeline:
         )
         survivors = self._write(survivors, "repetition")
         report["after_repetition"] = survivors.count()
+
+        # 6b. optional per-source frequency cap (source looked up from
+        # the RAW input so stage schemas stay (doc_id, text, lang))
+        if source_cap is not None and "source" in docs.columns:
+            capped = CU.source_frequency_cap(
+                survivors.join(
+                    docs.select("doc_id", "source"), "doc_id", "left"
+                ).withColumn("source", F.coalesce("source", F.lit(""))),
+                cap=source_cap,
+            )
+            survivors = survivors.join(
+                capped.filter(F.col("kept") == 1).select("doc_id"),
+                "doc_id",
+                "left_semi",
+            )
+            survivors = self._write(survivors, "source_capped")
+            report["after_source_cap"] = survivors.count()
 
         # 7. deterministic per-language sampling (optional rebalance)
         if sample_tenths:
