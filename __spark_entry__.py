@@ -44,10 +44,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries (SemDeDup semantic dedup, span-removal),
 # (b) embedding_incremental_dedup_status, whose implementation changed
 # in r8 (exact-stage short-circuit + scale-safe probe defaults), and
-# (c) one r4-cohort representative. 11 + 47 = 58 puts the last EIGHT
-# rotation entries (embedding_knn_classify through events_windowed_topk)
-# past the 50-slot window; all were mini-driver re-verified green this
-# round (full-registry sweep on current code).
+# (c) one r4-cohort representative. 12 + 47 = 59 puts the last NINE
+# rotation entries (embedding_incremental_near_dup through
+# events_windowed_topk) past the 50-slot window; all were mini-driver
+# re-verified green this round (full-registry sweep on current code).
 _SENTINELS = [
     "embedding_semantic_dedup",             # NEW r8: SemDeDup clustering dedup
     "embedding_ivf_semantic_dedup",         # NEW r8: incremental SemDeDup
@@ -58,6 +58,7 @@ _SENTINELS = [
     "doc_source_frequency_cap",             # NEW r8: per-source cap lottery
     "doc_shard_assignment",                 # NEW r8: training shard shuffle
     "corpus_quantile_profile",              # NEW r8: length-quantile card
+    "corpus_mix_apply",                     # NEW r8: mix-budget sampler
     "embedding_incremental_dedup_status",   # r8: short-circuit + auto defaults
     "scd2_dimension_apply",                 # r4-cohort representative
 ]

@@ -279,3 +279,30 @@ def test_quantile_profile_exact_known_values(spark):
     assert r["chars_p50"] == 4.0
     approx = TS.quantile_profile(docs, exact=False).collect()[0]
     assert approx["tokens_p50"] in (2.0, 2.5, 3.0)  # sketch picks a sample
+
+
+def test_apply_mix_budget_and_exclusion(spark):
+    """A stratum under its allotment is kept whole (rate 1e6); a
+    stratum over it is sampled near its token budget; absent strata
+    are excluded; reruns are identical."""
+    rows = (
+        [(i, "w " * 20, "big") for i in range(200)]
+        + [(1000 + i, "w " * 10, "small") for i in range(5)]
+        + [(2000 + i, "w " * 10, "out") for i in range(5)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = CU.apply_mix(docs, {"big": 500_000, "small": 500_000}, 2000)
+    per = {
+        r["lang"]: (r["toks"], r["rate"])
+        for r in out.groupBy("lang")
+        .agg(F.sum("n_tokens").alias("toks"), F.first("rate_ppm").alias("rate"))
+        .collect()
+    }
+    assert "out" not in per
+    # small: allotment 1000 tokens > its 50 -> kept whole at rate 1e6
+    assert per["small"] == (50, 1_000_000)
+    # big: 4000 corpus tokens sampled toward a 1000-token allotment
+    assert per["big"][1] == 250_000
+    assert 0 < per["big"][0] < 4000
+    again = CU.apply_mix(docs, {"big": 500_000, "small": 500_000}, 2000)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))

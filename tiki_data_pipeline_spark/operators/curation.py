@@ -522,3 +522,73 @@ def shard_assignment(
         .withColumn("pos", F.row_number().over(w))
         .select(id_col, "shard", "pos")
     )
+
+
+def apply_mix(
+    docs: DataFrame,
+    target_ppm: dict[str, int],
+    token_budget: int,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """The APPLIED half of :func:`mix_weights`: deterministically
+    sample the corpus down to ``token_budget`` total tokens mixed to
+    ``target_ppm`` shares per stratum — the step that turns a mix
+    decision into an actual training subset. Per stratum the keep
+    rate is ``min(1, budget·ppm/10⁶ / stratum_tokens)`` (a stratum
+    smaller than its target allotment is kept whole — the budget is a
+    ceiling, not an upsampler); rows survive an exact-integer md5
+    Bernoulli at that rate. Strata absent from ``target_ppm`` get
+    share 0 and are excluded — the mix DEFINES the corpus.
+
+    Returns kept rows as ``(id, stratum, n_tokens, rate_ppm)``.
+
+    Shape at 100 TB: one map-side-combinable aggregate over narrow
+    (stratum, n_tokens) rows, the tiny per-stratum rate table
+    broadcast back, then a map-side filter — text never shuffles.
+    All rate math is DECIMAL (budget·ppm and h·10⁶ both pass 2^63 at
+    the 100 TB regime; see mix_weights) and reproducible across
+    engines — no RNG state, rerun-stable for restartable jobs."""
+    if tokens_col is not None:
+        n_tokens = F.col(tokens_col).cast("bigint")
+    else:
+        n_tokens = F.size(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).cast("bigint")
+    base = docs.select(
+        F.col(id_col),
+        F.col(strata_col),
+        n_tokens.alias("n_tokens"),
+        md5_h56(F.col(id_col), "mix").alias("_h"),
+    )
+    ppm = F.lit(0)
+    for k, v in sorted(target_ppm.items()):
+        ppm = F.when(F.col(strata_col) == k, F.lit(v)).otherwise(ppm)
+    rates = (
+        base.groupBy(strata_col)
+        .agg(F.sum("n_tokens").alias("_stratum_tokens"))
+        .withColumn("_ppm", ppm.cast("bigint"))
+        .select(
+            strata_col,
+            F.least(
+                F.lit(1_000_000).cast("bigint"),
+                F.expr(
+                    f"(CAST({token_budget} AS DECIMAL(20,0))"
+                    " * CAST(_ppm AS DECIMAL(7,0)))"
+                    " div CAST(_stratum_tokens AS DECIMAL(20,0))"
+                ).cast("bigint"),
+            ).alias("rate_ppm"),
+        )
+    )
+    keep = F.col("_h").cast("decimal(17,0)") * F.lit(1_000_000).cast(
+        "decimal(7,0)"
+    ) < F.col("rate_ppm").cast("decimal(7,0)") * F.lit(_H56_MAX).cast(
+        "decimal(17,0)"
+    )
+    return (
+        base.join(F.broadcast(rates), strata_col)
+        .filter(keep)
+        .select(id_col, strata_col, "n_tokens", "rate_ppm")
+    )

@@ -593,3 +593,42 @@ def corpus_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tiki_data_pipeline_spark.operators import textstats as TS
 
     return TS.quantile_profile(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "corpus_mix_apply",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split_regex(lower(trim(text)), '\\s+'))
+                  AS BIGINT) AS n_tokens,
+             {_H56_SQL.format(salt='mix', col='doc_id')} AS _h
+      FROM documents
+    ),
+    rates AS (
+      SELECT lang,
+             LEAST(CAST(1000000 AS BIGINT),
+                   CAST((CAST(8000 AS HUGEINT) *
+                         CASE lang WHEN 'en' THEN 500000
+                                   WHEN 'zh' THEN 250000
+                                   WHEN 'fr' THEN 250000 ELSE 0 END)
+                        // SUM(n_tokens) AS BIGINT)) AS rate_ppm
+      FROM base GROUP BY lang
+    )
+    SELECT b.doc_id, b.lang, b.n_tokens, r.rate_ppm
+    FROM base b JOIN rates r USING (lang)
+    WHERE CAST(b._h AS HUGEINT) * 1000000
+          < CAST(r.rate_ppm AS HUGEINT) * 72057594037927936
+    """,
+)
+def corpus_mix_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applied half of corpus mixing: deterministically sample
+    the corpus to an 8000-token budget at en/zh/fr = 50/25/25 shares
+    (es/de get share 0 and are excluded — the mix defines the
+    corpus). Exact-integer md5 Bernoulli per stratum; DECIMAL rate
+    math so budget·ppm survives the 100 TB regime."""
+    return CU.apply_mix(
+        load_table(spark, sf_dir, "documents"),
+        {"en": 500_000, "zh": 250_000, "fr": 250_000},
+        token_budget=8000,
+    )
