@@ -208,6 +208,36 @@ def run_level(spark, n: int) -> dict:
     )
     out["dsir_weights_s"] = round(time.perf_counter() - t0, 2)
 
+    # 2c. line-level dedup removal, worst case: a boilerplate footer
+    # line is appended to EVERY doc, so every doc is affected and the
+    # text-reassembly path (the expensive half) runs corpus-wide.
+    t0 = time.perf_counter()
+    ld = DD.remove_duplicate_lines(
+        docs.withColumn(
+            "text",
+            F.concat(F.col("text"), F.lit("\nall rights reserved worldwide")),
+        )
+    )
+    out["line_dedup_affected"] = ld.filter(
+        F.col("n_lines_removed") > 0
+    ).count()
+    out["line_dedup_s"] = round(time.perf_counter() - t0, 2)
+
+    # 2d. training-shard assignment + mix-budget sampling (both must
+    # stay ~linear: one shuffle each, text never shuffles in apply_mix)
+    t0 = time.perf_counter()
+    shards = CU.shard_assignment(docs, 64)
+    out["shard_max_pos"] = shards.agg(F.max("pos")).collect()[0][0]
+    out["shard_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    mix = CU.apply_mix(
+        docs,
+        {"en": 500_000, "zh": 250_000, "fr": 250_000},
+        token_budget=20_000 * n,
+    )
+    out["mix_docs"] = mix.count()
+    out["mix_s"] = round(time.perf_counter() - t0, 2)
+
     # 3. embedding incremental near-dup vs persisted LSH index
     emb = load_table(spark, dst, "embeddings")
     out["vecs"] = emb.count()
