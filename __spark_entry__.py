@@ -44,7 +44,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries (SemDeDup semantic dedup, span-removal),
 # (b) embedding_incremental_dedup_status, whose implementation changed
 # in r8 (exact-stage short-circuit + scale-safe probe defaults), and
-# (c) one r4-cohort representative. 13 + 47 = 60 puts the last TEN
+# (c) one r4-cohort representative. 14 + 47 = 61 puts the last ELEVEN
 # rotation entries (embedding_incremental_near_dup through
 # events_windowed_topk) past the 50-slot window; all were mini-driver
 # re-verified green this round (full-registry sweep on current code).
@@ -60,6 +60,7 @@ _SENTINELS = [
     "corpus_quantile_profile",              # NEW r8: length-quantile card
     "corpus_mix_apply",                     # NEW r8: mix-budget sampler
     "events_funnel_steps",                  # NEW r8: ordered conversion funnel
+    "doc_incremental_line_removal",         # NEW r8: line-df store serve path
     "embedding_incremental_dedup_status",   # r8: short-circuit + auto defaults
     "scd2_dimension_apply",                 # r4-cohort representative
 ]

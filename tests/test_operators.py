@@ -716,3 +716,65 @@ def test_remove_duplicate_lines_blank_lines_never_dup(spark):
         for r in DD.remove_duplicate_lines(docs, min_df=2).collect()
     }
     assert got == {1: "alpha\n\nbeta", 2: "gamma\n\ndelta"}
+
+
+def test_incremental_line_removal_store_lifecycle(spark, tmp_path):
+    """Line-df store lifecycle: a batch line matching stored
+    boilerplate is cut by corpus df alone; a line born duplicated
+    WITHIN the batch is cut only when count_batch=True; appending the
+    batch's counts makes a later singleton carrier get cut too; and
+    compaction folds delta rows to one per line hash."""
+    store_docs = spark.createDataFrame(
+        [(1, "body one\nshared footer"), (2, "body two\nshared footer")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "linedf")
+    DD.write_line_df_store(store_docs, path)
+
+    batch = spark.createDataFrame(
+        [
+            (10, "fresh body ten\nshared footer"),
+            (11, "new promo line\neleven body"),
+            (12, "new promo line\ntwelve body"),
+            (13, "totally unique thirteen"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["cleaned_text"], r["n_lines_removed"])
+        for r in DD.incremental_line_removal(spark, path, batch).collect()
+    }
+    assert got[10] == ("fresh body ten", 1)  # store df=2 cuts it
+    assert got[11] == ("eleven body", 1)  # batch-internal df=2
+    assert got[12] == ("twelve body", 1)
+    assert got[13] == ("totally unique thirteen", 0)
+
+    # without batch self-counting, only the stored boilerplate is cut
+    solo = {
+        r["doc_id"]: r["n_lines_removed"]
+        for r in DD.incremental_line_removal(
+            spark, path, batch, count_batch=False
+        ).collect()
+    }
+    assert solo == {10: 1, 11: 0, 12: 0, 13: 0}
+
+    # decide -> append -> a later SINGLE carrier of 'new promo line'
+    # is now cut by store df alone
+    DD.append_line_df_store(batch, path)
+    later = spark.createDataFrame(
+        [(20, "new promo line\nlater body")], "doc_id long, text string"
+    )
+    got2 = DD.incremental_line_removal(spark, path, later, count_batch=False)
+    assert got2.collect()[0]["cleaned_text"] == "later body"
+
+    # compaction: one row per lh, same summed df
+    before = spark.read.parquet(path)
+    tot = {r["lh"]: r["s"] for r in before.groupBy("lh").agg(F.sum("df").alias("s")).collect()}
+    assert before.count() > len(tot)  # delta rows exist pre-compact
+    DD.compact_line_df_store(spark, path)
+    after = spark.read.parquet(path)
+    assert after.count() == len(tot)
+    assert {r["lh"]: r["df"] for r in after.collect()} == tot
+    # decisions unchanged post-compact
+    got3 = DD.incremental_line_removal(spark, path, later, count_batch=False)
+    assert got3.collect()[0]["cleaned_text"] == "later body"

@@ -1041,9 +1041,24 @@ def remove_duplicate_lines(
     phrases per row (src/pipelines/transform/transformer.py:600-753);
     this learns boilerplate lines corpus-wide from document frequency.
     """
+    lines = _doc_lines(docs, id_col, text_col)
+    dup_keys = (
+        lines.filter(F.col("lh").isNotNull())
+        .groupBy("lh")
+        .agg(F.count_distinct(F.col(id_col)).alias("line_df"))
+        .filter(F.col("line_df") >= min_df)
+        .select("lh")
+    )
+    return _cut_dup_lines(docs, lines, dup_keys, id_col, text_col)
+
+
+def _doc_lines(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Explode documents into ``(id, p, line, lh)`` rows — 1-based
+    position, raw line text, and the 56-bit hash of the TRIMMED line
+    (NULL for blank lines, which never participate in dedup)."""
     from tiki_data_pipeline_spark.operators.curation import md5_h56
 
-    lines = docs.select(
+    return docs.select(
         id_col,
         F.posexplode(F.split(F.col(text_col), "\n")).alias("_p0", "line"),
     ).select(
@@ -1055,13 +1070,19 @@ def remove_duplicate_lines(
             md5_h56(F.trim(F.col("line")), "line"),
         ).alias("lh"),
     )
-    dup_keys = (
-        lines.filter(F.col("lh").isNotNull())
-        .groupBy("lh")
-        .agg(F.count_distinct(F.col(id_col)).alias("line_df"))
-        .filter(F.col("line_df") >= min_df)
-        .select("lh")
-    )
+
+
+def _cut_dup_lines(
+    docs: DataFrame,
+    lines: DataFrame,
+    dup_keys: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Shared removal half of the line-dedup family: cut every line
+    whose hash is in ``dup_keys``, reassemble affected documents in
+    position order, pass untouched documents through with their
+    ORIGINAL text and no text shuffle."""
     affected = (
         lines.join(dup_keys, "lh", "left_semi").select(id_col).distinct()
     )
@@ -1103,3 +1124,117 @@ def remove_duplicate_lines(
             "removed_frac"
         ),
     )
+
+
+def write_line_df_store(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Persist the corpus's line document frequencies — ``(lh, df)``
+    over 56-bit trimmed-line hashes — so later batches can cut
+    boilerplate lines WITHOUT re-reading corpus text (the incremental
+    twin of :func:`remove_duplicate_lines`, same store discipline as
+    the MinHash/LSH indexes). ~16 bytes per distinct line vs the
+    line text itself: the store scan is orders of magnitude cheaper
+    than a corpus re-read at 100 TB, and it never contains text."""
+    from tiki_data_pipeline_spark.sources.files import write_store_meta
+
+    lines = _doc_lines(docs, id_col, text_col)
+    (
+        lines.filter(F.col("lh").isNotNull())
+        .groupBy("lh")
+        .agg(F.count_distinct(F.col(id_col)).alias("df"))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    write_store_meta(path, {"kind": "line_df"})
+
+
+def append_line_df_store(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Append a new batch's per-line document counts as DELTA rows
+    (merge-on-read: readers SUM df per lh; :func:`compact_line_df_store`
+    folds deltas back to one row per line). Counts are additive, so an
+    at-least-once replay of the same batch inflates df — harmless in
+    direction (boilerplate only gets MORE likely to be cut) but the
+    exactly-once shape is to gate appends on the streaming decisions
+    log (``streaming.jobs``), same as the other ingest sinks."""
+    from tiki_data_pipeline_spark.sources.files import check_store_meta
+
+    check_store_meta(path, {"kind": "line_df"})
+    lines = _doc_lines(docs, id_col, text_col)
+    (
+        lines.filter(F.col("lh").isNotNull())
+        .groupBy("lh")
+        .agg(F.count_distinct(F.col(id_col)).alias("df"))
+        .write.mode("append")
+        .parquet(path)
+    )
+
+
+def compact_line_df_store(spark, path: str) -> None:
+    """Fold appended delta rows into one ``(lh, df)`` row per line
+    (crash-safe staging swap). Run periodically: serve cost grows
+    with delta-row count, not distinct-line count, until compaction."""
+    from tiki_data_pipeline_spark.sources.files import swap_parquet_rewrite
+
+    swap_parquet_rewrite(
+        path,
+        lambda staging: spark.read.parquet(path)
+        .groupBy("lh")
+        .agg(F.sum("df").alias("df"))
+        .write.mode("overwrite")
+        .parquet(staging),
+    )
+
+
+def incremental_line_removal(
+    spark,
+    path: str,
+    batch: DataFrame,
+    min_df: int = 2,
+    count_batch: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cut boilerplate lines from a NEW batch against the persisted
+    line-df store: a line is removed when its corpus df plus (with
+    ``count_batch``) its within-batch df reaches ``min_df`` — so
+    boilerplate born inside the batch is caught on arrival, not one
+    ingest later. Returns the :func:`remove_duplicate_lines` schema
+    for the batch docs. Does NOT mutate the store; callers append the
+    batch's counts (``append_line_df_store``) once its ingest decision
+    is committed, mirroring the decide-then-append staging of the
+    other incremental families.
+
+    Serve shape at 100 TB: the store is semi-joined down to the
+    batch's line hashes BEFORE aggregating (a batch touches a few
+    thousand distinct lines; the store holds billions), so the only
+    full-store cost is the columnar (lh, df) scan — no text, no
+    store-side shuffle of non-matching lines."""
+    lines = _doc_lines(batch, id_col, text_col)
+    keyed = lines.filter(F.col("lh").isNotNull())
+    batch_df = keyed.groupBy("lh").agg(
+        F.count_distinct(F.col(id_col)).alias("_df_b")
+    )
+    store_df = (
+        spark.read.parquet(path)
+        .join(batch_df.select("lh"), "lh", "left_semi")
+        .groupBy("lh")
+        .agg(F.sum("df").alias("_df_s"))
+    )
+    total = batch_df.join(store_df, "lh", "left").select(
+        "lh",
+        (
+            (F.col("_df_b") if count_batch else F.lit(0))
+            + F.coalesce(F.col("_df_s"), F.lit(0))
+        ).alias("line_df"),
+    )
+    dup_keys = total.filter(F.col("line_df") >= min_df).select("lh")
+    return _cut_dup_lines(batch, lines, dup_keys, id_col, text_col)

@@ -1430,6 +1430,7 @@ def embedding_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 SESSION_BUILDS: dict = {
     "shingle_set": lambda spark, sf_dir: _shingles_cached(spark, sf_dir),
     "minhash_index": lambda spark, sf_dir: _mh_index_cached(spark, sf_dir),
+    "line_df_store": lambda spark, sf_dir: _line_df_store_cached(spark, sf_dir),
     "lsh_index": lambda spark, sf_dir: _lsh_index_cached(spark, sf_dir),
     "lsh_even_index": lambda spark, sf_dir: _emb_even_index_cached(spark, sf_dir),
     "ivf_centroids": lambda spark, sf_dir: _ivf_centroids_cached(spark, sf_dir),
@@ -1599,3 +1600,97 @@ def doc_line_dedup_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return DD.remove_duplicate_lines(docs.unionByName(FX.line_docs_df(spark)))
+
+
+def _line_df_store_cached(spark: SparkSession, sf_dir: str) -> str:
+    """Persisted line-df store over the even-id corpus half plus the
+    boilerplate-bearing line fixtures (9101/9102/9105) — the 'existing
+    corpus' the incremental line-removal query decides against."""
+    from tiki_data_pipeline_spark import fixtures as FX
+
+    def build(p: str) -> None:
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 2 == 0)
+            .select("doc_id", "text")
+            .unionByName(
+                FX.line_docs_df(spark).filter(F.col("doc_id").isin(9101, 9102, 9105))
+            )
+        )
+        DD.write_line_df_store(docs, p)
+
+    return _session_index(spark, sf_dir, "linedf", build)
+
+
+def _incremental_line_oracle() -> str:
+    from tiki_data_pipeline_spark import fixtures as FX
+
+    return f"""
+    WITH {FX.line_docs_cte()},
+    store AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, text FROM line_docs WHERE doc_id IN (9101, 9102, 9105)
+    ),
+    batch AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+      UNION ALL
+      SELECT doc_id, text FROM line_docs WHERE doc_id IN (9103, 9104)
+    ),
+    keyed AS (
+      SELECT side, doc_id, p, line,
+             CASE WHEN trim(line) <> '' THEN
+               try_cast(('0x' || substring(md5('line:' || trim(line)), 1, 14))
+                        AS BIGINT)
+             END AS lh
+      FROM (
+        SELECT 's' AS side, doc_id,
+               UNNEST(string_split(text, chr(10))) AS line,
+               UNNEST(range(1, len(string_split(text, chr(10))) + 1)) AS p
+        FROM store
+        UNION ALL
+        SELECT 'b', doc_id,
+               UNNEST(string_split(text, chr(10))),
+               UNNEST(range(1, len(string_split(text, chr(10))) + 1))
+        FROM batch
+      )
+    ),
+    dup AS (
+      SELECT lh FROM keyed WHERE lh IS NOT NULL
+      GROUP BY lh
+      HAVING COUNT(DISTINCT CASE WHEN side = 's' THEN doc_id END)
+           + COUNT(DISTINCT CASE WHEN side = 'b' THEN doc_id END) >= 2
+    )
+    SELECT k.doc_id,
+           COALESCE(string_agg(CASE WHEN d.lh IS NULL THEN k.line END,
+                               chr(10) ORDER BY k.p), '') AS cleaned_text,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COUNT(d.lh) AS BIGINT) AS n_lines_removed,
+           ROUND(COUNT(d.lh) / COUNT(*), 4) AS removed_frac
+    FROM keyed k LEFT JOIN dup d ON k.lh = d.lh
+    WHERE k.side = 'b'
+    GROUP BY k.doc_id
+    """
+
+
+@query("doc_incremental_line_removal", oracle=_incremental_line_oracle())
+def doc_incremental_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental boilerplate-line removal: the odd-id batch (plus
+    two multi-line fixture docs) decided against the persisted
+    line-df store of the even-id corpus half (plus the boilerplate
+    fixtures) — corpus df and within-batch df both count toward the
+    cut, so batch-born boilerplate is caught on arrival. The batch
+    never re-reads corpus text; only the (lh, df) store."""
+    from tiki_data_pipeline_spark import fixtures as FX
+
+    batch = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "text")
+        .unionByName(
+            FX.line_docs_df(spark).filter(F.col("doc_id").isin(9103, 9104))
+        )
+    )
+    return DD.incremental_line_removal(
+        spark, _line_df_store_cached(spark, sf_dir), batch
+    )
