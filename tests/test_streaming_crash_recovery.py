@@ -473,3 +473,116 @@ def test_incremental_semantic_sink_cross_batch_and_replay(spark, tmp_path):
     assert dec[27] == ("unique", None)
     ids = sorted(r["id"] for r in spark.read.parquet(store).collect())
     assert ids == [2, 11, 25], f"store not canonical after replay: {ids}"
+
+
+# ---------------------------------------------------------------------------
+# Line-df ingest sink (boilerplate removal twin)
+# ---------------------------------------------------------------------------
+
+
+def _mk_line_source(tmp_path):
+    src = tmp_path / "lsrc"
+    src.mkdir()
+    # epoch 0: footer matches the stored boilerplate (df 1+1 = 2 -> cut)
+    _write_file(
+        src, "a.parquet", [(11, "novel body eleven\nshared footer")],
+        1_000_000_000,
+    )
+    # epoch 1: one genuinely fresh line + a line whose ONLY other
+    # carrier is epoch 0 (so its cut depends on epoch 0's append, and
+    # a post-append replay recompute would also cut the fresh line —
+    # the line-dedup flavor of dup-of-self)
+    _write_file(
+        src, "b.parquet",
+        [(21, "fresh line only once\nnovel body eleven")],
+        1_000_000_100,
+    )
+    return src
+
+
+def _run_line(spark, src, store, out, ckpt, beats):
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    return jobs.incremental_line_sink(stream, store, out, ckpt, beats)
+
+
+def _assert_line_recovered(spark, store, out):
+    from pyspark.sql import functions as F
+
+    cleaned = {
+        r["doc_id"]: (r["cleaned_text"], r["n_lines_removed"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert cleaned == {
+        11: ("novel body eleven", 1),
+        21: ("fresh line only once", 1),
+    }, f"replay flipped a committed line decision: {cleaned}"
+    dec = spark.read.parquet(store + "/_decisions").collect()
+    assert sorted(r["doc_id"] for r in dec) == [11, 21]
+    # counts appended exactly once per epoch: footer 1(base)+1(e0),
+    # 'novel body eleven' 1(e0)+1(e1), 'fresh line only once' 1(e1)
+    dfs = sorted(
+        r["s"]
+        for r in spark.read.parquet(store)
+        .groupBy("lh")
+        .agg(F.sum("df").alias("s"))
+        .collect()
+    )
+    assert dfs == [1, 1, 2, 2], f"replay double-counted line df: {dfs}"
+
+
+@pytest.mark.parametrize("crash_point", ["before_append", "after_append"])
+def test_incremental_line_sink_crash_replay(
+    spark, tmp_path, crash_point, monkeypatch
+):
+    src = _mk_line_source(tmp_path)
+    store = str(tmp_path / "linestore")
+    out = str(tmp_path / "cleaned")
+    ckpt = str(tmp_path / "lckpt")
+    DD.write_line_df_store(
+        spark.createDataFrame(
+            [(1, "body base\nshared footer")], "doc_id long, text string"
+        ),
+        store,
+    )
+
+    if crash_point == "before_append":
+        real_append = jobs._idempotent_line_count_append
+        calls = {"n": 0}
+
+        def flaky(*a, **kw):
+            calls["n"] += 1
+            if calls["n"] == 2:  # epoch 0 ok, epoch 1 dies pre-append
+                raise RuntimeError("injected crash before count append")
+            return real_append(*a, **kw)
+
+        monkeypatch.setattr(jobs, "_idempotent_line_count_append", flaky)
+        beats: list = []
+        q = _run_line(spark, src, store, out, ckpt, beats)
+        with pytest.raises(Exception):
+            q.awaitTermination(120)
+        monkeypatch.setattr(
+            jobs, "_idempotent_line_count_append", real_append
+        )
+    else:
+
+        class DyingBeats(list):
+            def append(self, item):
+                if item[0] == 1 and not getattr(self, "_died", False):
+                    self._died = True
+                    raise RuntimeError("injected crash after count append")
+                super().append(item)
+
+        beats = DyingBeats()
+        q = _run_line(spark, src, store, out, ckpt, beats)
+        with pytest.raises(Exception):
+            q.awaitTermination(120)
+
+    beats2: list = []
+    q2 = _run_line(spark, src, store, out, ckpt, beats2)
+    q2.awaitTermination(120)
+    assert q2.exception() is None
+    _assert_line_recovered(spark, store, out)

@@ -404,8 +404,15 @@ def dsir_log_weights(
     (per-bucket log-ratios rounded to 9 first so both engines sum the
     same addends). A NULL-text document has no features and carries
     log_weight NULL — surfaced, not silently zero."""
-    raw_b = _dsir_buckets(docs, id_col, text_col, n_buckets)
-    tgt_b = _dsir_buckets(target, id_col, text_col, n_buckets)
+    # One featurize pass per corpus: the hashed-feature bags feed the
+    # bucket distribution AND the per-doc weight sum, and the grand
+    # totals come from the ≤n_buckets-row distribution — without the
+    # materialization Spark re-runs the explode+aggregate once per
+    # consumer (measured 3× the featurize cost at 500k docs). The
+    # bag is (id, bucket, cnt) longs — the DSIR working set, tiny
+    # next to text.
+    raw_b = _dsir_buckets(docs, id_col, text_col, n_buckets).localCheckpoint()
+    tgt_b = _dsir_buckets(target, id_col, text_col, n_buckets).localCheckpoint()
 
     def dist(b: DataFrame, name: str) -> DataFrame:
         return b.groupBy("bucket").agg(F.sum("cnt").alias(name))
@@ -414,9 +421,11 @@ def dsir_log_weights(
         dist(raw_b, "c_raw")
         .join(dist(tgt_b, "c_tgt"), "bucket", "full")
         .na.fill({"c_raw": 0, "c_tgt": 0})
+        .localCheckpoint()
     )
-    n_raw = raw_b.agg(F.sum("cnt")).collect()[0][0] or 0
-    n_tgt = tgt_b.agg(F.sum("cnt")).collect()[0][0] or 0
+    sums = totals.agg(F.sum("c_raw"), F.sum("c_tgt")).collect()[0]
+    n_raw = sums[0] or 0
+    n_tgt = sums[1] or 0
     lw = totals.select(
         "bucket",
         F.round(

@@ -268,6 +268,7 @@ def _migrate_legacy_decisions(spark, dec_path: str) -> None:
 def _epoch_decisions(
     spark, index_path: str, epoch_id: int, batch_df: DataFrame,
     id_col: str, compute, run: str, fallback_runs: tuple = (),
+    value_cols: tuple = ("status", "matched_id"),
 ) -> DataFrame:
     """Exactly-once, replay-stable per-epoch decisions for a
     continuous-ingest sink. A retried epoch (restart from the
@@ -310,7 +311,7 @@ def _epoch_decisions(
         for run_key in (run, *fallback_runs, LEGACY_RUN):
             prior = committed.filter(
                 (F.col("run") == run_key) & (F.col("epoch") == epoch_id)
-            ).select(id_col, "status", "matched_id")
+            ).select(id_col, *value_cols)
             if prior.limit(1).count() == 0:
                 continue
             p_ids = prior.select(id_col).distinct()
@@ -608,6 +609,117 @@ def incremental_semantic_sink(
 
     return (
         vectors.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _idempotent_line_count_append(
+    spark, batch_df: DataFrame, path: str, run: str, epoch_id: int
+) -> None:
+    """Append a micro-batch's per-line document counts to the line-df
+    store with DETERMINISTIC file names (``epoch-<run>-<epoch>-i``):
+    a retried epoch first clears its own files, then re-adds them —
+    the count append is idempotent even though df rows are additive
+    deltas (a blind ``mode("append")`` would double-count on replay).
+    Local-filesystem move; production = object-store put, which is
+    idempotent the same way. NOTE: run ``compact_line_df_store`` only
+    when the stream is stopped with its checkpoint committed — the
+    fold erases the epoch-named files a replay would overwrite."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from tiki_data_pipeline_spark.operators import dedup as DD
+    from tiki_data_pipeline_spark.sources.files import check_store_meta
+
+    check_store_meta(path, {"kind": "line_df"})
+    staging = tempfile.mkdtemp(prefix="linedf_epoch_")
+    try:
+        (
+            DD._doc_lines(batch_df, "doc_id", "text")
+            .filter(F.col("lh").isNotNull())
+            .groupBy("lh")
+            .agg(F.count_distinct(F.col("doc_id")).alias("df"))
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        prefix = f"epoch-{run}-{epoch_id}-"
+        for old in glob.glob(os.path.join(path, prefix + "*")):
+            os.remove(old)
+        for i, f in enumerate(
+            sorted(glob.glob(os.path.join(staging, "part-*")))
+        ):
+            os.replace(f, os.path.join(path, f"{prefix}{i:05d}.parquet"))
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+def incremental_line_sink(
+    docs: DataFrame,
+    index_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    statuses: list,
+    min_df: int = 2,
+):
+    """Continuous boilerplate-line removal: each micro-batch of
+    documents is cleaned against the persisted line-df store
+    (``dedup.incremental_line_removal`` — corpus df plus within-batch
+    df), the cleaned docs land in ``out_dir`` partitioned by
+    (run, epoch), and the batch's line counts are appended so the
+    NEXT micro-batch's df includes them. Completes the
+    continuous-ingest family (minhash / embedding / semantic sinks).
+
+    Replay stability matters MORE here than for the dedup sinks: a
+    recompute after the count append would see the batch's own lines
+    in the store df and cut lines the committed output kept (the
+    line-dedup flavor of dup-of-self). So the cleaned output is the
+    epoch decision — committed to the store's ``_decisions`` log
+    (exactly-once, (run, epoch)-keyed, id-set-guarded) BEFORE the
+    count append, and reused verbatim on a retried epoch; the count
+    append itself is idempotent via deterministic epoch file names
+    (:func:`_idempotent_line_count_append`)."""
+    from tiki_data_pipeline_spark.operators import dedup as DD
+
+    value_cols = (
+        "cleaned_text", "n_lines", "n_lines_removed", "removed_frac"
+    )
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint()
+        run = _run_lineage(checkpoint_dir)
+        cleaned = _epoch_decisions(
+            spark,
+            index_path,
+            epoch_id,
+            batch_df,
+            "doc_id",
+            lambda: DD.incremental_line_removal(
+                spark, index_path, batch_df, min_df=min_df
+            ),
+            run,
+            fallback_runs=_lineage_fallbacks(checkpoint_dir),
+            value_cols=value_cols,
+        )
+        (
+            cleaned.withColumn("run", F.lit(run))
+            .withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("run", "epoch")
+            .parquet(out_dir)
+        )
+        _idempotent_line_count_append(
+            spark, batch_df, index_path, run, epoch_id
+        )
+        statuses.append((epoch_id, cleaned.count()))
+
+    return (
+        docs.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
