@@ -404,43 +404,79 @@ def dsir_log_weights(
     (per-bucket log-ratios rounded to 9 first so both engines sum the
     same addends). A NULL-text document has no features and carries
     log_weight NULL — surfaced, not silently zero."""
-    # One featurize pass per corpus: the hashed-feature bags feed the
-    # bucket distribution AND the per-doc weight sum, and the grand
-    # totals come from the ≤n_buckets-row distribution — without the
-    # materialization Spark re-runs the explode+aggregate once per
-    # consumer (measured 3× the featurize cost at 500k docs). The
-    # bag is (id, bucket, cnt) longs — the DSIR working set, tiny
-    # next to text.
-    raw_b = _dsir_buckets(docs, id_col, text_col, n_buckets).localCheckpoint()
-    tgt_b = _dsir_buckets(target, id_col, text_col, n_buckets).localCheckpoint()
+    # Two narrow passes, ZERO wide shuffles. Pass 1 (per corpus): the
+    # bucket DISTRIBUTION — explode + groupBy(bucket) map-side-combines
+    # down to ≤n_buckets rows per task before the exchange, so the
+    # shuffle is ~KB no matter the corpus size. The ≤n_buckets-row
+    # log-ratio table then collects to the driver and becomes a
+    # LITERAL array indexed by bucket id (O(1) element_at — a map
+    # literal would linear-scan per lookup). Pass 2: per-doc weights
+    # are a pure per-row expression — distinct buckets × occurrence
+    # count × lw[bucket] — so document text never shuffles at all.
+    # The addend set (cnt·lw per distinct bucket, log-ratios rounded
+    # to 9 first) is exactly the oracle's; only summation order
+    # differs, which the round-to-4 contract already absorbs.
+    # (The previous shape aggregated (id, bucket, cnt) bags — a
+    # corpus-sized exchange that was 10× the cost of the math.)
+    def bucketize(d: DataFrame, *cols) -> DataFrame:
+        return d.select(
+            *cols,
+            F.col(text_col).isNotNull().alias("_has_text"),
+            F.transform(
+                _dsir_grams(F.coalesce(F.col(text_col), F.lit(""))),
+                lambda g: F.pmod(md5_h56(g, "dsir"), F.lit(n_buckets)),
+            ).alias("_bkts"),
+        )
 
-    def dist(b: DataFrame, name: str) -> DataFrame:
-        return b.groupBy("bucket").agg(F.sum("cnt").alias(name))
+    # the raw corpus is featurized ONCE: the materialized per-doc
+    # bucket arrays (≈ tokens × 2 longs/doc, tiny next to text) feed
+    # both the bucket distribution and the per-doc weights — the
+    # md5-per-gram hashing is the dominant cost at scale, so it must
+    # not run once per consumer
+    raw = bucketize(docs, F.col(id_col)).localCheckpoint()
 
-    totals = (
-        dist(raw_b, "c_raw")
-        .join(dist(tgt_b, "c_tgt"), "bucket", "full")
+    def dist(d: DataFrame, name: str) -> DataFrame:
+        return (
+            d.select(F.explode("_bkts").alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    totals = {
+        int(r["bucket"]): (r["c_raw"] or 0, r["c_tgt"] or 0)
+        for r in dist(raw, "c_raw")
+        .join(dist(bucketize(target), "c_tgt"), "bucket", "full")
         .na.fill({"c_raw": 0, "c_tgt": 0})
-        .localCheckpoint()
-    )
-    sums = totals.agg(F.sum("c_raw"), F.sum("c_tgt")).collect()[0]
-    n_raw = sums[0] or 0
-    n_tgt = sums[1] or 0
-    lw = totals.select(
-        "bucket",
-        F.round(
-            F.log((F.col("c_tgt") + 1.0) / F.lit(float(n_tgt + n_buckets)))
-            - F.log((F.col("c_raw") + 1.0) / F.lit(float(n_raw + n_buckets))),
+        .collect()
+    }
+    n_raw = sum(c for c, _ in totals.values())
+    n_tgt = sum(c for _, c in totals.values())
+    import math
+
+    lw = [
+        round(
+            math.log((totals.get(b, (0, 0))[1] + 1.0) / (n_tgt + n_buckets))
+            - math.log((totals.get(b, (0, 0))[0] + 1.0) / (n_raw + n_buckets)),
             9,
-        ).alias("lw"),
+        )
+        for b in range(n_buckets)
+    ]
+    lw_arr = F.array(*[F.lit(v) for v in lw])
+    # _bkts is a materialized column, so the aggregate lambda's
+    # references to it read the array — an inline expression would be
+    # re-featurized per aggregate step (the O(T²) Generate trap,
+    # NOTES invariant)
+    b_col = F.col("_bkts")
+    weight = F.aggregate(
+        F.array_distinct(b_col),
+        F.lit(0.0),
+        lambda acc, b: acc
+        + F.size(F.filter(b_col, lambda x: x == b))
+        * F.element_at(lw_arr, (b + 1).cast("int")),
     )
-    per_doc = (
-        raw_b.join(F.broadcast(lw), "bucket")
-        .groupBy("id")
-        .agg(F.round(F.sum(F.col("cnt") * F.col("lw")), 4).alias("log_weight"))
-    )
-    return docs.select(F.col(id_col)).join(
-        per_doc.select(F.col("id").alias(id_col), "log_weight"), id_col, "left"
+    return raw.select(
+        F.col(id_col),
+        F.when(F.col("_has_text"), F.round(weight, 4)).alias("log_weight"),
     )
 
 
