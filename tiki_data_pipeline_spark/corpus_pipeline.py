@@ -8,12 +8,17 @@ reduction first, so every later stage sees fewer bytes):
 
 1. quality   — text stats + quality score filter (``textstats``)
 2. pii       — URL/email/phone redaction (``curation.redact_pii``)
+2b. lines    — optional corpus-wide boilerplate-line removal
+               (``dedup.remove_duplicate_lines``) BEFORE
+               fingerprinting, so dedup sees real content
 3. exact     — fingerprint dedup, min-id survivor (``dedup.exact_dedup``)
 4. near      — MinHash-LSH candidate pairs → connected-component
                survivors (``dedup.minhash_lsh_near_dups`` +
                ``graph.dedup_survivors``) — cluster-correct, not greedy
 5. decon     — benchmark n-gram decontamination (``curation``)
 6. repetition— Gopher-style repetition filter (``curation``)
+6b. cap      — optional per-source frequency cap
+               (``curation.source_frequency_cap``)
 7. sample    — deterministic per-language stratified sample
 8. pack+ship — hash-sharded sequence packing, one ordered file per
                shard (``sources.files.write_training_shards``)
