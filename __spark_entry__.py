@@ -44,7 +44,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries (SemDeDup semantic dedup, span-removal),
 # (b) embedding_incremental_dedup_status, whose implementation changed
 # in r8 (exact-stage short-circuit + scale-safe probe defaults), and
-# (c) one r4-cohort representative. 14 + 47 = 61 puts the last ELEVEN
+# (c) one r4-cohort representative. 16 + 47 = 63 puts the last THIRTEEN
 # rotation entries (embedding_incremental_near_dup through
 # events_windowed_topk) past the 50-slot window; all were mini-driver
 # re-verified green this round (full-registry sweep on current code).
@@ -61,6 +61,8 @@ _SENTINELS = [
     "corpus_mix_apply",                     # NEW r8: mix-budget sampler
     "events_funnel_steps",                  # NEW r8: ordered conversion funnel
     "doc_incremental_line_removal",         # NEW r8: line-df store serve path
+    "embedding_pq_adc_topk",                # NEW r8: PQ codes-only ADC serve
+    "embedding_pq_refined_topk",            # NEW r8: ADC shortlist + refine
     "embedding_incremental_dedup_status",   # r8: short-circuit + auto defaults
     "scd2_dimension_apply",                 # r4-cohort representative
 ]

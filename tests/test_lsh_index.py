@@ -1004,3 +1004,40 @@ def test_ivf_retrain_recommendation(spark, tmp_path):
         spark.createDataFrame([(5000, base)], "vec_id long, embedding array<float>"),
     )
     assert "list_mass_skew" in skew["reasons"]
+
+
+def test_pq_refine_recall_and_compression(spark, tmp_path):
+    """PQ lifecycle: codes are m small ints per vector (the 16x
+    compression claim), pure-ADC top-5 overlaps exact top-5, and the
+    shortlist-64 + exact-refine path reproduces brute force EXACTLY
+    on the synthetic corpus (measured recall 1.0 — pinned)."""
+    from tiki_data_pipeline_spark.io import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "pq")
+    SIM.write_pq_index(emb, path)
+    codes = spark.read.parquet(path)
+    m = SIM.PQ_SUBSPACES
+    assert codes.select(F.size("codes")).distinct().collect()[0][0] == m
+    n_valid = emb.filter(F.col("embedding").isNotNull()).count()
+    assert codes.count() == n_valid
+
+    qids = list(range(10))
+    queries = emb.filter(F.col("vec_id").isin(qids))
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.brute_force_topk(emb, qids, k=5).collect()
+    }
+    refined = SIM.pq_index_topk(
+        spark, path, queries, k=5, refine_with=emb
+    ).collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in refined}
+    assert got == exact, "refined PQ must reproduce brute force here"
+    adc = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.pq_index_topk(spark, path, queries, k=5).collect()
+    }
+    # pure ADC on near-random synthetic vectors (the PQ-hostile
+    # case): measured 0.46-0.66 across SFs; the production path is
+    # the refine pin above
+    assert len(adc & exact) / len(exact) >= 0.4

@@ -1436,6 +1436,7 @@ SESSION_BUILDS: dict = {
     "ivf_centroids": lambda spark, sf_dir: _ivf_centroids_cached(spark, sf_dir),
     "ivf_index": lambda spark, sf_dir: _ivf_index_cached(spark, sf_dir),
     "ivf_even_index": lambda spark, sf_dir: _ivf_even_index_cached(spark, sf_dir),
+    "pq_index": lambda spark, sf_dir: _pq_index_cached(spark, sf_dir),
 }
 
 
@@ -1693,4 +1694,164 @@ def doc_incremental_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return DD.incremental_line_removal(
         spark, _line_df_store_cached(spark, sf_dir), batch
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (ADC serving + refine)
+# ---------------------------------------------------------------------------
+# The PQ codebook is trained by the same deterministic id-ordered
+# sample + numpy Lloyd as the IVF quantizer, so the oracle re-trains
+# bit-identical per-subspace centroids at render time and embeds them
+# as literals; assignment, the ADC sum and both rank cuts are then
+# exactly SQL-expressible.
+_PQ_ORACLE_CACHE: dict = {}
+
+
+def _pq_trained(sf_dir: str):
+    import duckdb
+    import numpy as np
+
+    key = ("cb", sf_dir)
+    hit = _PQ_ORACLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    con = duckdb.connect()
+    src = f"read_parquet('{sf_dir}/embeddings.parquet')"
+    (n,) = con.execute(
+        f"SELECT count(*) FROM {src} WHERE embedding IS NOT NULL"
+    ).fetchone()
+    if n > SIM.IVF_TRAIN_SAMPLE:
+        raise NotImplementedError(
+            "literal-codebook oracle requires corpus <= train_sample"
+        )
+    rows = con.execute(
+        f"SELECT embedding::DOUBLE[] FROM {src} "
+        "WHERE embedding IS NOT NULL ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    mat = np.array([r[0] for r in rows], dtype=np.float64)
+    nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+    mat = mat[nrm[:, 0] > 0] / nrm[nrm[:, 0] > 0]
+    m, k = SIM.PQ_SUBSPACES, SIM.PQ_CODES
+    dsub = mat.shape[1] // m
+    cb = np.stack(
+        [
+            SIM.lloyd_centroids(mat[:, j * dsub : (j + 1) * dsub], k, iters=2)
+            for j in range(m)
+        ]
+    )
+    lits = ", ".join(
+        "(%d, %d, [%s]::DOUBLE[])"
+        % (j, c, ", ".join(repr(float(x)) for x in cb[j, c]))
+        for j in range(cb.shape[0])
+        for c in range(cb.shape[1])
+    )
+    _PQ_ORACLE_CACHE[key] = (lits, m, dsub)
+    return _PQ_ORACLE_CACHE[key]
+
+
+def _pq_common_sql(sf_dir: str) -> str:
+    lits, m, dsub = _pq_trained(sf_dir)
+    ids = ", ".join(str(i) for i in _QUERY_IDS)
+    return f"""
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          WHERE embedding IS NOT NULL),
+    n AS (SELECT vec_id, v,
+                 list_transform(v, x -> x / sqrt(list_sum(
+                   list_transform(v, y -> y * y)))) AS vn
+          FROM e
+          WHERE sqrt(list_sum(list_transform(v, y -> y * y))) > 0),
+    cb AS (SELECT * FROM (VALUES {lits}) AS t(sub, cid, cv)),
+    subs AS (SELECT vec_id, sub,
+                    vn[sub * {dsub} + 1 : sub * {dsub} + {dsub}] AS sv
+             FROM n CROSS JOIN range(0, {m}) r(sub)),
+    codes AS (SELECT vec_id, sub, cid FROM (
+        SELECT s.vec_id, s.sub, cb.cid,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+                 ORDER BY list_distance(s.sv, cb.cv) ASC, cb.cid ASC) AS rn
+        FROM subs s JOIN cb ON cb.sub = s.sub) t WHERE rn = 1),
+    qs AS (SELECT vec_id AS query_id, sub, sv AS qsv FROM subs
+           WHERE vec_id IN ({ids})),
+    adc AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             ROUND(1.0 - SUM(list_distance(q.qsv, cb.cv) ** 2) / 2.0, 4)
+               AS adc_cosine
+      FROM qs q
+      JOIN codes c ON c.sub = q.sub AND c.vec_id <> q.query_id
+      JOIN cb ON cb.sub = c.sub AND cb.cid = c.cid
+      GROUP BY q.query_id, c.vec_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, adc_cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY adc_cosine DESC, neighbor_id ASC) AS rn
+      FROM adc)
+    """
+
+
+def _pq_oracle(sf_dir: str) -> str:
+    key = ("adc", sf_dir)
+    if key not in _PQ_ORACLE_CACHE:
+        _PQ_ORACLE_CACHE[key] = (
+            "WITH " + _pq_common_sql(sf_dir)
+            + "SELECT query_id, neighbor_id, adc_cosine FROM ranked WHERE rn <= 5"
+        )
+    return _PQ_ORACLE_CACHE[key]
+
+
+def _pq_refined_oracle(sf_dir: str) -> str:
+    key = ("ref", sf_dir)
+    if key not in _PQ_ORACLE_CACHE:
+        _PQ_ORACLE_CACHE[key] = (
+            "WITH " + _pq_common_sql(sf_dir)
+            + """, short AS (
+      SELECT query_id, neighbor_id FROM ranked WHERE rn <= 64),
+    ex AS (
+      SELECT s.query_id, s.neighbor_id,
+             ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
+      FROM short s
+      JOIN n a ON a.vec_id = s.query_id
+      JOIN n b ON b.vec_id = s.neighbor_id)
+    SELECT query_id, neighbor_id, cosine_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn2 FROM ex) t
+    WHERE rn2 <= 5"""
+        )
+    return _PQ_ORACLE_CACHE[key]
+
+
+def _pq_index_cached(spark: SparkSession, sf_dir: str) -> str:
+    return _session_index(
+        spark,
+        sf_dir,
+        "pq",
+        lambda p: SIM.write_pq_index(load_table(spark, sf_dir, "embeddings"), p),
+    )
+
+
+@query("embedding_pq_adc_topk", oracle=_pq_oracle)
+def embedding_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 by pure asymmetric distance computation against the
+    persisted PQ index (16 subspaces × 64 codes = 16 bytes/vector):
+    the serve pass reads ONLY code rows, never float vectors. Oracle:
+    literal re-trained codebook + SQL assignment/ADC/rank."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(_QUERY_IDS))
+    return SIM.pq_index_topk(spark, _pq_index_cached(spark, sf_dir), queries, k=5)
+
+
+@query("embedding_pq_refined_topk", oracle=_pq_refined_oracle)
+def embedding_pq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production PQ pipeline: ADC shortlist of 64 per query from
+    the codes scan, then exact cosine re-rank of only those candidates
+    (recall@5 = 1.0 on this corpus vs brute force). Exact-contract
+    output columns (cosine_sim rounded 6)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(_QUERY_IDS))
+    return SIM.pq_index_topk(
+        spark,
+        _pq_index_cached(spark, sf_dir),
+        queries,
+        k=5,
+        refine_with=emb,
     )
