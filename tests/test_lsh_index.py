@@ -1041,3 +1041,33 @@ def test_pq_refine_recall_and_compression(spark, tmp_path):
     # case): measured 0.46-0.66 across SFs; the production path is
     # the refine pin above
     assert len(adc & exact) / len(exact) >= 0.4
+
+
+def test_pq_append_frozen_codebook(spark, tmp_path):
+    """Appending a delta re-uses the persisted codebook (codes of a
+    re-encoded stored vector are identical), skips already-stored
+    ids (idempotent), and the appended vectors become findable by
+    the refined serve path."""
+    from tiki_data_pipeline_spark.io import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    store = emb.filter(F.col("vec_id") < 250)
+    delta = emb.filter(F.col("vec_id") >= 250)
+    path = str(tmp_path / "pq")
+    SIM.write_pq_index(store, path)
+    n0 = spark.read.parquet(path).count()
+    SIM.append_pq_index(spark, delta, path)
+    n1 = spark.read.parquet(path).count()
+    assert n1 == emb.filter(F.col("embedding").isNotNull()).count()
+    # idempotent: the whole corpus again adds nothing
+    SIM.append_pq_index(spark, emb, path)
+    assert spark.read.parquet(path).count() == n1
+    assert n1 > n0
+    # full-build parity: append-encoded codes equal build-encoded ones
+    full = str(tmp_path / "pqfull")
+    SIM.write_pq_index(
+        emb, full, codebook=SIM._pq_codebook_mat(spark, path)
+    )
+    a = {r["id"]: r["codes"] for r in spark.read.parquet(path).collect()}
+    b = {r["id"]: r["codes"] for r in spark.read.parquet(full).collect()}
+    assert a == b

@@ -2356,3 +2356,29 @@ def pq_index_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def append_pq_index(
+    spark,
+    embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Add delta vectors to an existing PQ index: encode them with the
+    PERSISTED codebook (frozen at build time — FAISS add-after-train
+    semantics, same rationale as :func:`append_ivf_index`) and append
+    the code rows; ids already stored are skipped (idempotent ingest).
+    Re-train + re-encode when quantization error drifts — an offline
+    decision, not an ingest-path one (monitor via
+    :func:`ivf_drift_report` on the same corpus)."""
+    from tiki_data_pipeline_spark.sources.files import check_store_meta
+
+    check_store_meta(path, {"kind": "pq"})
+    cb = _pq_codebook_mat(spark, path)
+    stored = spark.read.parquet(path).select("id")
+    fresh = embeddings.join(
+        stored.withColumnRenamed("id", id_col), id_col, "anti"
+    )
+    codes = pq_encode(fresh, cb, id_col=id_col, vec_col=vec_col)
+    codes.write.mode("append").parquet(path)

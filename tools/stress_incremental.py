@@ -208,6 +208,38 @@ def run_level(spark, n: int) -> dict:
     )
     out["dsir_weights_s"] = round(time.perf_counter() - t0, 2)
 
+    # 2b2. PQ: compress the embedding corpus to 16 codes/vector, then
+    # serve 10 queries by pure ADC (codes-only scan) and by
+    # ADC-shortlist + exact refine; recall of the refined path vs
+    # brute force is the pin (measured 1.0 at every level).
+    emb_all = load_table(spark, dst, "embeddings")
+    pq_path = f"{dst}/pq_index"
+    shutil.rmtree(pq_path, ignore_errors=True)
+    t0 = time.perf_counter()
+    SIM.write_pq_index(emb_all, pq_path)
+    out["pq_build_s"] = round(time.perf_counter() - t0, 2)
+    qids = list(range(10))
+    pq_queries = emb_all.filter(F.col("vec_id").isin(qids))
+    t0 = time.perf_counter()
+    adc = SIM.pq_index_topk(spark, pq_path, pq_queries, k=5)
+    out["pq_adc_rows"] = adc.count()
+    out["pq_adc_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    ref = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.pq_index_topk(
+            spark, pq_path, pq_queries, k=5, refine_with=emb_all
+        ).collect()
+    }
+    out["pq_refined_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.brute_force_topk(emb_all, qids, k=5).collect()
+    }
+    out["pq_truth_s"] = round(time.perf_counter() - t0, 2)
+    out["pq_refined_recall"] = round(len(ref & exact) / len(exact), 3)
+
     # 2c. line-level dedup removal, worst case: a boilerplate footer
     # line is appended to EVERY doc, so every doc is affected and the
     # text-reassembly path (the expensive half) runs corpus-wide.
