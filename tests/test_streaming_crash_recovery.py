@@ -586,3 +586,77 @@ def test_incremental_line_sink_crash_replay(
     q2.awaitTermination(120)
     assert q2.exception() is None
     _assert_line_recovered(spark, store, out)
+
+
+def test_epoch_decisions_numeric_looking_run_does_not_crash(spark, tmp_path):
+    """A pre-prefix store whose every run hash parses as scientific
+    notation (e.g. 33312574e463) reads back as a DOUBLE partition
+    column; filtering it with a string literal then fails
+    CAST_INVALID_INPUT under ANSI on EVERY epoch of the resumed
+    stream (hit as a real CI flake). The reader must degrade to
+    recompute, never crash."""
+    from pyspark.sql import functions as F
+
+    store = str(tmp_path / "numstore")
+    dec = store + "/_decisions"
+    spark.createDataFrame(
+        [(11, "unique", None)],
+        "doc_id long, status string, matched_id long",
+    ).withColumn("run", F.lit("33312574e463")).withColumn(
+        "epoch", F.lit(0)
+    ).write.partitionBy("run", "epoch").parquet(dec)
+    assert dict(spark.read.parquet(dec).dtypes)["run"] != "string"
+
+    batch = spark.createDataFrame([(11,)], "doc_id long")
+    got = jobs._epoch_decisions(
+        spark,
+        store,
+        0,
+        batch,
+        "doc_id",
+        lambda: batch.select(
+            "doc_id",
+            F.lit("unique").alias("status"),
+            F.lit(None).cast("long").alias("matched_id"),
+        ),
+        jobs._run_lineage(str(tmp_path / "ck")),
+        fallback_runs=jobs._lineage_fallbacks(str(tmp_path / "ck")),
+    ).collect()
+    assert [r["doc_id"] for r in got] == [11]
+
+
+def test_epoch_decisions_reuses_pre_prefix_lineage(spark, tmp_path):
+    """Stores written before the ``r`` run-prefix keyed partitions by
+    the bare 12-hex hash; the prefixed code must still reuse them
+    (bare spellings are in the fallback list). An anchor partition
+    with a non-numeric value pins the column to STRING so the test
+    exercises the reuse path deterministically."""
+    from pyspark.sql import functions as F
+
+    store = str(tmp_path / "barestore")
+    dec = store + "/_decisions"
+    ckpt = str(tmp_path / "ck")
+    bare = jobs._run_lineage(ckpt)[1:]
+    rows = spark.createDataFrame(
+        [(11, "unique", None)],
+        "doc_id long, status string, matched_id long",
+    )
+    rows.withColumn("run", F.lit(bare)).withColumn(
+        "epoch", F.lit(0)
+    ).unionByName(
+        rows.withColumn("run", F.lit("anchor_x")).withColumn(
+            "epoch", F.lit(99)
+        )
+    ).write.partitionBy("run", "epoch").parquet(dec)
+
+    batch = spark.createDataFrame([(11,)], "doc_id long")
+
+    def compute():
+        raise AssertionError("pre-prefix lineage decisions not reused")
+
+    got = jobs._epoch_decisions(
+        spark, store, 0, batch, "doc_id", compute,
+        jobs._run_lineage(ckpt),
+        fallback_runs=jobs._lineage_fallbacks(ckpt),
+    ).collect()
+    assert [(r["doc_id"], r["status"]) for r in got] == [(11, "unique")]

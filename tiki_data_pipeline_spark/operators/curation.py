@@ -424,7 +424,12 @@ def dsir_log_weights(
             F.col(text_col).isNotNull().alias("_has_text"),
             F.transform(
                 _dsir_grams(F.coalesce(F.col(text_col), F.lit(""))),
-                lambda g: F.pmod(md5_h56(g, "dsir"), F.lit(n_buckets)),
+                # int, not bigint: buckets < n_buckets, and the
+                # materialized arrays are the featurize pass's whole
+                # memory footprint — half-width halves the spill
+                lambda g: F.pmod(md5_h56(g, "dsir"), F.lit(n_buckets)).cast(
+                    "int"
+                ),
             ).alias("_bkts"),
         )
 

@@ -210,12 +210,20 @@ def _run_lineage(checkpoint_dir: str) -> str:
     spelling-sensitive hash would miss the lineage's committed
     decisions on replay and silently recompute a post-append retry
     into dup-of-self statuses, the exact failure the (run, epoch)
-    log exists to prevent."""
+    log exists to prevent.
+
+    The id is prefixed ``r`` so it can NEVER parse as a number:
+    ``run`` is a directory-partition value, and Spark's partition
+    type inference promotes a column whose every value parses as
+    numeric — a bare 12-hex md5 like ``33312574e463`` reads as
+    scientific notation, flips the column to DOUBLE, and the string
+    filter then fails CAST_INVALID_INPUT under ANSI (hit ~1-in-many
+    tmp paths in CI — a real flake, not theory)."""
     import hashlib
     import os
 
     canon = os.path.realpath(checkpoint_dir).rstrip("/") or "/"
-    return hashlib.md5(canon.encode()).hexdigest()[:12]
+    return "r" + hashlib.md5(canon.encode()).hexdigest()[:12]
 
 
 def _run_lineage_raw(checkpoint_dir: str) -> str:
@@ -227,7 +235,7 @@ def _run_lineage_raw(checkpoint_dir: str) -> str:
     writes always use the canonical id."""
     import hashlib
 
-    return hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
+    return "r" + hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
 
 
 LEGACY_RUN = "legacy"
@@ -235,10 +243,15 @@ LEGACY_RUN = "legacy"
 
 def _lineage_fallbacks(checkpoint_dir: str) -> tuple:
     """Reuse-only fallback run ids for a resumed checkpoint: the
-    pre-canonicalization raw-spelling hash, when it differs from the
-    canonical id."""
+    pre-canonicalization raw-spelling hash (prefixed and bare) plus
+    the bare spelling of the canonical id — stores written before the
+    ``r`` prefix keyed their partitions by the unprefixed hashes."""
+    canon = _run_lineage(checkpoint_dir)
     raw = _run_lineage_raw(checkpoint_dir)
-    return (raw,) if raw != _run_lineage(checkpoint_dir) else ()
+    out = [canon[1:]]  # pre-prefix canonical spelling
+    if raw != canon:
+        out += [raw, raw[1:]]
+    return tuple(out)
 
 
 def _migrate_legacy_decisions(spark, dec_path: str) -> None:
@@ -300,6 +313,17 @@ def _epoch_decisions(
             # every epoch of the resumed stream
             _migrate_legacy_decisions(spark, dec_path)
             committed = spark.read.parquet(dec_path)
+        if dict(committed.dtypes).get("run") != "string":
+            # a pre-prefix store whose EVERY run hash happened to
+            # parse as a number (e.g. 33312574e463) reads back as a
+            # DOUBLE partition column; the original hex is
+            # unrecoverable from the parsed value, so cast to string
+            # to keep the filters valid — nothing matches and the
+            # epoch recomputes, the pre-log behavior, instead of
+            # crashing CAST_INVALID_INPUT on every epoch
+            committed = committed.withColumn(
+                "run", F.col("run").cast("string")
+            )
         # consult this lineage's partition first; a pre-upgrade
         # lineage's committed epochs live under its old run spelling
         # (``fallback_runs`` — e.g. the pre-canonicalization raw-path
