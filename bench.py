@@ -157,9 +157,18 @@ def main() -> None:
     }
     # The driver records stdout with a bounded tail, which can truncate
     # the front of the per-query map; ALSO persist the full JSON to a
-    # repo file so round-over-round diffs cover every query.
+    # repo file so round-over-round diffs cover every query. A
+    # non-default SF (quick local loops at sf0.001) writes a
+    # suffixed file instead — an sf0.001 run silently overwriting
+    # the sf0.1 baseline poisoned bench_compare twice in round 8.
+    sf_tag = _sf_from_dir(SF_DIR)
+    default_name = (
+        "bench_full_latest.json"
+        if sf_tag == 0.1
+        else f"bench_full_latest_sf{sf_tag}.json"
+    )
     out_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_OUT", str(Path(_REPO) / "bench_full_latest.json")
+        "SPARK_GRAFT_BENCH_OUT", str(Path(_REPO) / default_name)
     )
     try:
         Path(out_path).write_text(json.dumps(payload, indent=1) + "\n")
