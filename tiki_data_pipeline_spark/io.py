@@ -108,3 +108,16 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[st
     for name, df in tables.items():
         df.createOrReplaceTempView(name)
     return tables
+
+
+def fan_out_small(df: "DataFrame") -> "DataFrame":
+    """Round-robin-repartition a DataFrame whose input has fewer
+    splits than the cluster's parallelism. CPU-heavy per-row
+    operators (md5-per-gram featurize, span hashing, regex token
+    stats) otherwise run on one core when a small corpus is read as
+    ONE file split. At scale input splits ≥ parallelism, so this is
+    a no-op and the full-corpus shuffle never happens there.
+    Round-robin, not hash: no key, no skew, not counted against the
+    plan-quality hash-exchange budgets."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par) if df.rdd.getNumPartitions() < par else df

@@ -442,14 +442,11 @@ def dsir_log_weights(
     # split would featurize on one core (md5 is CPU-bound) — fan it
     # out first; at scale input splits ≥ parallelism and this is a
     # no-op, so the full-corpus text shuffle never happens there.
+    from tiki_data_pipeline_spark.io import fan_out_small
+
     spark = docs.sparkSession
-    par = spark.sparkContext.defaultParallelism
-
-    def fan_out(d: DataFrame) -> DataFrame:
-        return d.repartition(par) if d.rdd.getNumPartitions() < par else d
-
-    docs = fan_out(docs)
-    target = fan_out(target)
+    docs = fan_out_small(docs)
+    target = fan_out_small(target)
     raw = bucketize(docs, F.col(id_col)).localCheckpoint()
 
     def dist(d: DataFrame, name: str) -> DataFrame:

@@ -808,7 +808,14 @@ def _with_span_inputs(
     10k-token page would do 10⁸ md5 calls). As attributes under the
     consuming Generate/Project, each array is computed once per row;
     Catalyst does not inline a child Project into a generator
-    expression."""
+    expression.
+
+    Inputs are fanned out first (``io.fan_out_small``): the hash
+    transform is CPU-bound, and a small corpus read as one file
+    split would otherwise hash on a single core."""
+    from tiki_data_pipeline_spark.io import fan_out_small
+
+    docs = fan_out_small(docs)
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     return docs.select(
         F.col(id_col),

@@ -82,8 +82,12 @@ _LANG_CASE_SQL = (
 )
 def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token count / punctuation / stopwords / quality / lang-ID /
-    fingerprint per document."""
-    docs = load_table(spark, sf_dir, "documents")
+    fingerprint per document. Fanned out: the stats are CPU-bound
+    regex/array expressions, and a single-split read would run them
+    on one core."""
+    from tiki_data_pipeline_spark.io import fan_out_small
+
+    docs = fan_out_small(load_table(spark, sf_dir, "documents"))
     return TS.with_text_stats(docs).select(
         "doc_id",
         "n_tokens",
