@@ -44,7 +44,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries (SemDeDup semantic dedup, span-removal),
 # (b) embedding_incremental_dedup_status, whose implementation changed
 # in r8 (exact-stage short-circuit + scale-safe probe defaults), and
-# (c) one r4-cohort representative. 16 + 47 = 63 puts the last THIRTEEN
+# (c) one r4-cohort representative. 17 + 47 = 64 puts the last FOURTEEN
 # rotation entries (embedding_incremental_near_dup through
 # events_windowed_topk) past the 50-slot window; all were mini-driver
 # re-verified green this round (full-registry sweep on current code).
@@ -63,6 +63,7 @@ _SENTINELS = [
     "doc_incremental_line_removal",         # NEW r8: line-df store serve path
     "embedding_pq_adc_topk",                # NEW r8: PQ codes-only ADC serve
     "embedding_pq_refined_topk",            # NEW r8: ADC shortlist + refine
+    "embedding_ivfpq_refined_topk",         # NEW r8: IVF probe x PQ ADC x refine
     "embedding_incremental_dedup_status",   # r8: short-circuit + auto defaults
     "scd2_dimension_apply",                 # r4-cohort representative
 ]

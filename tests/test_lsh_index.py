@@ -1071,3 +1071,60 @@ def test_pq_append_frozen_codebook(spark, tmp_path):
     a = {r["id"]: r["codes"] for r in spark.read.parquet(path).collect()}
     b = {r["id"]: r["codes"] for r in spark.read.parquet(full).collect()}
     assert a == b
+
+
+def test_ivfpq_full_probe_matches_pq_and_prunes(spark, tmp_path):
+    """IVF-PQ with nprobe = ALL lists and a SHARED codebook must
+    reproduce the flat PQ index's pure-ADC top-5 exactly (the IVF
+    layer only routes — the scoring path is identical); the refined
+    serve at full probe must reproduce brute force (the pinned PQ
+    refine contract); and a small-nprobe probe must touch only the
+    probed lists (candidate cids ⊆ probes)."""
+    from tiki_data_pipeline_spark.io import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cb = SIM.pq_train(emb)
+    flat = str(tmp_path / "pqflat")
+    ivfpq = str(tmp_path / "ivfpq")
+    SIM.write_pq_index(emb, flat, codebook=cb)
+    SIM.write_ivfpq_index(
+        emb, ivfpq, n_centroids=16, codebook=cb, partitioned=True
+    )
+    assert (tmp_path / "ivfpq" / "cid=0").exists() or any(
+        p.name.startswith("cid=") for p in (tmp_path / "ivfpq").iterdir()
+    )
+
+    qids = list(range(10))
+    queries = emb.filter(F.col("vec_id").isin(qids))
+    a = {
+        (r["query_id"], r["neighbor_id"], r["adc_cosine"])
+        for r in SIM.ivfpq_index_topk(
+            spark, ivfpq, queries, k=5, nprobe=16
+        ).collect()
+    }
+    b = {
+        (r["query_id"], r["neighbor_id"], r["adc_cosine"])
+        for r in SIM.pq_index_topk(spark, flat, queries, k=5).collect()
+    }
+    assert a == b, "full-probe IVF-PQ must equal flat PQ ADC"
+
+    refined = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.ivfpq_index_topk(
+            spark, ivfpq, queries, k=5, nprobe=16, refine_with=emb
+        ).collect()
+    }
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.brute_force_topk(emb, qids, k=5).collect()
+    }
+    assert refined == exact
+
+    # auto-nprobe refined serve: high recall from a partial probe
+    part = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.ivfpq_index_topk(
+            spark, ivfpq, queries, k=5, refine_with=emb
+        ).collect()
+    }
+    assert len(part & exact) / len(exact) >= 0.6

@@ -2382,3 +2382,208 @@ def append_pq_index(
     )
     codes = pq_encode(fresh, cb, id_col=id_col, vec_col=vec_col)
     codes.write.mode("append").parquet(path)
+
+
+def write_ivfpq_index(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int | str = 16,
+    m: int = PQ_SUBSPACES,
+    k: int = PQ_CODES,
+    centroids: DataFrame | None = None,
+    codebook=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    partitioned: bool | None = None,
+    partition_min_rows: int = 200_000,
+) -> None:
+    """The composed ANN layout for 100 TB of vectors — IVF inverted
+    lists whose rows carry PQ CODES instead of float vectors (the
+    FAISS IVF-PQ architecture, flat-encoding variant: codes quantize
+    the normalized vector itself, not the list residual — one shared
+    codebook, so the same codes serve every list and the DuckDB-
+    oracle-pinned :func:`pq_index_topk` scoring applies verbatim).
+    A probe touches ``nprobe/n_lists`` of the corpus AND reads 16
+    bytes per row instead of 4·dim — the two serving levers multiply.
+
+    Layout mirrors :func:`write_ivf_index` (cid partitioning above
+    ``partition_min_rows``, cid-sorted flat file below) with BOTH
+    sidecars: ``_centroids`` (coarse quantizer) and ``_codebook``
+    (PQ); ``_meta.json`` carries kind/m/k/n_rows/n_lists."""
+    from tiki_data_pipeline_spark.sources.files import write_store_meta
+
+    spark = embeddings.sparkSession
+    base = _ivf_index_rows(embeddings, id_col, vec_col)
+    n_rows = base.count()
+    if n_centroids == "auto":
+        n_centroids = auto_n_centroids(n_rows)
+    if centroids is None:
+        centroids = ivf_train(
+            embeddings, k=n_centroids, id_col=id_col, vec_col=vec_col
+        )
+    if codebook is None:
+        codebook = pq_train(embeddings, m=m, k=k, id_col=id_col, vec_col=vec_col)
+    assigned = assign_to_centroids(base.select("id", "v"), centroids)
+    codes = pq_encode(embeddings, codebook, id_col=id_col, vec_col=vec_col)
+    rows = codes.join(assigned, "id")
+    if partitioned is None:
+        partitioned = n_rows >= partition_min_rows
+    _write_index_rows(rows, path, "overwrite", "cid", partitioned)
+    centroids.write.mode("overwrite").parquet(path.rstrip("/") + "/_centroids")
+    _pq_codebook_df(spark, codebook).write.mode("overwrite").parquet(
+        path.rstrip("/") + "/_codebook"
+    )
+    write_store_meta(
+        path,
+        {
+            "kind": "ivfpq",
+            "m": int(codebook.shape[0]),
+            "k": int(codebook.shape[1]),
+            "n_rows": int(n_rows),
+            "n_lists": int(n_centroids),
+        },
+    )
+
+
+def ivfpq_index_topk(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int | str = "auto",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_with: DataFrame | None = None,
+    shortlist: int = 64,
+) -> DataFrame:
+    """ANN top-k from the IVF-PQ index: probe selection driver-side
+    against ``_centroids`` (same rule and auto-nprobe as
+    :func:`ivf_index_topk`), then ADC over ONLY the probed lists'
+    code rows — partition pruning × 16-byte rows, no float vector
+    read anywhere in the scan. ``refine_with`` re-ranks the per-query
+    ADC ``shortlist`` with exact cosine (the
+    :func:`pq_index_topk` refine contract). Output columns match the
+    family: ``adc_cosine`` pure, ``cosine_sim`` refined."""
+    import numpy as np
+
+    from pyspark.sql import Window as W
+    from tiki_data_pipeline_spark.sources.files import (
+        check_store_meta,
+        read_store_meta,
+    )
+
+    check_store_meta(index_path, {"kind": "ivfpq"})
+    cb = _pq_codebook_mat(spark, index_path)
+    m, _, dsub = cb.shape
+    cent_rows = sorted(
+        spark.read.parquet(index_path.rstrip("/") + "/_centroids").collect(),
+        key=lambda r: r["cid"],
+    )
+    cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
+    cmat = np.array([r["cv"] for r in cent_rows], dtype=np.float64)
+    if nprobe == "auto":
+        meta = read_store_meta(index_path) or {}
+        n_rows = meta.get("n_rows") or spark.read.parquet(index_path).count()
+        nprobe = auto_nprobe(int(n_rows), len(cids), k)
+
+    q_rows = (
+        queries.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+        .limit(MAX_QUERY_SET + 1)
+        .collect()
+    )
+    _check_query_set(len(q_rows))
+    luts: dict = {}
+    probe_rows = []
+    for r in q_rows:
+        qv = np.asarray(r["v"], dtype=np.float64)
+        qn = float(np.linalg.norm(qv))
+        if qn == 0:
+            continue
+        d = -2.0 * (cmat @ qv) + (cmat * cmat).sum(axis=1)
+        order = np.lexsort((cids, d))[: min(int(nprobe), len(cids))]
+        probe_rows.extend((int(r["id"]), int(cids[i])) for i in order)
+        qu = qv / qn
+        luts[int(r["id"])] = np.stack(
+            [
+                ((qu[j * dsub : (j + 1) * dsub][None, :] - cb[j]) ** 2).sum(axis=1)
+                for j in range(m)
+            ]
+        )
+    probe_cids = sorted({c for _, c in probe_rows})
+    probes = spark.createDataFrame(probe_rows, schema="query_id long, cid int")
+    index = spark.read.parquet(index_path).filter(
+        F.col("cid").isin(probe_cids)  # partition pruning, not a scan
+    )
+    cand = index.join(F.broadcast(probes), "cid").filter(
+        F.col("id") != F.col("query_id")
+    )
+
+    import pandas as pd
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.array(list(pdf["codes"]), dtype=np.int64)
+            qi = pdf["query_id"].values
+            d2 = np.empty(len(C), dtype=np.float64)
+            for q in np.unique(qi):
+                sel = qi == q
+                lut = luts[int(q)]
+                Cq = C[sel]
+                d2[sel] = sum(lut[j, Cq[:, j]] for j in range(m))
+            yield pd.DataFrame(
+                {
+                    "query_id": qi,
+                    "neighbor_id": pdf["id"].values,
+                    "d2": d2,
+                }
+            )
+
+    scored = cand.select("query_id", "id", "codes").mapInPandas(
+        score, schema="query_id long, neighbor_id long, d2 double"
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(1.0 - F.col("d2") / 2.0, 4).alias("adc_cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("adc_cosine").desc(), F.col("neighbor_id").asc()
+    )
+    if refine_with is None:
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+    short = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    raw = refine_with.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("_rid"), as_double(F.col(vec_col)).alias("_rv")
+    )
+    exact = (
+        short.join(raw.withColumnRenamed("_rid", "neighbor_id"), "neighbor_id")
+        .withColumnRenamed("_rv", "_nv")
+        .join(raw.withColumnRenamed("_rid", "query_id"), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("_rv"), F.col("_nv"))
+                / (_norm(F.col("_rv")) * _norm(F.col("_nv"))),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
+    we = W.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("_rn", F.row_number().over(we))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -1441,6 +1441,7 @@ SESSION_BUILDS: dict = {
     "ivf_index": lambda spark, sf_dir: _ivf_index_cached(spark, sf_dir),
     "ivf_even_index": lambda spark, sf_dir: _ivf_even_index_cached(spark, sf_dir),
     "pq_index": lambda spark, sf_dir: _pq_index_cached(spark, sf_dir),
+    "ivfpq_index": lambda spark, sf_dir: _ivfpq_index_cached(spark, sf_dir),
 }
 
 
@@ -1857,5 +1858,114 @@ def embedding_pq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pq_index_cached(spark, sf_dir),
         queries,
         k=5,
+        refine_with=emb,
+    )
+
+
+def _ivfpq_oracle(sf_dir: str) -> str:
+    """IVF-PQ refined serve, fully SQL-pinned: IVF probe selection
+    (literal coarse centroids, nprobe=2), candidate restriction to
+    vectors ASSIGNED to a probed list (literal assignment), ADC over
+    the PQ codes (literal codebook), shortlist-64 cut, exact-cosine
+    re-rank. Both quantizers are deterministic, so the oracle
+    re-trains them bit-identically at render time."""
+    key = ("ivfpq", sf_dir)
+    if key in _PQ_ORACLE_CACHE:
+        return _PQ_ORACLE_CACHE[key]
+    pq_lits, m, dsub = _pq_trained(sf_dir)
+    ivf_lits = _centroid_literals(sf_dir, k=16)
+    ids = ", ".join(str(i) for i in _QUERY_IDS)
+    sql = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE embedding IS NOT NULL),
+    n AS (SELECT vec_id, v,
+                 list_transform(v, x -> x / sqrt(list_sum(
+                   list_transform(v, y -> y * y)))) AS vn
+          FROM e
+          WHERE sqrt(list_sum(list_transform(v, y -> y * y))) > 0),
+    ivfc AS (SELECT * FROM (VALUES {ivf_lits}) AS t(cid, cv)),
+    assigned AS (
+      SELECT vec_id, cid FROM (
+        SELECT n.vec_id, ivfc.cid,
+               ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                 ORDER BY list_distance(n.v, ivfc.cv) ASC, ivfc.cid ASC) AS rn
+        FROM n CROSS JOIN ivfc) t WHERE rn = 1),
+    probes AS (
+      SELECT query_id, cid FROM (
+        SELECT n.vec_id AS query_id, ivfc.cid,
+               ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                 ORDER BY list_distance(n.v, ivfc.cv) ASC, ivfc.cid ASC) AS rn
+        FROM n CROSS JOIN ivfc WHERE n.vec_id IN ({ids})) t
+      WHERE rn <= 2),
+    cb AS (SELECT * FROM (VALUES {pq_lits}) AS t(sub, pcid, cv)),
+    subs AS (SELECT vec_id, sub,
+                    vn[sub * {dsub} + 1 : sub * {dsub} + {dsub}] AS sv
+             FROM n CROSS JOIN range(0, {m}) r(sub)),
+    codes AS (SELECT vec_id, sub, pcid FROM (
+        SELECT s.vec_id, s.sub, cb.pcid,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+                 ORDER BY list_distance(s.sv, cb.cv) ASC, cb.pcid ASC) AS rn
+        FROM subs s JOIN cb ON cb.sub = s.sub) t WHERE rn = 1),
+    qs AS (SELECT vec_id AS query_id, sub, sv AS qsv FROM subs
+           WHERE vec_id IN ({ids})),
+    adc AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             ROUND(1.0 - SUM(list_distance(q.qsv, cb.cv) ** 2) / 2.0, 4)
+               AS adc_cosine
+      FROM qs q
+      JOIN codes c ON c.sub = q.sub AND c.vec_id <> q.query_id
+      JOIN assigned a ON a.vec_id = c.vec_id
+      JOIN probes p ON p.query_id = q.query_id AND p.cid = a.cid
+      JOIN cb ON cb.sub = c.sub AND cb.pcid = c.pcid
+      GROUP BY q.query_id, c.vec_id),
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY adc_cosine DESC, neighbor_id ASC) AS rn
+        FROM adc) t WHERE rn <= 64),
+    ex AS (
+      SELECT s.query_id, s.neighbor_id,
+             ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
+      FROM short s
+      JOIN n a ON a.vec_id = s.query_id
+      JOIN n b ON b.vec_id = s.neighbor_id)
+    SELECT query_id, neighbor_id, cosine_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn2 FROM ex) t
+    WHERE rn2 <= 5
+    """
+    _PQ_ORACLE_CACHE[key] = sql
+    return sql
+
+
+def _ivfpq_index_cached(spark: SparkSession, sf_dir: str) -> str:
+    def build(p: str) -> None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        SIM.write_ivfpq_index(
+            emb,
+            p,
+            n_centroids=16,
+            centroids=_ivf_centroids_cached(spark, sf_dir),
+        )
+
+    return _session_index(spark, sf_dir, "ivfpq", build)
+
+
+@query("embedding_ivfpq_refined_topk", oracle=_ivfpq_oracle)
+def embedding_ivfpq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed 100 TB ANN serve: IVF probe (nprobe=2 of 16
+    lists = partition pruning) × PQ codes (16 B/vector ADC scan) ×
+    exact refine of the shortlist. BOTH quantizers re-trained
+    bit-identically by the oracle and every stage SQL-pinned —
+    probe selection, assignment, ADC scores, both rank cuts."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(_QUERY_IDS))
+    return SIM.ivfpq_index_topk(
+        spark,
+        _ivfpq_index_cached(spark, sf_dir),
+        queries,
+        k=5,
+        nprobe=2,
         refine_with=emb,
     )
