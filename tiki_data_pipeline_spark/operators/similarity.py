@@ -2587,3 +2587,44 @@ def ivfpq_index_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def append_ivfpq_index(
+    spark,
+    embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Add delta vectors to an existing IVF-PQ index: assign to the
+    persisted coarse centroids and encode with the persisted codebook
+    (BOTH quantizers frozen — add-after-train), appending to the
+    matching lists; stored ids are skipped (idempotent). Layout
+    auto-detected like the other appends; retrain is the offline
+    drift decision (:func:`ivf_drift_report` on the same corpus)."""
+    from tiki_data_pipeline_spark.sources.files import (
+        check_store_meta,
+        read_store_meta,
+        update_store_meta,
+    )
+
+    check_store_meta(path, {"kind": "ivfpq"})
+    cb = _pq_codebook_mat(spark, path)
+    centroids = spark.read.parquet(path.rstrip("/") + "/_centroids")
+    stored = spark.read.parquet(path).select("id")
+    fresh = embeddings.join(
+        stored.withColumnRenamed("id", id_col), id_col, "anti"
+    )
+    base = _ivf_index_rows(fresh, id_col, vec_col)
+    n_delta = base.count()
+    if not n_delta:
+        return
+    assigned = assign_to_centroids(base.select("id", "v"), centroids)
+    codes = pq_encode(fresh, cb, id_col=id_col, vec_col=vec_col)
+    rows = codes.join(assigned, "id")
+    _write_index_rows(
+        rows, path, "append", "cid", _detect_partitioned(path, "cid")
+    )
+    meta = read_store_meta(path) or {}
+    if "n_rows" in meta:
+        update_store_meta(path, {"n_rows": int(meta["n_rows"]) + int(n_delta)})

@@ -240,6 +240,29 @@ def run_level(spark, n: int) -> dict:
     out["pq_truth_s"] = round(time.perf_counter() - t0, 2)
     out["pq_refined_recall"] = round(len(ref & exact) / len(exact), 3)
 
+    # 2b3. IVF-PQ: the composed serve (probe pruning x 16-byte code
+    # rows). auto-nprobe + refine; recall vs the same brute-force
+    # truth, plus the codes-only partial-probe serve time.
+    ivfpq_path = f"{dst}/ivfpq_index"
+    shutil.rmtree(ivfpq_path, ignore_errors=True)
+    t0 = time.perf_counter()
+    SIM.write_ivfpq_index(emb_all, ivfpq_path, n_centroids="auto")
+    out["ivfpq_build_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    ipr = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.ivfpq_index_topk(
+            spark, ivfpq_path, pq_queries, k=5, refine_with=emb_all
+        ).collect()
+    }
+    out["ivfpq_refined_s"] = round(time.perf_counter() - t0, 2)
+    out["ivfpq_refined_recall"] = round(len(ipr & exact) / len(exact), 3)
+    t0 = time.perf_counter()
+    out["ivfpq_adc_rows"] = SIM.ivfpq_index_topk(
+        spark, ivfpq_path, pq_queries, k=5
+    ).count()
+    out["ivfpq_adc_s"] = round(time.perf_counter() - t0, 2)
+
     # 2c. line-level dedup removal, worst case: a boilerplate footer
     # line is appended to EVERY doc, so every doc is affected and the
     # text-reassembly path (the expensive half) runs corpus-wide.
