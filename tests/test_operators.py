@@ -778,3 +778,19 @@ def test_incremental_line_removal_store_lifecycle(spark, tmp_path):
     # decisions unchanged post-compact
     got3 = DD.incremental_line_removal(spark, path, later, count_batch=False)
     assert got3.collect()[0]["cleaned_text"] == "later body"
+
+
+def test_fan_out_small_only_when_under_parallelism(spark):
+    """fan_out_small spreads a single-split input to the cluster
+    parallelism but leaves an already-wide input untouched (the
+    at-scale no-op guarantee — no full-corpus shuffle there)."""
+    from tiki_data_pipeline_spark.io import fan_out_small
+
+    par = spark.sparkContext.defaultParallelism
+    narrow = spark.createDataFrame([(i,) for i in range(100)], "id long").coalesce(1)
+    assert narrow.rdd.getNumPartitions() == 1
+    spread = fan_out_small(narrow)
+    assert spread.rdd.getNumPartitions() == par
+    assert spread.count() == 100
+    wide = spark.range(100).repartition(par + 4)
+    assert fan_out_small(wide) is wide
