@@ -1163,3 +1163,46 @@ def test_ivfpq_append_frozen_quantizers(spark, tmp_path):
     a = {r["id"]: (r["cid"], r["codes"]) for r in spark.read.parquet(path).collect()}
     b = {r["id"]: (r["cid"], r["codes"]) for r in spark.read.parquet(full).collect()}
     assert a == b
+
+
+def test_ivfpq_nprobe_calibration(spark, tmp_path):
+    """The r9 composed-recall pin: write_ivfpq_index calibrates
+    nprobe at build time (full-probe ADC truth proxy over a held-in
+    sample), persists it in store meta, and the nprobe='auto' serve
+    reads it — refined recall@5 vs brute force >= 0.9 on the fixture
+    corpus, where the uncalibrated 1/16-of-lists floor alone sits
+    well below (it resolves to the minimum of 2 probes here)."""
+    from tiki_data_pipeline_spark.io import load_table
+    from tiki_data_pipeline_spark.sources.files import read_store_meta
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "ivfpqcal")
+    SIM.write_ivfpq_index(emb, path, n_centroids=16, partitioned=True)
+
+    meta = read_store_meta(path)
+    assert meta.get("calibrated_nprobe"), "build must persist the calibration"
+    cal = meta["calibration"]
+    assert cal["target_recall"] == 0.9 and cal["n_pairs"] > 0
+    assert 2 <= meta["calibrated_nprobe"] <= meta["n_lists"]
+
+    qids = list(range(10))
+    queries = emb.filter(F.col("vec_id").isin(qids))
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.ivfpq_index_topk(
+            spark, path, queries, k=5, refine_with=emb
+        ).collect()
+    }
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.brute_force_topk(emb, qids, k=5).collect()
+    }
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.9, f"calibrated composed recall {recall:.2f}"
+
+    # recalibration is idempotent given the same sample, and the
+    # explicit API returns the same report the build persisted
+    rep = SIM.calibrate_ivfpq_nprobe(
+        spark, path, emb.orderBy("vec_id").limit(16), persist=False
+    )
+    assert rep["nprobe"] == meta["calibrated_nprobe"]

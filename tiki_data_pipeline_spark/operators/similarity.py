@@ -2396,6 +2396,9 @@ def write_ivfpq_index(
     vec_col: str = "embedding",
     partitioned: bool | None = None,
     partition_min_rows: int = 200_000,
+    calibrate: bool = True,
+    calibration_sample: int = 16,
+    calibration_target: float = 0.9,
 ) -> None:
     """The composed ANN layout for 100 TB of vectors — IVF inverted
     lists whose rows carry PQ CODES instead of float vectors (the
@@ -2443,6 +2446,21 @@ def write_ivfpq_index(
             "n_lists": int(n_centroids),
         },
     )
+    if calibrate and n_rows:
+        # one full-probe ADC pass over a deterministic held-in sample
+        # sizes nprobe for the recall target; serves then read the
+        # measured value from meta instead of trusting the 1/16 floor
+        sample = embeddings.filter(F.col(vec_col).isNotNull()).orderBy(
+            F.col(id_col)
+        ).limit(calibration_sample)
+        calibrate_ivfpq_nprobe(
+            spark,
+            path,
+            sample,
+            target_recall=calibration_target,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
 
 
 def ivfpq_index_topk(
@@ -2482,9 +2500,18 @@ def ivfpq_index_topk(
     cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
     cmat = np.array([r["cv"] for r in cent_rows], dtype=np.float64)
     if nprobe == "auto":
+        # Prefer the store's measured calibration (written by
+        # calibrate_ivfpq_nprobe / write_ivfpq_index) over the
+        # closed-form floor: the 1/16-of-lists convention assumes
+        # neighbors concentrate in the query's nearest lists, which
+        # near-orthogonal corpora violate — r8's SCALE table showed
+        # recall@5 = 0.88 at 200k vectors under the floor alone.
         meta = read_store_meta(index_path) or {}
-        n_rows = meta.get("n_rows") or spark.read.parquet(index_path).count()
-        nprobe = auto_nprobe(int(n_rows), len(cids), k)
+        if meta.get("calibrated_nprobe"):
+            nprobe = int(meta["calibrated_nprobe"])
+        else:
+            n_rows = meta.get("n_rows") or spark.read.parquet(index_path).count()
+            nprobe = auto_nprobe(int(n_rows), len(cids), k)
 
     q_rows = (
         queries.filter(F.col(vec_col).isNotNull())
@@ -2587,6 +2614,127 @@ def ivfpq_index_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def calibrate_ivfpq_nprobe(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    target_recall: float = 0.9,
+    headroom: float = 1.25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    persist: bool = True,
+) -> dict:
+    """Size ``nprobe`` for a measured recall target instead of the
+    closed-form 1/16-of-lists floor (FAISS-autotune style, the r8
+    verdict's "fold IVF-PQ into the recall-target machinery").
+
+    The composed path's only recall loss in practice is LIST MISS —
+    a true neighbor living in an unprobed list (the r9 diagnostic
+    measured 6/6 misses at 200k vectors as list misses, 0 as ADC
+    shortlist misses). So the truth proxy is a FULL-PROBE ADC top-k
+    over the sample queries: it exercises exactly the probe-dependent
+    component, and scanning all lists costs only code bytes
+    (16 B/vector — the cheap scan PQ exists to provide; at 100 TB of
+    raw vectors the codes are ~0.4% of corpus bytes, and the
+    calibration runs once per build). For each (query, proxy-
+    neighbor) pair we compute the rank of the neighbor's list in the
+    query's centroid ordering; the smallest nprobe whose pair
+    coverage meets ``target_recall`` gets ``headroom`` (sample →
+    population margin) and is clamped to
+    [:func:`auto_nprobe` floor, n_lists].
+
+    Returns ``{nprobe, required, achieved_on_sample, n_pairs,
+    n_lists, target_recall}`` and, with ``persist``, writes
+    ``calibrated_nprobe`` + the report into the store meta so
+    ``nprobe="auto"`` serving picks it up for free."""
+    import math
+
+    import numpy as np
+
+    from tiki_data_pipeline_spark.sources.files import (
+        check_store_meta,
+        read_store_meta,
+        update_store_meta,
+    )
+
+    check_store_meta(index_path, {"kind": "ivfpq"})
+    meta = read_store_meta(index_path) or {}
+    cent_rows = sorted(
+        spark.read.parquet(index_path.rstrip("/") + "/_centroids").collect(),
+        key=lambda r: r["cid"],
+    )
+    cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
+    cmat = np.array([r["cv"] for r in cent_rows], dtype=np.float64)
+    n_lists = len(cids)
+    floor = auto_nprobe(
+        int(meta.get("n_rows") or 0), n_lists, k
+    )
+
+    proxy = ivfpq_index_topk(
+        spark,
+        index_path,
+        queries,
+        k=k,
+        nprobe=n_lists,  # full probe — the list-coverage truth
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    pairs = proxy.select("query_id", "neighbor_id").collect()
+    neighbor_ids = sorted({r["neighbor_id"] for r in pairs})
+    cid_of = {
+        r["id"]: r["cid"]
+        for r in spark.read.parquet(index_path)
+        .filter(F.col("id").isin(neighbor_ids))
+        .select("id", "cid")
+        .collect()
+    }
+    q_rows = (
+        queries.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+        .limit(MAX_QUERY_SET + 1)
+        .collect()
+    )
+    _check_query_set(len(q_rows))
+    rank_of: dict = {}
+    for r in q_rows:
+        qv = np.asarray(r["v"], dtype=np.float64)
+        d = -2.0 * (cmat @ qv) + (cmat * cmat).sum(axis=1)
+        order = np.lexsort((cids, d))
+        rank_of[int(r["id"])] = {int(cids[c]): i for i, c in enumerate(order)}
+
+    ranks = sorted(
+        rank_of[int(p["query_id"])][cid_of[p["neighbor_id"]]] for p in pairs
+    )
+    if not ranks:
+        result = {"nprobe": floor, "required": floor, "achieved_on_sample": None}
+    else:
+        # smallest nprobe covering >= target fraction of pairs: one
+        # past the rank at the target quantile
+        idx = max(0, math.ceil(target_recall * len(ranks)) - 1)
+        required = ranks[idx] + 1
+        nprobe = min(n_lists, max(floor, math.ceil(required * headroom)))
+        achieved = sum(1 for r in ranks if r < nprobe) / len(ranks)
+        result = {
+            "nprobe": int(nprobe),
+            "required": int(required),
+            "achieved_on_sample": round(achieved, 4),
+        }
+    result.update(
+        {
+            "n_pairs": len(ranks),
+            "n_lists": n_lists,
+            "target_recall": target_recall,
+        }
+    )
+    if persist:
+        update_store_meta(
+            index_path,
+            {"calibrated_nprobe": result["nprobe"], "calibration": result},
+        )
+    return result
 
 
 def append_ivfpq_index(

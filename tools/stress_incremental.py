@@ -241,13 +241,21 @@ def run_level(spark, n: int) -> dict:
     out["pq_refined_recall"] = round(len(ref & exact) / len(exact), 3)
 
     # 2b3. IVF-PQ: the composed serve (probe pruning x 16-byte code
-    # rows). auto-nprobe + refine; recall vs the same brute-force
-    # truth, plus the codes-only partial-probe serve time.
+    # rows). Build includes the r9 nprobe CALIBRATION pass (full-
+    # probe ADC over a 16-query held-in sample -> calibrated_nprobe
+    # in store meta); serve trusts meta. Recall vs the same brute-
+    # force truth is PINNED >= 0.9 at every level — the r8 composed-
+    # path hole (0.88 at 100x under the 1/16 floor alone).
+    from tiki_data_pipeline_spark.sources.files import read_store_meta
+
     ivfpq_path = f"{dst}/ivfpq_index"
     shutil.rmtree(ivfpq_path, ignore_errors=True)
     t0 = time.perf_counter()
     SIM.write_ivfpq_index(emb_all, ivfpq_path, n_centroids="auto")
     out["ivfpq_build_s"] = round(time.perf_counter() - t0, 2)
+    out["ivfpq_nprobe"] = (read_store_meta(ivfpq_path) or {}).get(
+        "calibrated_nprobe"
+    )
     t0 = time.perf_counter()
     ipr = {
         (r["query_id"], r["neighbor_id"])
@@ -257,6 +265,9 @@ def run_level(spark, n: int) -> dict:
     }
     out["ivfpq_refined_s"] = round(time.perf_counter() - t0, 2)
     out["ivfpq_refined_recall"] = round(len(ipr & exact) / len(exact), 3)
+    assert out["ivfpq_refined_recall"] >= 0.9, (
+        f"IVF-PQ composed recall pin failed: {out['ivfpq_refined_recall']}"
+    )
     t0 = time.perf_counter()
     out["ivfpq_adc_rows"] = SIM.ivfpq_index_topk(
         spark, ivfpq_path, pq_queries, k=5
