@@ -216,6 +216,47 @@ def test_dsir_weights_favor_target_distribution(spark):
     assert en_share > base_rate
 
 
+def test_dsir_sample_precomputed_weights_parity(spark, tmp_path):
+    """dsir_sample(weights=...) must return row-identical results to
+    the self-featurizing path (the r8 verdict ask: pay featurization
+    once per corpus, not once per consumer), and the persisted
+    weights store round-trips with its n_buckets pinned — serving it
+    under a different feature-space parameter raises."""
+    import pytest
+
+    from tiki_data_pipeline_spark.io import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    target = docs.filter(F.col("lang") == "en")
+
+    w = CU.dsir_log_weights(docs, target, n_buckets=256)
+    a = sorted(
+        map(tuple, CU.dsir_sample(docs, target, n=25, n_buckets=256).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            CU.dsir_sample(docs, target, n=25, n_buckets=256, weights=w).collect(),
+        )
+    )
+    assert a == b
+
+    path = str(tmp_path / "dsir_w")
+    CU.write_dsir_weights_store(w, path, n_buckets=256)
+    served = CU.read_dsir_weights_store(spark, path, n_buckets=256)
+    c = sorted(
+        map(
+            tuple,
+            CU.dsir_sample(
+                docs, target, n=25, n_buckets=256, weights=served
+            ).collect(),
+        )
+    )
+    assert a == c
+    with pytest.raises(Exception):
+        CU.read_dsir_weights_store(spark, path, n_buckets=1024)
+
+
 def test_source_frequency_cap_keeps_at_most_cap(spark):
     """Every source keeps exactly min(cap, size) docs; ranks are a
     permutation of 1..size per source; the lottery is deterministic

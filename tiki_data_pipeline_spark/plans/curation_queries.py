@@ -475,15 +475,43 @@ _DSIR_SQL = f"""
 """
 
 
+_DSIR_WEIGHTS_CACHE: dict = {}
+
+
+def _dsir_weights_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus's DSIR weight table, featurized ONCE per session
+    (r8 verdict ask #2: the md5-per-gram pass is the dominant DSIR
+    cost and must not run once per consumer — both registry DSIR
+    queries serve from this checkpoint, and bench charges the
+    featurization to the builds map)."""
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
+    df = _DSIR_WEIGHTS_CACHE.get(key)
+    if df is None:
+        docs = load_table(spark, sf_dir, "documents")
+        df = CU.dsir_log_weights(
+            docs, docs.filter(F.col("lang") == "en"), n_buckets=_DSIR_K
+        ).localCheckpoint()
+        for k in list(_DSIR_WEIGHTS_CACHE):  # old sessions are dead
+            if k[0] != app_id:
+                del _DSIR_WEIGHTS_CACHE[k]
+        _DSIR_WEIGHTS_CACHE[key] = df
+    return df
+
+
+from tiki_data_pipeline_spark.plans.llm_queries import (  # noqa: E402
+    SESSION_BUILDS,
+)
+
+SESSION_BUILDS["dsir_weights"] = _dsir_weights_cached
+
+
 @query("doc_dsir_weights", oracle=_DSIR_SQL)
 def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR log importance weight of every document toward the
     English-slice target distribution (hashed uni+bigram features,
     256 buckets, Laplace smoothing)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return CU.dsir_log_weights(
-        docs, docs.filter(F.col("lang") == "en"), n_buckets=_DSIR_K
-    )
+    return _dsir_weights_cached(spark, sf_dir)
 
 
 @query(
@@ -503,10 +531,15 @@ def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gumbel-top-20 DSIR selection (deterministic md5-derived Gumbel
     noise): the 20 documents importance-resampled toward the English
-    target distribution."""
+    target distribution. Serves from the session's precomputed
+    weight table — selection reads zero document text."""
     docs = load_table(spark, sf_dir, "documents")
     return CU.dsir_sample(
-        docs, docs.filter(F.col("lang") == "en"), n=20, n_buckets=_DSIR_K
+        docs,
+        docs.filter(F.col("lang") == "en"),
+        n=20,
+        n_buckets=_DSIR_K,
+        weights=_dsir_weights_cached(spark, sf_dir),
     )
 
 
