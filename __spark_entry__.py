@@ -44,6 +44,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # remaining 37 absentees fall past the window — all r7-green and
 # re-verified via the full mini_driver sweep on final r9 code.
 _SENTINELS = [
+    # -- NEW r9 queries --
+    "doc_span_removal_variable",           # NEW r9: run-merged span cut
     # -- r9-changed implementations --
     "doc_dsir_weights",                    # r9: session-cached weight table
     "doc_dsir_sample",                     # r9: serves precomputed weights

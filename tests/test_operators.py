@@ -453,6 +453,49 @@ def test_remove_duplicate_spans_planted_boilerplate(spark):
     assert got[4] == ("too short", 2, 0, 0.0)
 
 
+def test_remove_duplicate_spans_min_run_keeps_short_cuts_long(spark):
+    """Variable-length extension (r9): with min_run set, a LONG
+    planted boilerplate block (its covered run >= min_run) is cut
+    while a SHORT duplicated phrase (covered run = one window's span,
+    below min_run) survives; min_run <= span reproduces the
+    every-covered-token behavior exactly."""
+    short = "please subscribe to our newsletter for updates today"  # 8 toks
+    long_block = " ".join(f"legal{i}" for i in range(30))  # 30-token footer
+    a = "alpha unique body one with original words here " + short
+    b = "beta other page totally different content text now " + short
+    c = "gamma carrier of the long boilerplate block starts " + long_block
+    d = "delta another carrier with its own opening words " + long_block
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (4, d)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["cleaned_text"], r["n_tokens_removed"])
+        for r in DD.remove_duplicate_spans(
+            docs, span=8, min_df=2, min_run=20
+        ).collect()
+    }
+    # short shared phrase: covered run is 8 tokens < 20 -> kept
+    assert got[1] == (a, 0)
+    assert got[2] == (b, 0)
+    # long boilerplate: covered run is 30 tokens >= 20 -> cut
+    assert got[3] == ("gamma carrier of the long boilerplate block starts", 30)
+    assert got[4] == ("delta another carrier with its own opening words", 30)
+
+    # min_run <= span is the identity extension: same rows as default
+    base = sorted(
+        map(tuple, DD.remove_duplicate_spans(docs, span=8, min_df=2).collect())
+    )
+    runs8 = sorted(
+        map(
+            tuple,
+            DD.remove_duplicate_spans(
+                docs, span=8, min_df=2, min_run=8
+            ).collect(),
+        )
+    )
+    assert base == runs8
+
+
 def test_remove_duplicate_spans_whole_doc_removed(spark):
     """A document that IS the boilerplate (verbatim duplicate) loses
     every token: cleaned_text collapses to the empty string with

@@ -911,6 +911,7 @@ def remove_duplicate_spans(
     min_df: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    min_run: int | None = None,
 ) -> DataFrame:
     """Span-level dedup, the REMOVAL half (Lee et al. 2022 §4 — the
     half training pipelines actually apply; :func:`duplicate_span_stats`
@@ -922,6 +923,18 @@ def remove_duplicate_spans(
     where ``cleaned_text`` is the surviving tokens of the
     lower/trim-normalized text joined by single spaces (normalized
     for EVERY doc, touched or not, so output text is uniform).
+
+    ``min_run`` (r9, the variable-length extension): merge adjacent
+    covered positions into maximal duplicated RUNS first and cut only
+    runs of at least ``min_run`` tokens — the fixed-window
+    approximation of deduplicate-text-datasets' length-thresholded
+    suffix-array semantics (remove long verbatim boilerplate; keep
+    short incidental n-gram collisions like common phrases). A run is
+    a gaps-and-islands group over covered positions, so consecutive
+    duplicated windows chain into one span regardless of which
+    partner document duplicates each window. ``None`` keeps the
+    every-covered-token behavior (a single window's run is already
+    ``span`` long, so ``min_run <= span`` is equivalent to it).
 
     Shape at 100 TB: the window inventory and coverage interval math
     shuffle only (doc_id, position/hash) longs — same as the stats
@@ -967,6 +980,25 @@ def remove_duplicate_spans(
         )
         .distinct()
     )
+    if min_run is not None and min_run > span:
+        # gaps-and-islands: p - row_number() is constant within a
+        # maximal consecutive run. The window partitions by document
+        # and runs over its COVERED positions only (≤ the doc's token
+        # count) — never corpus-wide, so no global-window stage.
+        from pyspark.sql import Window as W
+
+        grp = F.col("p") - F.row_number().over(
+            W.partitionBy(id_col).orderBy("p")
+        )
+        covered = (
+            covered.withColumn("_g", grp)
+            .withColumn(
+                "_run",
+                F.count(F.lit(1)).over(W.partitionBy(id_col, "_g")),
+            )
+            .filter(F.col("_run") >= min_run)
+            .select(id_col, "p")
+        )
     affected_ids = covered.select(id_col).distinct()
     normalized = inputs.select(id_col, "_toks")
     untouched = normalized.join(affected_ids, id_col, "left_anti").select(

@@ -1554,6 +1554,77 @@ def doc_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.remove_duplicate_spans(load_table(spark, sf_dir, "documents"))
 
 
+@query(
+    "doc_span_removal_variable",
+    oracle=f"""
+    WITH tokh AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\\s+') AS toks,
+             list_transform(string_split_regex(lower(trim(text)), '\\s+'),
+               t -> try_cast(('0x' || substring(md5(t), 1, 15)) AS BIGINT)
+                    & {DD._TOKEN_MASK}) AS hs
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, hs, UNNEST(range(1, len(hs) - 6)) AS i
+      FROM tokh WHERE len(hs) >= 8
+    ),
+    wins AS (
+      SELECT doc_id, i,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), hs[i:i+7]),
+               (a, b) -> (a * {DD.ROLLING_BASE} + b) % {DD.ROLLING_MOD})
+               AS span_hash
+      FROM idx
+    ),
+    dfq AS (
+      SELECT span_hash FROM wins
+      GROUP BY span_hash HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    covered AS (
+      SELECT DISTINCT doc_id, p FROM (
+        SELECT w.doc_id, UNNEST(range(w.i, w.i + 8)) AS p
+        FROM wins w JOIN dfq d USING (span_hash)
+      )
+    ),
+    runs AS (
+      SELECT doc_id, p,
+             p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS g
+      FROM covered
+    ),
+    kept_cov AS (
+      SELECT doc_id, p FROM (
+        SELECT doc_id, p,
+               COUNT(*) OVER (PARTITION BY doc_id, g) AS run_len
+        FROM runs)
+      WHERE run_len >= 30
+    ),
+    tokpos AS (
+      SELECT doc_id, UNNEST(toks) AS token,
+             UNNEST(range(1, len(toks) + 1)) AS p
+      FROM tokh
+    )
+    SELECT t.doc_id,
+           COALESCE(string_agg(CASE WHEN c.p IS NULL THEN t.token END,
+                               ' ' ORDER BY t.p), '') AS cleaned_text,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(c.p) AS BIGINT) AS n_tokens_removed,
+           ROUND(COUNT(c.p) / COUNT(*), 4) AS removed_frac
+    FROM tokpos t LEFT JOIN kept_cov c ON t.doc_id = c.doc_id AND t.p = c.p
+    GROUP BY t.doc_id
+    """,
+)
+def doc_span_removal_variable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length span removal (r9): adjacent duplicated 8-token
+    windows merge into maximal runs (gaps-and-islands over covered
+    positions) and only runs of >= 30 tokens are cut — the
+    fixed-window approximation of deduplicate-text-datasets'
+    length-thresholded substring removal. Long verbatim boilerplate
+    goes; short incidental n-gram repeats (common phrases) stay."""
+    return DD.remove_duplicate_spans(
+        load_table(spark, sf_dir, "documents"), min_run=30
+    )
+
+
 def _line_dedup_oracle() -> str:
     from tiki_data_pipeline_spark import fixtures as FX
 

@@ -289,6 +289,24 @@ def run_level(spark, n: int) -> dict:
     ).count()
     out["line_dedup_s"] = round(time.perf_counter() - t0, 2)
 
+    # 2c2. variable-length span removal (r9): plant a 32-token
+    # boilerplate block on a 1-in-20 slice so the run-merge path (the
+    # gaps-and-islands window over covered positions) has real long
+    # runs to merge, while the unplanted majority exercises the
+    # narrow passthrough. Timed end to end through full evaluation.
+    block = " ".join(f"legalterm{i}" for i in range(32))
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 20 == 0,
+            F.concat(F.col("text"), F.lit(" " + block)),
+        ).otherwise(F.col("text")),
+    )
+    t0 = time.perf_counter()
+    sr = DD.remove_duplicate_spans(planted, min_run=30)
+    out["span_var_cut_docs"] = sr.filter(F.col("n_tokens_removed") > 0).count()
+    out["span_var_s"] = round(time.perf_counter() - t0, 2)
+
     # 2d. training-shard assignment + mix-budget sampling (both must
     # stay ~linear: one shuffle each, text never shuffles in apply_mix)
     t0 = time.perf_counter()
