@@ -2227,8 +2227,27 @@ def write_pq_index(
     )
     write_store_meta(
         path,
-        {"kind": "pq", "m": int(codebook.shape[0]), "k": int(codebook.shape[1])},
+        {
+            "kind": "pq",
+            "m": int(codebook.shape[0]),
+            "k": int(codebook.shape[1]),
+            "n_rows": int(
+                spark.read.parquet(path).count()
+            ),  # footer-metadata count, no data scan
+        },
     )
+
+
+def _auto_shortlist(n_rows: int) -> int:
+    """Refine-shortlist depth sized to the corpus: ADC rank noise is
+    proportionally large on SMALL corpora (at 2k vectors the r9
+    diagnostic measured a true top-5 neighbor ADC-ranked 241st —
+    12% of the corpus — so a fixed 64 lost 16% recall), while at
+    scale the noise fraction shrinks and 64 already achieves 1.0.
+    max(64, n/8) capped at 1024: proportional where it matters,
+    bounded refine cost (shortlist × |queries| point lookups)
+    everywhere."""
+    return max(64, min(1024, -(-int(n_rows) // 8)))
 
 
 def pq_index_topk(
@@ -2239,7 +2258,7 @@ def pq_index_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     refine_with: DataFrame | None = None,
-    shortlist: int = 64,
+    shortlist: int | str = "auto",
 ) -> DataFrame:
     """ANN top-k via asymmetric distance computation against the PQ
     index: per query an (m × codes) lookup table of subspace squared
@@ -2253,18 +2272,26 @@ def pq_index_topk(
 
     ``refine_with`` (the raw-vector table) switches on the standard
     ADC + refine pipeline: the ADC pass produces a ``shortlist`` per
-    query, exact cosine re-ranks only those candidates (at scale:
+    query (``"auto"`` = :func:`_auto_shortlist` of the store's row
+    count), exact cosine re-ranks only those candidates (at scale:
     point lookups of shortlist·|queries| raw vectors, the codes scan
     still touches no floats), and the output becomes the exact-contract
     ``(query_id, neighbor_id, cosine_sim)`` — measured recall@5 = 1.0
-    at shortlist 64 on the synthetic corpus."""
+    at the auto depth on the synthetic corpus at every stress level."""
     import numpy as np
     import pandas as pd
 
     from pyspark.sql import Window as W
-    from tiki_data_pipeline_spark.sources.files import check_store_meta
+    from tiki_data_pipeline_spark.sources.files import (
+        check_store_meta,
+        read_store_meta,
+    )
 
     check_store_meta(index_path, {"kind": "pq"})
+    if shortlist == "auto":
+        meta = read_store_meta(index_path) or {}
+        n_rows = meta.get("n_rows") or spark.read.parquet(index_path).count()
+        shortlist = _auto_shortlist(n_rows)
     cb = _pq_codebook_mat(spark, index_path)
     m, _, dsub = cb.shape
 
@@ -2372,7 +2399,11 @@ def append_pq_index(
     Re-train + re-encode when quantization error drifts — an offline
     decision, not an ingest-path one (monitor via
     :func:`ivf_drift_report` on the same corpus)."""
-    from tiki_data_pipeline_spark.sources.files import check_store_meta
+    from tiki_data_pipeline_spark.sources.files import (
+        check_store_meta,
+        read_store_meta,
+        update_store_meta,
+    )
 
     check_store_meta(path, {"kind": "pq"})
     cb = _pq_codebook_mat(spark, path)
@@ -2382,6 +2413,10 @@ def append_pq_index(
     )
     codes = pq_encode(fresh, cb, id_col=id_col, vec_col=vec_col)
     codes.write.mode("append").parquet(path)
+    if "n_rows" in (read_store_meta(path) or {}):
+        update_store_meta(
+            path, {"n_rows": int(spark.read.parquet(path).count())}
+        )
 
 
 def write_ivfpq_index(
@@ -2472,7 +2507,7 @@ def ivfpq_index_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     refine_with: DataFrame | None = None,
-    shortlist: int = 64,
+    shortlist: int | str = "auto",
 ) -> DataFrame:
     """ANN top-k from the IVF-PQ index: probe selection driver-side
     against ``_centroids`` (same rule and auto-nprobe as
@@ -2499,6 +2534,11 @@ def ivfpq_index_topk(
     )
     cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
     cmat = np.array([r["cv"] for r in cent_rows], dtype=np.float64)
+    if shortlist == "auto":
+        meta = read_store_meta(index_path) or {}
+        shortlist = _auto_shortlist(
+            meta.get("n_rows") or spark.read.parquet(index_path).count()
+        )
     if nprobe == "auto":
         # Prefer the store's measured calibration (written by
         # calibrate_ivfpq_nprobe / write_ivfpq_index) over the

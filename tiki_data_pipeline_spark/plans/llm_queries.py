@@ -1930,6 +1930,7 @@ def embedding_pq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries,
         k=5,
         refine_with=emb,
+        shortlist=64,  # pinned: the oracle's rank cut, SF-stable
     )
 
 
@@ -2039,4 +2040,5 @@ def embedding_ivfpq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         nprobe=2,
         refine_with=emb,
+        shortlist=64,  # pinned: the oracle's rank cut, SF-stable
     )

@@ -239,6 +239,9 @@ def run_level(spark, n: int) -> dict:
     }
     out["pq_truth_s"] = round(time.perf_counter() - t0, 2)
     out["pq_refined_recall"] = round(len(ref & exact) / len(exact), 3)
+    assert out["pq_refined_recall"] >= 0.9, (
+        f"PQ refined recall pin failed: {out['pq_refined_recall']}"
+    )
 
     # 2b3. IVF-PQ: the composed serve (probe pruning x 16-byte code
     # rows). Build includes the r9 nprobe CALIBRATION pass (full-
