@@ -66,7 +66,6 @@ def brute_force_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector."""
-    from pyspark.sql import Window as W
 
     _check_query_set(len(query_ids))
 
@@ -92,14 +91,7 @@ def brute_force_topk(
             _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
         ).alias("cosine_sim"),
     )
-    w = W.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
-    )
+    return _topk_per_query(scored, "cosine_sim", k)
 
 
 def near_dup_pairs(
@@ -362,7 +354,6 @@ def lsh_bucketed_topk(
     side stays a pure bucket equi-join: at 100 TB, with the corpus
     written partitioned by bucket, this is partition pruning.
     """
-    from pyspark.sql import Window as W
 
     _check_query_set(len(query_ids))
     dim = _vec_dim(embeddings, vec_col)
@@ -402,14 +393,7 @@ def lsh_bucketed_topk(
             _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
         ).alias("cosine_sim"),
     )
-    w = W.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
-    )
+    return _topk_per_query(scored, "cosine_sim", k)
 
 
 def _sq_dist(a: Column, b: Column) -> Column:
@@ -626,14 +610,7 @@ def ivf_topk(
             _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
         ).alias("cosine_sim"),
     )
-    w = W.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
-    )
+    return _topk_per_query(scored, "cosine_sim", k)
 
 
 def semantic_dedup(
@@ -1492,7 +1469,6 @@ def lsh_index_topk(
     ``DIRECTED_PROBE_MIN_ROWS``, directed above it. ``None`` forces
     exhaustive probing.
     """
-    from pyspark.sql import Window as W
 
     n_planes = _store_n_planes(index_path, n_planes)
     probe_planes = _resolve_probe_planes(
@@ -1561,14 +1537,7 @@ def lsh_index_topk(
             _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
         ).alias("cosine_sim"),
     )
-    w = W.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
-    )
+    return _topk_per_query(scored, "cosine_sim", k)
 
 
 # ------------------------------------------------------------------
@@ -1835,12 +1804,7 @@ def ivf_drift_report(
     import pandas as pd
     from pyspark.sql import Window as W
 
-    rows = sorted(
-        spark.read.parquet(index_path.rstrip("/") + "/_centroids").collect(),
-        key=lambda r: r["cid"],
-    )
-    cids = np.array([r["cid"] for r in rows], dtype=np.int64)
-    cmat = np.array([r["cv"] for r in rows], dtype=np.float64)
+    cids, cmat = _read_centroid_mat(spark, index_path)
 
     def assigned_dist(batches):
         """(cid, d) per row — d = true squared distance to the row's
@@ -2006,14 +1970,8 @@ def ivf_index_topk(
     """
     import numpy as np
 
-    from pyspark.sql import Window as W
 
-    cent_rows = sorted(
-        spark.read.parquet(index_path.rstrip("/") + "/_centroids").collect(),
-        key=lambda r: r["cid"],
-    )
-    cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
-    cmat = np.array([r["cv"] for r in cent_rows], dtype=np.float64)
+    cids, cmat = _read_centroid_mat(spark, index_path)
     if nprobe == "auto":
         from tiki_data_pipeline_spark.sources.files import read_store_meta
 
@@ -2062,14 +2020,7 @@ def ivf_index_topk(
             _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
         ).alias("cosine_sim"),
     )
-    w = W.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
-    )
+    return _topk_per_query(scored, "cosine_sim", k)
 
 
 # ---------------------------------------------------------------------------
@@ -2093,6 +2044,74 @@ def ivf_index_topk(
 # conservative defaults.
 PQ_SUBSPACES = 16
 PQ_CODES = 64
+
+
+def _read_centroid_mat(spark, index_path: str):
+    """cid-sorted ``(cids int64[n], cmat float64[n, dim])`` from a
+    persisted index's ``_centroids`` sidecar (tiny by construction —
+    the driver-side probe-selection working set)."""
+    import numpy as np
+
+    rows = sorted(
+        spark.read.parquet(index_path.rstrip("/") + "/_centroids").collect(),
+        key=lambda r: r["cid"],
+    )
+    cids = np.array([r["cid"] for r in rows], dtype=np.int64)
+    cmat = np.array([r["cv"] for r in rows], dtype=np.float64)
+    return cids, cmat
+
+
+def _topk_per_query(scored: DataFrame, score_col: str, k: int) -> DataFrame:
+    """Per-query rank cut shared by every ANN serve path: top ``k``
+    by ``score_col`` descending, neighbor id ascending on ties (the
+    family's deterministic tie-break)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(
+        F.col(score_col).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def _refine_or_adc(
+    scored: DataFrame,
+    refine_with: DataFrame | None,
+    shortlist: int,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared tail of the PQ serve paths: pure-ADC top-k when no raw
+    vectors are supplied, else exact-cosine re-rank of the per-query
+    ADC ``shortlist`` (point lookups of shortlist·|queries| raw
+    vectors — the codes scan never reads floats)."""
+    if refine_with is None:
+        return _topk_per_query(scored, "adc_cosine", k)
+    short = _topk_per_query(scored, "adc_cosine", shortlist).select(
+        "query_id", "neighbor_id"
+    )
+    raw = refine_with.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("_rid"), as_double(F.col(vec_col)).alias("_rv")
+    )
+    exact = (
+        short.join(raw.withColumnRenamed("_rid", "neighbor_id"), "neighbor_id")
+        .withColumnRenamed("_rv", "_nv")
+        .join(raw.withColumnRenamed("_rid", "query_id"), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("_rv"), F.col("_nv"))
+                / (_norm(F.col("_rv")) * _norm(F.col("_nv"))),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
+    return _topk_per_query(exact, "cosine_sim", k)
 
 
 def pq_train(
@@ -2281,7 +2300,6 @@ def pq_index_topk(
     import numpy as np
     import pandas as pd
 
-    from pyspark.sql import Window as W
     from tiki_data_pipeline_spark.sources.files import (
         check_store_meta,
         read_store_meta,
@@ -2344,45 +2362,7 @@ def pq_index_topk(
             F.round(1.0 - F.col("d2") / 2.0, 4).alias("adc_cosine"),
         )
     )
-    w = W.partitionBy("query_id").orderBy(
-        F.col("adc_cosine").desc(), F.col("neighbor_id").asc()
-    )
-    if refine_with is None:
-        return (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= k)
-            .drop("_rn")
-        )
-    short = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= shortlist)
-        .select("query_id", "neighbor_id")
-    )
-    raw = refine_with.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("_rid"), as_double(F.col(vec_col)).alias("_rv")
-    )
-    exact = (
-        short.join(raw.withColumnRenamed("_rid", "neighbor_id"), "neighbor_id")
-        .withColumnRenamed("_rv", "_nv")
-        .join(raw.withColumnRenamed("_rid", "query_id"), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                _dot(F.col("_rv"), F.col("_nv"))
-                / (_norm(F.col("_rv")) * _norm(F.col("_nv"))),
-                6,
-            ).alias("cosine_sim"),
-        )
-    )
-    we = W.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        exact.withColumn("_rn", F.row_number().over(we))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
-    )
+    return _refine_or_adc(scored, refine_with, shortlist, k, id_col, vec_col)
 
 
 def append_pq_index(
@@ -2519,7 +2499,6 @@ def ivfpq_index_topk(
     family: ``adc_cosine`` pure, ``cosine_sim`` refined."""
     import numpy as np
 
-    from pyspark.sql import Window as W
     from tiki_data_pipeline_spark.sources.files import (
         check_store_meta,
         read_store_meta,
@@ -2528,12 +2507,7 @@ def ivfpq_index_topk(
     check_store_meta(index_path, {"kind": "ivfpq"})
     cb = _pq_codebook_mat(spark, index_path)
     m, _, dsub = cb.shape
-    cent_rows = sorted(
-        spark.read.parquet(index_path.rstrip("/") + "/_centroids").collect(),
-        key=lambda r: r["cid"],
-    )
-    cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
-    cmat = np.array([r["cv"] for r in cent_rows], dtype=np.float64)
+    cids, cmat = _read_centroid_mat(spark, index_path)
     if shortlist == "auto":
         meta = read_store_meta(index_path) or {}
         shortlist = _auto_shortlist(
@@ -2615,45 +2589,7 @@ def ivfpq_index_topk(
         "neighbor_id",
         F.round(1.0 - F.col("d2") / 2.0, 4).alias("adc_cosine"),
     )
-    w = W.partitionBy("query_id").orderBy(
-        F.col("adc_cosine").desc(), F.col("neighbor_id").asc()
-    )
-    if refine_with is None:
-        return (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= k)
-            .drop("_rn")
-        )
-    short = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= shortlist)
-        .select("query_id", "neighbor_id")
-    )
-    raw = refine_with.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("_rid"), as_double(F.col(vec_col)).alias("_rv")
-    )
-    exact = (
-        short.join(raw.withColumnRenamed("_rid", "neighbor_id"), "neighbor_id")
-        .withColumnRenamed("_rv", "_nv")
-        .join(raw.withColumnRenamed("_rid", "query_id"), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                _dot(F.col("_rv"), F.col("_nv"))
-                / (_norm(F.col("_rv")) * _norm(F.col("_nv"))),
-                6,
-            ).alias("cosine_sim"),
-        )
-    )
-    we = W.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        exact.withColumn("_rn", F.row_number().over(we))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
-    )
+    return _refine_or_adc(scored, refine_with, shortlist, k, id_col, vec_col)
 
 
 def calibrate_ivfpq_nprobe(
@@ -2702,12 +2638,7 @@ def calibrate_ivfpq_nprobe(
 
     check_store_meta(index_path, {"kind": "ivfpq"})
     meta = read_store_meta(index_path) or {}
-    cent_rows = sorted(
-        spark.read.parquet(index_path.rstrip("/") + "/_centroids").collect(),
-        key=lambda r: r["cid"],
-    )
-    cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
-    cmat = np.array([r["cv"] for r in cent_rows], dtype=np.float64)
+    cids, cmat = _read_centroid_mat(spark, index_path)
     n_lists = len(cids)
     floor = auto_nprobe(
         int(meta.get("n_rows") or 0), n_lists, k
