@@ -1206,3 +1206,40 @@ def test_ivfpq_nprobe_calibration(spark, tmp_path):
         spark, path, emb.orderBy("vec_id").limit(16), persist=False
     )
     assert rep["nprobe"] == meta["calibrated_nprobe"]
+
+
+def test_ivf_nprobe_calibration_generic(spark, tmp_path):
+    """calibrate_index_nprobe dispatches on store kind: a plain IVF
+    store built with calibrate=True gets a persisted calibrated
+    nprobe (full-probe exact truth), nprobe='auto' serving prefers
+    it, and a non-probed store kind raises."""
+    import pytest
+
+    from tiki_data_pipeline_spark.io import load_table
+    from tiki_data_pipeline_spark.sources.files import read_store_meta
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "ivfcal")
+    SIM.write_ivf_index(emb, path, n_centroids=16, calibrate=True)
+    meta = read_store_meta(path)
+    assert meta.get("calibrated_nprobe")
+    assert meta["calibration"]["n_lists"] == 16
+
+    qids = list(range(10))
+    queries = emb.filter(F.col("vec_id").isin(qids))
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.ivf_index_topk(spark, path, queries, k=5).collect()
+    }
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.brute_force_topk(emb, qids, k=5).collect()
+    }
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.9, f"calibrated IVF recall {recall:.2f}"
+
+    # kind dispatch guard: a PQ (non-probed) store is rejected
+    flat = str(tmp_path / "pqflat")
+    SIM.write_pq_index(emb, flat)
+    with pytest.raises(ValueError, match="ivf/ivfpq"):
+        SIM.calibrate_index_nprobe(spark, flat, queries)

@@ -1603,6 +1603,9 @@ def write_ivf_index(
     vec_col: str = "embedding",
     partitioned: bool | None = None,
     partition_min_rows: int = 200_000,
+    calibrate: bool = False,
+    calibration_sample: int = 16,
+    calibration_target: float = 0.9,
 ) -> None:
     """Materialize the corpus as IVF inverted lists (one row per
     vector, keyed by its nearest centroid). The centroid table is
@@ -1636,6 +1639,24 @@ def write_ivf_index(
     # kind pins the signature family; n_rows feeds nprobe="auto"
     # (the quantizer itself lives in _centroids)
     write_store_meta(path, {"kind": "ivf", "n_rows": int(n_rows)})
+    if calibrate and n_rows:
+        # OPT-IN for plain IVF (the ivfpq build calibrates by
+        # default): the full-probe truth pass here is an exact scan —
+        # brute-force ground-truth cost, worth paying when the
+        # closed-form floor's recall pin is in doubt for the corpus
+        sample = (
+            embeddings.filter(F.col(vec_col).isNotNull())
+            .orderBy(F.col(id_col))
+            .limit(calibration_sample)
+        )
+        calibrate_index_nprobe(
+            embeddings.sparkSession,
+            path,
+            sample,
+            target_recall=calibration_target,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
 
 
 def _ivf_index_rows(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -1976,10 +1997,15 @@ def ivf_index_topk(
         from tiki_data_pipeline_spark.sources.files import read_store_meta
 
         meta = read_store_meta(index_path) or {}
-        n_rows = meta.get("n_rows")
-        if n_rows is None:
-            n_rows = spark.read.parquet(index_path).count()
-        nprobe = auto_nprobe(int(n_rows), len(cids), k)
+        if meta.get("calibrated_nprobe"):
+            # a persisted calibrate_index_nprobe measurement beats
+            # the closed-form floor (see the ivfpq serve path)
+            nprobe = int(meta["calibrated_nprobe"])
+        else:
+            n_rows = meta.get("n_rows")
+            if n_rows is None:
+                n_rows = spark.read.parquet(index_path).count()
+            nprobe = auto_nprobe(int(n_rows), len(cids), k)
 
     q_rows = (
         queries.select(
@@ -2592,7 +2618,7 @@ def ivfpq_index_topk(
     return _refine_or_adc(scored, refine_with, shortlist, k, id_col, vec_col)
 
 
-def calibrate_ivfpq_nprobe(
+def calibrate_index_nprobe(
     spark,
     index_path: str,
     queries: DataFrame,
@@ -2606,20 +2632,21 @@ def calibrate_ivfpq_nprobe(
     """Size ``nprobe`` for a measured recall target instead of the
     closed-form 1/16-of-lists floor (FAISS-autotune style, the r8
     verdict's "fold IVF-PQ into the recall-target machinery").
+    Works on BOTH probed index kinds — the store meta's ``kind``
+    picks the serve path (``ivf``: exact scoring, ``ivfpq``: ADC).
 
-    The composed path's only recall loss in practice is LIST MISS —
-    a true neighbor living in an unprobed list (the r9 diagnostic
-    measured 6/6 misses at 200k vectors as list misses, 0 as ADC
-    shortlist misses). So the truth proxy is a FULL-PROBE ADC top-k
-    over the sample queries: it exercises exactly the probe-dependent
-    component, and scanning all lists costs only code bytes
-    (16 B/vector — the cheap scan PQ exists to provide; at 100 TB of
-    raw vectors the codes are ~0.4% of corpus bytes, and the
-    calibration runs once per build). For each (query, proxy-
-    neighbor) pair we compute the rank of the neighbor's list in the
-    query's centroid ordering; the smallest nprobe whose pair
-    coverage meets ``target_recall`` gets ``headroom`` (sample →
-    population margin) and is clamped to
+    Probe-depth recall loss is LIST MISS — a true neighbor living in
+    an unprobed list (the r9 diagnostic measured 6/6 misses at 200k
+    vectors as list misses, 0 as ADC shortlist misses). So the truth
+    proxy is a FULL-PROBE top-k over the sample queries: it exercises
+    exactly the probe-dependent component. For ivfpq the full probe
+    costs only code bytes (16 B/vector — at 100 TB of raw vectors the
+    codes are ~0.4% of corpus bytes); for ivf it is one exact scan —
+    the same cost as any brute-force ground truth, paid once per
+    build. For each (query, proxy-neighbor) pair we compute the rank
+    of the neighbor's list in the query's centroid ordering; the
+    smallest nprobe whose pair coverage meets ``target_recall`` gets
+    ``headroom`` (sample → population margin) and is clamped to
     [:func:`auto_nprobe` floor, n_lists].
 
     Returns ``{nprobe, required, achieved_on_sample, n_pairs,
@@ -2631,20 +2658,24 @@ def calibrate_ivfpq_nprobe(
     import numpy as np
 
     from tiki_data_pipeline_spark.sources.files import (
-        check_store_meta,
         read_store_meta,
         update_store_meta,
     )
 
-    check_store_meta(index_path, {"kind": "ivfpq"})
     meta = read_store_meta(index_path) or {}
+    kind = meta.get("kind")
+    if kind not in ("ivf", "ivfpq"):
+        raise ValueError(
+            f"nprobe calibration needs an ivf/ivfpq store, got kind={kind!r}"
+        )
     cids, cmat = _read_centroid_mat(spark, index_path)
     n_lists = len(cids)
     floor = auto_nprobe(
         int(meta.get("n_rows") or 0), n_lists, k
     )
 
-    proxy = ivfpq_index_topk(
+    serve = ivfpq_index_topk if kind == "ivfpq" else ivf_index_topk
+    proxy = serve(
         spark,
         index_path,
         queries,
@@ -2706,6 +2737,11 @@ def calibrate_ivfpq_nprobe(
             {"calibrated_nprobe": result["nprobe"], "calibration": result},
         )
     return result
+
+
+# the original (ivfpq-only) name — kept as the composed family's
+# spelling; the generic resolver dispatches on store kind
+calibrate_ivfpq_nprobe = calibrate_index_nprobe
 
 
 def append_ivfpq_index(
