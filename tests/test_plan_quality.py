@@ -50,10 +50,7 @@ def test_no_nested_loop_join(spark, name):
 # k centroids, 5 price segments, 1-row KPI blocks) — the corpus side
 # is still scanned exactly once.
 BOUNDED_SIDE_NESTED_LOOP = {
-    "vw_price_segment_analysis",   # ranges the bounded segment dim (pinned below)
-    "price_segment_join",          # broadcast non-equi on 5 segments
     "dim_price_segment_build",     # 1-row crossJoin
-    "warehouse_kpi_block",         # 1-row × 1-row crossJoin
     "embedding_topk_cosine",       # broadcast query set × corpus (brute force)
     "embedding_near_dup_pairs",    # bounded block-pair non-equi join
     "embedding_ann_ivf_topk",      # query × k-centroid crossJoin
@@ -75,15 +72,16 @@ def test_no_unexpected_nested_loops_across_entire_registry(spark):
     assert unexpected == [], unexpected
 
 
-def test_price_segment_ranges_the_dim_not_the_fact(spark):
-    """The segment range join is interpreted (BroadcastNestedLoopJoin)
-    by nature — it must range the PART dim (O(|part|·5), linear) and
-    never the lineitem fact (measured 22 s vs 2 s at 10×; NOTES.md).
-    The fact must enter via a hash equi-join on l_partkey."""
+def test_price_segment_range_join_is_compiled_away(spark):
+    """The segment range join is non-equi by nature; since r9 it is
+    compiled to a codegen'd CASE chain over the bounded interval dim
+    (operators/rangejoin.py) — NO nested-loop operator may appear,
+    and the fact must still enter via a hash equi-join on l_partkey."""
+    for name in ("vw_price_segment_analysis", "price_segment_join"):
+        plan = _plan(spark, name)
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
     plan = _plan(spark, "vw_price_segment_analysis")
-    bnlj = [l for l in plan.splitlines() if "BroadcastNestedLoopJoin" in l]
-    assert len(bnlj) == 1 and "min_price" in bnlj[0]
-    assert "l_partkey" not in bnlj[0]  # the fact never feeds the range scan
     assert any(
         "Join" in l and "l_partkey" in l and "NestedLoop" not in l
         for l in plan.splitlines()

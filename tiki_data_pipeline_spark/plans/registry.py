@@ -53,6 +53,7 @@ def query(
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
+        wrapped.__module__ = fn.__module__
         QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from tiki_data_pipeline_spark.io import load_table
+from tiki_data_pipeline_spark.operators.rangejoin import range_bucket_attach
 from tiki_data_pipeline_spark.plans import exactmath as X
 from tiki_data_pipeline_spark.plans.registry import query
 
@@ -581,16 +582,15 @@ _PRICE_SEGMENTS = [
     """.replace("{AVG_PRICE}", X.o_avg_money_2dp("o_totalprice")),
 )
 def price_segment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range-bucket join against a broadcast segment dim (reference J11)."""
+    """Range-bucket join against a bounded segment dim (reference J11),
+    compiled to a codegen'd CASE chain — the fact side never enters an
+    interpreted BroadcastNestedLoopJoin (sf1 plan audit, r9)."""
     orders = load_table(spark, sf_dir, "orders")
     segments = spark.createDataFrame(
         _PRICE_SEGMENTS, schema="segment string, lo double, hi double"
     )
     return (
-        orders.join(
-            F.broadcast(segments),
-            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
-        )
+        range_bucket_attach(orders, segments, "o_totalprice")
         .groupBy("segment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
