@@ -40,16 +40,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # CHANGED in r9 (DSIR now serves from a session-cached weight table;
 # the IVF-PQ build gained nprobe calibration), then the 84 queries
 # absent from the r8 window, similarity/dedup/events family first
-# (their operators changed most in r8). 3 + 17 + 30 = 50; the
-# remaining 37 absentees fall past the window — all r7-green and
-# re-verified via the full mini_driver sweep on final r9 code.
+# (their operators changed most in r8). 8 sentinels (2 new + 6
+# r9-changed) + 17 + 25 = 50; the remaining absentees fall past the
+# window — all r7/r8-green and re-verified via the full mini_driver
+# sweep on final r9 code.
 _SENTINELS = [
     # -- NEW r9 queries --
     "doc_span_removal_variable",           # NEW r9: run-merged span cut
+    "orders_overlapping_bands",            # NEW r9: bucket-expansion range join
     # -- r9-changed implementations --
     "doc_dsir_weights",                    # r9: session-cached weight table
     "doc_dsir_sample",                     # r9: serves precomputed weights
     "embedding_ivfpq_refined_topk",        # r9: calibrated-nprobe build
+    "price_segment_join",                  # r9: compiled range join
+    "vw_price_segment_analysis",           # r9: compiled range join
+    "warehouse_kpi_block",                 # r9: tagged-union single agg
     # -- absent from the r8 window: similarity / events family --
     "embedding_ann_ivf_topk", "embedding_ann_lsh_topk",
     "embedding_incremental_near_dup", "embedding_knn_classify",
@@ -77,9 +82,8 @@ _FRESHNESS_ROTATION = [
     "lineitem_cube_quantity", "lineitem_rollup_revenue",
     "orders_grouping_sets", "or_join_part_lineitem",
     "approx_distinct_stats", "distinct_suppliers_per_flag",
-    "lineitem_stats_block", "warehouse_kpi_block",
+    "lineitem_stats_block",
     "category_path_closure", "category_bfs_descendants",
-    "price_segment_join",
     # -- past the 50-slot window from here (r7-green, swept via
     #    mini_driver on final code) --
     "q1_pricing_summary", "q5_region_revenue", "topk_brands",
@@ -97,7 +101,7 @@ _FRESHNESS_ROTATION = [
     "category_product_count_refresh", "dim_brand_build",
     "dim_category_build", "dim_price_segment_build",
     "dim_product_build", "dim_seller_build", "fact_sales_build",
-    "vw_category_performance", "vw_price_segment_analysis",
+    "vw_category_performance",
 ]
 
 

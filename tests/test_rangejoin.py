@@ -10,7 +10,10 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from tiki_data_pipeline_spark.operators.rangejoin import range_bucket_attach
+from tiki_data_pipeline_spark.operators.rangejoin import (
+    range_bucket_attach,
+    range_join_expanded,
+)
 
 
 @pytest.fixture(scope="module")
@@ -47,6 +50,62 @@ def test_plan_has_no_nested_loop(spark, dim):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" not in plan  # compiled to expressions: no join at all
+
+
+@pytest.fixture(scope="module")
+def overlapping_dim(spark):
+    # a's hi (16.0) is an exact multiple of the 4.0 bucket width — the
+    # upper-bound edge case where ceil(hi/w)-1 must exclude hi's own
+    # bucket; b overlaps a; c is a sub-bucket sliver.
+    return spark.createDataFrame(
+        [("a", 0.0, 16.0), ("b", 10.0, 25.0), ("c", 24.0, 24.5)],
+        schema="band string, lo double, hi double",
+    )
+
+
+def test_expanded_matches_nonequi_join(spark, overlapping_dim):
+    fact = spark.range(-3, 30).select(F.col("id").cast("double").alias("v"))
+    got = range_join_expanded(
+        fact, overlapping_dim, "v", bucket_width=4.0
+    ).collect()
+    want = (
+        fact.join(
+            overlapping_dim,
+            (F.col("v") >= F.col("lo")) & (F.col("v") < F.col("hi")),
+        )
+        .select("v", "band")
+        .collect()
+    )
+    assert sorted((r.v, r.band) for r in got) == sorted(
+        (r.v, r.band) for r in want
+    )
+    # overlap really exercised: 10.0-15.0 match both a and b
+    assert sum(1 for r in got if r.v == 12.0) == 2
+    # exact-multiple upper bound stays exclusive: a = [0, 16) with
+    # bucket_width 4.0, so v=16.0 must match b only
+    assert {r.band for r in got if r.v == 16.0} == {"b"}
+
+
+def test_expanded_plan_is_hash_join(spark, overlapping_dim):
+    fact = spark.range(100).select(F.col("id").cast("double").alias("v"))
+    plan = (
+        range_join_expanded(fact, overlapping_dim, "v", bucket_width=4.0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_expanded_oversized_span_raises(spark):
+    dim = spark.createDataFrame(
+        [("wide", 0.0, 1e9)], schema="band string, lo double, hi double"
+    )
+    fact = spark.range(5).select(F.col("id").cast("double").alias("v"))
+    with pytest.raises(ValueError, match="bucket_width"):
+        range_join_expanded(fact, dim, "v", bucket_width=1.0)
 
 
 def test_overlap_raises(spark):

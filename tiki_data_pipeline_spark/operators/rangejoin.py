@@ -16,11 +16,11 @@ zero shuffle. Dim attributes attach as literal-array lookups on the
 index. The result is row-identical to the inner non-equi join.
 
 For interval dims too large to inline (thousands of bands) or
-overlapping intervals, the scalable shape is bucket expansion
-(explode each interval into covering fixed-width buckets, equi-join
-on bucket, re-check the residual predicate); no reference workload
-needs it, so this module deliberately stops at the bounded case and
-raises loudly past ``max_dim_rows``.
+overlapping intervals, the scalable shape is bucket expansion:
+``range_join_expanded`` explodes each interval into its covering
+fixed-width buckets, equi-joins fact rows on their single bucket, and
+re-checks the residual predicate — an ordinary shuffled/broadcast
+hash join at any dim size, never a nested loop.
 """
 
 from __future__ import annotations
@@ -74,3 +74,61 @@ def range_bucket_attach(
         lookup = F.array(*[F.lit(r[c]) for r in rows])
         out = out.withColumn(c, F.element_at(lookup, F.col("_range_idx") + 1))
     return out.drop("_range_idx")
+
+
+def range_join_expanded(
+    fact: DataFrame,
+    dim: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    bucket_width: float = 1.0,
+    max_span_buckets: int = 4096,
+) -> DataFrame:
+    """Inner range join ``fact.value_col in [dim.lo, dim.hi)`` via
+    bucket expansion — the shape that scales when the interval dim is
+    too large to inline as expressions or its intervals OVERLAP
+    (where ``range_bucket_attach`` correctly refuses).
+
+    Each dim interval explodes into the integer buckets of width
+    ``bucket_width`` it covers; each fact row computes its single
+    bucket; the join is a plain equi-join on the bucket plus the
+    residual range predicate. A (fact, interval) match surfaces in
+    exactly the fact row's bucket, so no post-join dedup is needed,
+    and overlapping intervals yield one row per match — identical to
+    the non-equi join's semantics with hash-join physics: the dim
+    side grows by span/width, the fact side never duplicates.
+
+    Intervals spanning more than ``max_span_buckets`` buckets raise:
+    that means ``bucket_width`` is mis-sized for the dim (expansion
+    would bloat the build side), not that the data is wrong.
+    """
+    w = float(bucket_width)
+    lo_b = F.floor(F.col(lo_col) / w).cast("long")
+    # [lo, hi) covers buckets floor(lo/w) .. ceil(hi/w)-1: an exact
+    # multiple upper bound excludes its own bucket (hi is exclusive)
+    hi_b = (F.ceil(F.col(hi_col) / w) - 1).cast("long")
+    dimb = dim.withColumn("_span", hi_b - lo_b + 1)
+    oversized = dimb.filter(F.col("_span") > max_span_buckets).limit(1).collect()
+    if oversized:
+        r = oversized[0]
+        raise ValueError(
+            f"interval [{r[lo_col]}, {r[hi_col]}) spans {r['_span']} buckets "
+            f"(> {max_span_buckets}); raise bucket_width"
+        )
+    dimb = dimb.drop("_span").withColumn(
+        "_dim_bucket", F.explode(F.sequence(lo_b, hi_b))
+    )
+    factb = fact.withColumn(
+        "_fact_bucket", F.floor(F.col(value_col) / w).cast("long")
+    )
+    v = F.col(value_col)
+    return (
+        factb.join(
+            dimb,
+            (F.col("_fact_bucket") == F.col("_dim_bucket"))
+            & (v >= F.col(lo_col))
+            & (v < F.col(hi_col)),
+        )
+        .drop("_fact_bucket", "_dim_bucket", lo_col, hi_col)
+    )

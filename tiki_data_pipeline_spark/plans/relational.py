@@ -17,7 +17,10 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from tiki_data_pipeline_spark.io import load_table
-from tiki_data_pipeline_spark.operators.rangejoin import range_bucket_attach
+from tiki_data_pipeline_spark.operators.rangejoin import (
+    range_bucket_attach,
+    range_join_expanded,
+)
 from tiki_data_pipeline_spark.plans import exactmath as X
 from tiki_data_pipeline_spark.plans.registry import query
 
@@ -598,6 +601,60 @@ def price_segment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .selectExpr(
             "segment",
+            "n_orders",
+            X.div_round_expr("_sc", "n_orders", 100) + " AS avg_price",
+        )
+    )
+
+
+# Overlapping marketing bands: a fact row can fall in MORE than one
+# band, so the compiled CASE-chain rewrite (range_bucket_attach)
+# correctly refuses and the bucket-expansion equi-join is the scale
+# path — this is the J11 range join in its general form.
+_PROMO_BANDS = [
+    ("B1_entry", 0.0, 60000.0),
+    ("B2_core", 40000.0, 160000.0),
+    ("B3_plus", 120000.0, 320000.0),
+    ("B4_vip", 250000.0, 600000.0),
+]
+
+
+@query(
+    "orders_overlapping_bands",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+      VALUES ('B1_entry', 0.0, 60000.0),
+             ('B2_core', 40000.0, 160000.0),
+             ('B3_plus', 120000.0, 320000.0),
+             ('B4_vip', 250000.0, 600000.0)
+    )
+    SELECT band,
+           COUNT(*) AS n_orders,
+           {AVG_PRICE} AS avg_price
+    FROM orders JOIN bands
+      ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    """.replace("{AVG_PRICE}", X.o_avg_money_2dp("o_totalprice")),
+)
+def orders_overlapping_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join against OVERLAPPING bands (reference J11, general
+    case) via bucket expansion: each band explodes into its covering
+    20k-wide buckets, orders equi-join on their single bucket, and the
+    residual predicate filters — a hash join at any dim size, never a
+    BroadcastNestedLoopJoin (operators/rangejoin.py)."""
+    orders = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        _PROMO_BANDS, schema="band string, lo double, hi double"
+    )
+    return (
+        range_join_expanded(orders, bands, "o_totalprice", bucket_width=20000.0)
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(X.cents(F.col("o_totalprice"))).alias("_sc"),
+        )
+        .selectExpr(
+            "band",
             "n_orders",
             X.div_round_expr("_sc", "n_orders", 100) + " AS avg_price",
         )
