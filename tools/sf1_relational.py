@@ -37,8 +37,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
-DST = "/tmp/sf1_synth"
-REPS = 10
+REPS = int(os.environ.get("SF1_REPS", "10"))  # 10 reps of sf0.1 = sf1
+DST = "/tmp/sf1_synth" if REPS == 10 else f"/tmp/sfrel_{REPS}x"
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
 
 # key strides chosen far above the sf0.1 key ranges
@@ -121,10 +121,21 @@ def main() -> None:
         n
         for n, fn in QUERIES.items()
         if fn.__module__.rsplit(".", 1)[-1]
-        in ("relational", "warehouse_queries", "views")
+        in (
+            "relational",
+            "warehouse_queries",
+            "views",
+            # fact-backed too (orders/lineitem scale 10x; the few
+            # events/documents-backed entries run on the passthrough
+            # copies — their plan audit still applies, their timing
+            # rows are not sf1 claims)
+            "analytics_queries",
+            "cdc_queries",
+            "extras_queries",
+        )
     )
     spark = get_spark()
-    out: dict = {"sf": 1.0, "n_queries": len(targets), "queries": {}}
+    out: dict = {"sf": round(REPS / 10.0, 2), "n_queries": len(targets), "queries": {}}
     bad: dict = {}
     for name in targets:
         fn = QUERIES[name]
