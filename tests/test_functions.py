@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from tiki_data_pipeline_spark.functions import scalars as S
 from tiki_data_pipeline_spark.functions.text import clean_name, short_name, shorten_name_ai
-from tiki_data_pipeline_spark.functions.urls import canonicalize_url
+from tiki_data_pipeline_spark.functions.urls import cache_key, canonicalize_url
 
 
 def _one(spark, col):
@@ -100,6 +100,21 @@ def test_canonicalize_url_reference_cases():
     a = canonicalize_url("https://tiki.vn/x?b=2&a=1")
     b = canonicalize_url("https://tiki.vn/x?a=1&b=2")
     assert a == b
+
+
+def test_cache_key_is_md5_of_canonical_url(spark):
+    """F10 — the cache key must be param-order-insensitive because it
+    hashes the CANONICAL url (reference redis_cache.py:187-203; the
+    cache-hit-rate fix depended on exactly this)."""
+    import hashlib
+
+    df = spark.createDataFrame(
+        [("https://tiki.vn/x?b=2&a=1",), ("https://tiki.vn/x?a=1&b=2",)],
+        schema="url string",
+    )
+    keys = [r.k for r in df.select(cache_key(F.col("url")).alias("k")).collect()]
+    want = "detail:" + hashlib.md5(b"https://tiki.vn/x?a=1&b=2").hexdigest()
+    assert keys == [want, want]
 
 
 def test_clean_name_heuristics():

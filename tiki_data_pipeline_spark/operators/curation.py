@@ -377,21 +377,6 @@ def _dsir_grams(text: Column) -> Column:
     return F.concat(toks, bigrams)
 
 
-def _dsir_buckets(docs: DataFrame, id_col: str, text_col: str, n_buckets: int) -> DataFrame:
-    """(id, bucket, cnt) hashed-feature bag per document (NULL-text
-    docs contribute no rows). Bucket = md5-derived 56-bit hash of the
-    gram mod n_buckets — bit-reproducible in DuckDB."""
-    grams = docs.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("id"), _dsir_grams(F.col(text_col)).alias("_grams")
-    )
-    return (
-        grams.select("id", F.explode("_grams").alias("g"))
-        .select("id", F.pmod(md5_h56(F.col("g"), "dsir"), F.lit(n_buckets)).alias("bucket"))
-        .groupBy("id", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-
-
 def dsir_log_weights(
     docs: DataFrame,
     target: DataFrame,
