@@ -1,0 +1,247 @@
+"""Store deletion lifecycle: tombstone sidecar → serve-side
+anti-join → physical fold at compaction.
+
+A 100 TB corpus store shrinks as well as grows (takedown requests,
+re-crawl retractions, quality-gate reversals — the reference deletes
+rows transactionally in its OLTP store,
+src/pipelines/crawl/storage/postgres_storage.py DELETE paths). On
+immutable parquet the same contract is merge-on-read: deletes land in
+a ``_tombstones`` sidecar, every serve path hides them immediately,
+and ``fold_tombstones`` / ``compact_store`` rewrites them out during
+maintenance. These tests pin all three phases plus the append guard
+(delete → fold → re-ingest is the only legal order) for every store
+family: MinHash bands (partitioned layout), LSH buckets and IVF lists
+(flat layout), PQ codes, and the additive line-df store (negative-
+count deletes)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tiki_data_pipeline_spark.operators import dedup as DD
+from tiki_data_pipeline_spark.operators import similarity as SIM
+from tiki_data_pipeline_spark.sources.files import (
+    compact_store,
+    delete_from_store,
+    fold_tombstones,
+    read_store_meta,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _ids(spark, ids, col="id"):
+    return spark.createDataFrame([(i,) for i in ids], f"{col} long")
+
+
+CORPUS = [
+    # mutually dissimilar texts (every token carries the doc id) so a
+    # batch copy of doc i can only ever match doc i — deleting i must
+    # flip its copy's status to unique, not to a different neighbor
+    (i, " ".join(f"w{i}x{j}" for j in range(12)) + f" tail t{i}")
+    for i in range(10)
+]
+
+
+@pytest.fixture()
+def mh_store(spark, tmp_path):
+    path = str(tmp_path / "mh")
+    DD.write_minhash_index(_docs(spark, CORPUS), path)
+    return path
+
+
+def _status(spark, path, batch):
+    rows = DD.incremental_dedup_status(spark, path, batch).collect()
+    return {r["doc_id"]: (r["status"], r["matched_id"]) for r in rows}
+
+
+class TestMinhashDelete:
+    def test_serve_hides_tombstoned_exact_and_near(self, spark, mh_store):
+        # batch 100 = verbatim copy of stored doc 2; batch 101 = near
+        # copy of stored doc 4 (one word changed)
+        batch = _docs(
+            spark,
+            [(100, CORPUS[2][1]), (101, CORPUS[4][1].replace("tail", "tale"))],
+        )
+        before = _status(spark, mh_store, batch)
+        assert before[100] == ("exact_dup", 2)
+        assert before[101][0] == "near_dup" and before[101][1] == 4
+
+        delete_from_store(spark, mh_store, _ids(spark, [2, 4]))
+        after = _status(spark, mh_store, batch)
+        assert after[100][0] == "unique"
+        assert after[101][0] == "unique"
+
+    def test_fold_removes_rows_and_preserves_serving(self, spark, mh_store):
+        batch = _docs(spark, [(100, CORPUS[2][1]), (101, CORPUS[5][1])])
+        delete_from_store(spark, mh_store, _ids(spark, [2]))
+        served = _status(spark, mh_store, batch)
+
+        n = fold_tombstones(spark, mh_store)
+        assert n == 1
+        assert not os.path.isdir(mh_store + "/_tombstones")
+        # physically gone from band rows AND the fingerprint sidecar
+        raw_ids = {r["id"] for r in spark.read.parquet(mh_store).select("id").distinct().collect()}
+        assert 2 not in raw_ids and 5 in raw_ids
+        fp_ids = {
+            r["id"]
+            for r in spark.read.parquet(mh_store + "/_fingerprints").select("id").collect()
+        }
+        assert 2 not in fp_ids
+        # partitioned layout preserved (band=… dirs) and serve identical
+        assert any(e.startswith("band=") for e in os.listdir(mh_store))
+        assert _status(spark, mh_store, batch) == served
+        # idempotent: nothing pending on a second fold
+        assert fold_tombstones(spark, mh_store) == 0
+
+    def test_append_rejects_tombstoned_id_until_fold(self, spark, mh_store):
+        delete_from_store(spark, mh_store, _ids(spark, [3]))
+        redo = _docs(spark, [(3, "a fully rewritten replacement document")])
+        with pytest.raises(ValueError, match="tombstoned"):
+            DD.append_minhash_index(redo, mh_store)
+        fold_tombstones(spark, mh_store)
+        DD.append_minhash_index(redo, mh_store)  # now legal
+        status = _status(spark, mh_store, _docs(spark, [(100, redo.collect()[0]["text"])]))
+        assert status[100] == ("exact_dup", 3)
+
+    def test_compact_store_folds_deletes(self, spark, mh_store):
+        delete_from_store(spark, mh_store, _ids(spark, [6]))
+        compact_store(spark, mh_store)
+        assert not os.path.isdir(mh_store + "/_tombstones")
+        raw_ids = {r["id"] for r in spark.read.parquet(mh_store).select("id").distinct().collect()}
+        assert 6 not in raw_ids
+
+
+# 4 tight direction clusters × 6 members: cluster mates are mutual
+# near-neighbors and land in the same LSH bucket, so deleting some of
+# a query's top-k still leaves live in-bucket survivors to assert on
+VECS = [
+    (
+        i,
+        [
+            1.0
+            if j == i % 4
+            else (0.02 * (i // 4) if j == (i % 4 + 4) else 0.0)
+            for j in range(8)
+        ],
+    )
+    for i in range(24)
+]
+
+
+def _emb(spark, rows=VECS):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _topk_ids(df):
+    return {
+        (r["query_id"], r["neighbor_id"]) for r in df.collect()
+    }
+
+
+class TestEmbeddingIndexDelete:
+    def test_lsh_topk_excludes_deleted_then_fold_parity(self, spark, tmp_path):
+        path = str(tmp_path / "lsh")
+        SIM.write_lsh_index(_emb(spark), path)
+        q = _emb(spark).filter(F.col("vec_id") == 0)
+        full = _topk_ids(SIM.lsh_index_topk(spark, path, q, k=5, emit_radius=2))
+        victims = sorted({n for _, n in full})[:2]
+        delete_from_store(spark, path, _ids(spark, victims))
+        served = _topk_ids(SIM.lsh_index_topk(spark, path, q, k=5, emit_radius=2))
+        assert served and not ({n for _, n in served} & set(victims))
+
+        n_before = read_store_meta(path)["n_rows"]
+        assert fold_tombstones(spark, path) == len(victims)
+        assert read_store_meta(path)["n_rows"] == n_before - len(victims)
+        assert _topk_ids(SIM.lsh_index_topk(spark, path, q, k=5, emit_radius=2)) == served
+
+    def test_ivf_topk_and_status_exclude_deleted(self, spark, tmp_path):
+        path = str(tmp_path / "ivf")
+        SIM.write_ivf_index(_emb(spark), path, n_centroids=2)
+        q = _emb(spark).filter(F.col("vec_id") == 1)
+        full = _topk_ids(SIM.ivf_index_topk(spark, path, q, k=3, nprobe=2))
+        victim = sorted({n for _, n in full})[0]
+        delete_from_store(spark, path, _ids(spark, [victim]))
+        served = SIM.ivf_index_topk(spark, path, q, k=3, nprobe=2)
+        assert victim not in {r["neighbor_id"] for r in served.collect()}
+        # a vector identical to the victim now reports non-dup status
+        dup = _emb(spark).filter(F.col("vec_id") == victim).select(
+            (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+        )
+        st = SIM.ivf_semantic_dedup_status(spark, path, dup, threshold=0.999)
+        matched = {r["matched_id"] for r in st.collect()}
+        assert victim not in matched
+        fold_tombstones(spark, path)
+        raw = {r["id"] for r in spark.read.parquet(path).select("id").collect()}
+        assert victim not in raw
+
+    def test_pq_adc_excludes_deleted_and_append_guard(self, spark, tmp_path):
+        path = str(tmp_path / "pq")
+        SIM.write_pq_index(_emb(spark), path, m=4, k=8)
+        q = _emb(spark).filter(F.col("vec_id") == 2)
+        full = SIM.pq_index_topk(spark, path, q, k=3, refine_with=None)
+        victim = sorted(r["neighbor_id"] for r in full.collect())[0]
+        delete_from_store(spark, path, _ids(spark, [victim]))
+        served = SIM.pq_index_topk(spark, path, q, k=3, refine_with=None)
+        assert victim not in {r["neighbor_id"] for r in served.collect()}
+        with pytest.raises(ValueError, match="tombstoned"):
+            SIM.append_pq_index(
+                spark, _emb(spark).filter(F.col("vec_id") == victim), path
+            )
+        fold_tombstones(spark, path)
+        SIM.append_pq_index(
+            spark, _emb(spark).filter(F.col("vec_id") == victim), path
+        )
+        back = SIM.pq_index_topk(spark, path, q, k=24, refine_with=None)
+        assert victim in {r["neighbor_id"] for r in back.collect()}
+
+
+class TestLineDfDelete:
+    def test_negative_counts_mirror_rebuild(self, spark, tmp_path):
+        path = str(tmp_path / "ldf")
+        boiler = "all rights reserved footer line"
+        docs = _docs(
+            spark,
+            [(i, f"unique line {i}\n{boiler}") for i in range(4)],
+        )
+        DD.write_line_df_store(docs, path)
+        # batch doc carries the boilerplate → cut against full store
+        batch = _docs(spark, [(9, f"fresh content\n{boiler}")])
+        cut = DD.incremental_line_removal(
+            spark, path, batch, min_df=3, count_batch=False
+        ).collect()[0]
+        assert boiler not in cut["cleaned_text"]
+
+        # delete 3 of the 4 contributing docs → df drops to 1 < 3
+        DD.delete_line_df_store(
+            docs.filter(F.col("doc_id") < 3), path
+        )
+        kept = DD.incremental_line_removal(
+            spark, path, batch, min_df=3, count_batch=False
+        ).collect()[0]
+        assert boiler in kept["cleaned_text"]
+
+        # compaction folds the negatives; zero-count lines vanish —
+        # docs 0-2 are fully deleted, so only doc 3's unique line and
+        # the boiler line (df 4-3 = 1) survive the fold
+        DD.compact_line_df_store(spark, path)
+        rows = {r["lh"]: r["df"] for r in spark.read.parquet(path).collect()}
+        assert len(rows) == 2
+        assert all(df == 1 for df in rows.values())
+
+    def test_overdelete_clamps_at_zero(self, spark, tmp_path):
+        path = str(tmp_path / "ldf2")
+        DD.write_line_df_store(_docs(spark, [(0, "only line")]), path)
+        ghost = _docs(spark, [(7, "only line"), (8, "only line")])
+        DD.delete_line_df_store(ghost, path)  # over-delete: df → -1
+        batch = _docs(spark, [(9, "only line\nbody")])
+        out = DD.incremental_line_removal(
+            spark, path, batch, min_df=1, count_batch=True
+        ).collect()[0]
+        # batch's own df (1) must not be cancelled by the negative store
+        assert "only line" not in out["cleaned_text"]

@@ -326,9 +326,13 @@ def append_minhash_index(
     production puts the store in a lakehouse table
     (``merge.merge_into_sql`` renders the transactional twin) where
     the append is an idempotent MERGE on ``id``."""
-    from tiki_data_pipeline_spark.sources.files import check_store_meta
+    from tiki_data_pipeline_spark.sources.files import (
+        check_store_meta,
+        reject_tombstoned,
+    )
 
     check_store_meta(path, {"kind": "minhash", "n": n, "k": k, "bands": bands})
+    reject_tombstoned(docs.sparkSession, path, docs, id_col)
     _write_minhash_store(docs, path, "append", n, k, bands, id_col, text_col, sh=sh)
 
 
@@ -401,8 +405,10 @@ def rebuild_hot_bands(spark, path: str, cap: int = HOT_BAND_CAP) -> int:
     Run at build (automatic) and periodically after appends (the
     sidecar goes stale as buckets grow — a maintenance companion to
     ``compact_store``). Returns the number of hot signatures."""
+    from tiki_data_pipeline_spark.sources.files import apply_tombstones
+
     hot = (
-        spark.read.parquet(path)
+        apply_tombstones(spark.read.parquet(path), path)
         .groupBy("band", "band_sig")
         .agg(F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") > cap)
@@ -470,7 +476,12 @@ def minhash_index_near_dups(
             ["band", "band_sig"],
             "anti",
         )
-    index = spark.read.parquet(index_path)
+    from tiki_data_pipeline_spark.sources.files import apply_tombstones
+
+    # retired ids (takedowns, re-crawl retractions) must stop matching
+    # the moment they are deleted — anti-join the tombstone sidecar
+    # (no-op plan when no deletes are pending)
+    index = apply_tombstones(spark.read.parquet(index_path), index_path)
     pairs = (
         index.join(batch, ["band", "band_sig"])
         .filter(F.col("id") != F.col("new_id"))  # re-crawled same doc
@@ -582,7 +593,11 @@ def incremental_dedup_status(
     batch = new_docs.select(
         F.col(id_col), F.col(text_col), _content_fingerprint(text_col).alias("fp")
     )
-    store = spark.read.parquet(index_path + "/_fingerprints").select(
+    from tiki_data_pipeline_spark.sources.files import apply_tombstones
+
+    store = apply_tombstones(
+        spark.read.parquet(index_path + "/_fingerprints"), index_path
+    ).select(
         # alias: the caller's id_col may itself be named "id"
         F.col("id").alias("_store_id"), "fp"
     )
@@ -1217,10 +1232,42 @@ def append_line_df_store(
     )
 
 
+def delete_line_df_store(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Retire documents from the line-df store by appending NEGATIVE
+    per-line document counts — the additive-counter twin of the
+    tombstone sidecar (the store keys on line hashes, not doc ids, so
+    an id tombstone cannot express a doc's removal; a count decrement
+    can, exactly). Readers SUM df per lh, so the decrement takes
+    effect immediately; :func:`compact_line_df_store` folds it and
+    drops lines whose count reaches zero. Delete the SAME rows that
+    were appended (the doc text as ingested) — deleting a never-
+    appended doc would push counts negative, which the serve path
+    clamps at zero but the store should not be fed."""
+    from tiki_data_pipeline_spark.sources.files import check_store_meta
+
+    check_store_meta(path, {"kind": "line_df"})
+    lines = _doc_lines(docs, id_col, text_col)
+    (
+        lines.filter(F.col("lh").isNotNull())
+        .groupBy("lh")
+        .agg((-F.count_distinct(F.col(id_col))).alias("df"))
+        .write.mode("append")
+        .parquet(path)
+    )
+
+
 def compact_line_df_store(spark, path: str) -> None:
     """Fold appended delta rows into one ``(lh, df)`` row per line
     (crash-safe staging swap). Run periodically: serve cost grows
-    with delta-row count, not distinct-line count, until compaction."""
+    with delta-row count, not distinct-line count, until compaction.
+    Lines whose folded count is ≤ 0 (every contributing doc deleted
+    via :func:`delete_line_df_store`) are dropped outright — the
+    store never carries dead lines forward."""
     from tiki_data_pipeline_spark.sources.files import swap_parquet_rewrite
 
     swap_parquet_rewrite(
@@ -1228,6 +1275,7 @@ def compact_line_df_store(spark, path: str) -> None:
         lambda staging: spark.read.parquet(path)
         .groupBy("lh")
         .agg(F.sum("df").alias("df"))
+        .filter(F.col("df") > 0)
         .write.mode("overwrite")
         .parquet(staging),
     )
@@ -1266,7 +1314,10 @@ def incremental_line_removal(
         spark.read.parquet(path)
         .join(batch_df.select("lh"), "lh", "left_semi")
         .groupBy("lh")
-        .agg(F.sum("df").alias("_df_s"))
+        # clamp at 0: delete_line_df_store appends negative deltas; a
+        # over-deleted line (deleted doc never appended) must count as
+        # absent, not as negative evidence against the batch's own df
+        .agg(F.greatest(F.sum("df"), F.lit(0)).alias("_df_s"))
     )
     total = batch_df.join(store_df, "lh", "left").select(
         "lh",

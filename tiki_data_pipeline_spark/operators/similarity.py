@@ -1091,9 +1091,13 @@ def lsh_index_near_dups(
             probes = probes.join(
                 F.broadcast(spark.read.parquet(hot_path)), ["bkt"], "anti"
             )
-    index = _with_nrm(spark.read.parquet(index_path)).withColumn(
-        "bkt", F.col("bkt").cast("long")
-    )
+    from tiki_data_pipeline_spark.sources.files import apply_tombstones
+
+    # retired vectors must stop matching on delete — anti-join the
+    # tombstone sidecar (no-op when no deletes are pending)
+    index = _with_nrm(
+        apply_tombstones(spark.read.parquet(index_path), index_path)
+    ).withColumn("bkt", F.col("bkt").cast("long"))
     # each (new, old) pair meets in EXACTLY one probe bucket (the mask
     # is forced to b_new XOR b_old), so a CLEAN index yields each pair
     # once — but the plain-parquet append contract is at-least-once on
@@ -1201,7 +1205,11 @@ def lsh_index_dedup_status(
             .cast("long")
             .alias("_qb"),
         )
-        store = spark.read.parquet(index_path).select(
+        from tiki_data_pipeline_spark.sources.files import apply_tombstones
+
+        store = apply_tombstones(
+            spark.read.parquet(index_path), index_path
+        ).select(
             F.col("id").alias("_store_id"),
             F.col("v").alias("_sv"),
             F.col("bkt").cast("long").alias("_sb"),
@@ -1317,8 +1325,10 @@ def lsh_bucket_stats(spark, path: str, cap: int = HOT_BUCKET_CAP) -> dict:
     dedup the cluster upstream, or serve with
     ``skip_hot_buckets=True`` after :func:`rebuild_hot_buckets`.
     Returns driver-side summary scalars only (k-row aggregation)."""
+    from tiki_data_pipeline_spark.sources.files import apply_tombstones
+
     occ = (
-        spark.read.parquet(path)
+        apply_tombstones(spark.read.parquet(path), path)
         .groupBy("bkt")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -1348,10 +1358,13 @@ def rebuild_hot_buckets(
     that the hot mass is boilerplate handled upstream); otherwise the
     sidecar serves the per-call ``skip_hot_buckets=True`` opt-in.
     Run at build time or after appends. Returns the hot-bucket count."""
-    from tiki_data_pipeline_spark.sources.files import update_store_meta
+    from tiki_data_pipeline_spark.sources.files import (
+        apply_tombstones,
+        update_store_meta,
+    )
 
     hot = (
-        spark.read.parquet(path)
+        apply_tombstones(spark.read.parquet(path), path)
         .groupBy("bkt")
         .agg(F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") > cap)
@@ -1392,6 +1405,9 @@ def append_lsh_index(
     if n_planes is None:
         n_planes = _store_n_planes(path, N_PLANES)
     check_store_meta(path, {"kind": "lsh", "n_planes": n_planes})
+    from tiki_data_pipeline_spark.sources.files import reject_tombstoned
+
+    reject_tombstoned(embeddings.sparkSession, path, embeddings, id_col)
     rows = _lsh_index_rows(embeddings, id_col, vec_col, n_planes)
     # delta-sized stats pass (the serve-default meta must track
     # appends without a store-wide rescan): n_rows grows by the
@@ -1521,10 +1537,12 @@ def lsh_index_topk(
     probes = spark.createDataFrame(
         probe_rows, schema="query_id long, qv array<double>, qn double, bkt int"
     )
+    from tiki_data_pipeline_spark.sources.files import apply_tombstones
+
     index = spark.read.parquet(index_path).filter(
         F.col("bkt").isin(probe_buckets)  # partition pruning, not a scan
     )
-    index = _with_nrm(index)
+    index = _with_nrm(apply_tombstones(index, index_path))
     cand = index.join(F.broadcast(probes), "bkt").filter(
         F.col("id") != F.col("query_id")
     )
@@ -1694,6 +1712,9 @@ def append_ivf_index(
     )
 
     check_store_meta(path, {"kind": "ivf"})
+    from tiki_data_pipeline_spark.sources.files import reject_tombstoned
+
+    reject_tombstoned(spark, path, embeddings, id_col)
     centroids = spark.read.parquet(path.rstrip("/") + "/_centroids")
     base = _ivf_index_rows(embeddings, id_col, vec_col)
     n_delta = base.count()  # delta-sized; keeps nprobe="auto" honest
@@ -1748,7 +1769,11 @@ def ivf_semantic_dedup_status(
     assigned = assign_to_centroids(valid.select("id", "v"), centroids).join(
         valid, "id"
     )
-    index = _with_nrm(spark.read.parquet(index_path))
+    from tiki_data_pipeline_spark.sources.files import apply_tombstones
+
+    index = _with_nrm(
+        apply_tombstones(spark.read.parquet(index_path), index_path)
+    )
     batch = assigned.select(
         F.col("id").alias("new_id"),
         F.col("v").alias("qv"),
@@ -1854,7 +1879,14 @@ def ivf_drift_report(
             )
         )
 
-    stored = _stats(spark.read.parquet(index_path).select("cid", "v"), "stored")
+    from tiki_data_pipeline_spark.sources.files import apply_tombstones
+
+    stored = _stats(
+        apply_tombstones(spark.read.parquet(index_path), index_path).select(
+            "cid", "v"
+        ),
+        "stored",
+    )
     delta = _stats(
         # mirror the writers' admission rule (non-null, non-zero-norm):
         # the report must score exactly what an append would store, or
@@ -2031,10 +2063,12 @@ def ivf_index_topk(
     probes = spark.createDataFrame(
         probe_rows, schema="query_id long, qv array<double>, qn double, cid int"
     )
+    from tiki_data_pipeline_spark.sources.files import apply_tombstones
+
     index = spark.read.parquet(index_path).filter(
         F.col("cid").isin(probe_cids)  # partition pruning, not a scan
     )
-    index = _with_nrm(index)
+    index = _with_nrm(apply_tombstones(index, index_path))
     cand = index.join(F.broadcast(probes), "cid").filter(
         F.col("id") != F.col("query_id")
     )
@@ -2378,7 +2412,9 @@ def pq_index_topk(
                 }
             )
 
-    codes = spark.read.parquet(index_path)
+    from tiki_data_pipeline_spark.sources.files import apply_tombstones
+
+    codes = apply_tombstones(spark.read.parquet(index_path), index_path)
     scored = (
         codes.mapInPandas(score, schema="query_id long, neighbor_id long, d2 double")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -2408,10 +2444,12 @@ def append_pq_index(
     from tiki_data_pipeline_spark.sources.files import (
         check_store_meta,
         read_store_meta,
+        reject_tombstoned,
         update_store_meta,
     )
 
     check_store_meta(path, {"kind": "pq"})
+    reject_tombstoned(spark, path, embeddings, id_col)
     cb = _pq_codebook_mat(spark, path)
     stored = spark.read.parquet(path).select("id")
     fresh = embeddings.join(
@@ -2579,8 +2617,13 @@ def ivfpq_index_topk(
         )
     probe_cids = sorted({c for _, c in probe_rows})
     probes = spark.createDataFrame(probe_rows, schema="query_id long, cid int")
-    index = spark.read.parquet(index_path).filter(
-        F.col("cid").isin(probe_cids)  # partition pruning, not a scan
+    from tiki_data_pipeline_spark.sources.files import apply_tombstones
+
+    index = apply_tombstones(
+        spark.read.parquet(index_path).filter(
+            F.col("cid").isin(probe_cids)  # partition pruning, not a scan
+        ),
+        index_path,
     )
     cand = index.join(F.broadcast(probes), "cid").filter(
         F.col("id") != F.col("query_id")
@@ -2764,6 +2807,9 @@ def append_ivfpq_index(
     )
 
     check_store_meta(path, {"kind": "ivfpq"})
+    from tiki_data_pipeline_spark.sources.files import reject_tombstoned
+
+    reject_tombstoned(spark, path, embeddings, id_col)
     cb = _pq_codebook_mat(spark, path)
     centroids = spark.read.parquet(path.rstrip("/") + "/_centroids")
     stored = spark.read.parquet(path).select("id")

@@ -198,7 +198,10 @@ def check_store_meta(path: str, expected: dict) -> None:
 
 
 def compact_store(
-    spark: SparkSession, path: str, target_files_per_partition: int = 1
+    spark: SparkSession,
+    path: str,
+    target_files_per_partition: int = 1,
+    fold_deletes: bool = True,
 ) -> int:
     """Maintenance compaction for an incrementally-appended store
     (MinHash/LSH index trees): every partition directory (``band=…``,
@@ -212,8 +215,14 @@ def compact_store(
     compacted. Offline maintenance — run between ingest windows (the
     per-directory swap briefly exposes a ``.staging`` sibling a
     concurrent partition-discovery scan could trip on). Production
-    twin: lakehouse ``OPTIMIZE``."""
+    twin: lakehouse ``OPTIMIZE``. With ``fold_deletes`` (default) any
+    pending ``_tombstones`` are physically folded out first
+    (:func:`fold_tombstones`) — compaction is the maintenance window
+    where deletions stop costing an anti-join."""
     import os
+
+    if fold_deletes:
+        fold_tombstones(spark, path)
 
     # Resolve crash leftovers to their LIVE directory name: a
     # 'band=0.old' / 'band=0.staging' sibling is the swap's mid-flight
@@ -247,6 +256,196 @@ def compact_store(
     for d in leaf_dirs:
         compact_parquet(spark, d, target_files_per_partition)
     return len(leaf_dirs)
+
+
+# ---------------------------------------------------------------------------
+# Store deletions (tombstones)
+# ---------------------------------------------------------------------------
+# The persisted index stores (MinHash bands, LSH buckets, IVF lists,
+# PQ/IVF-PQ code lists) are append-mostly, but a real corpus also
+# shrinks: takedown requests, re-crawls that retire stale pages,
+# quality-gate retractions. Rewriting a 100 TB store per retired id is
+# not an option, so deletes follow the lakehouse merge-on-read shape
+# (Delta deletion vectors / Iceberg position deletes, re-expressed on
+# plain parquet): ``delete_from_store`` appends the retired ids to a
+# ``_tombstones`` sidecar (underscore prefix = invisible to the data
+# readers); every serve path broadcast-anti-joins the sidecar (deletes
+# are rare — the sidecar is tiny next to the store, so the anti-join
+# rides the already-pruned scan for free); ``fold_tombstones`` (run by
+# ``compact_store`` by default) physically rewrites the rows out
+# during scheduled maintenance, production twin of ``OPTIMIZE`` after
+# ``DELETE``. Reference deletes rows transactionally in an OLTP store
+# (src/pipelines/crawl/storage/postgres_storage.py DELETE paths); the
+# tombstone sidecar is the same contract on immutable parquet.
+
+TOMBSTONE_DIR = "_tombstones"
+
+
+def delete_from_store(
+    spark: SparkSession, path: str, ids: DataFrame, id_col: str = "id"
+) -> int:
+    """Retire ids from a persisted store by appending them to the
+    ``_tombstones`` sidecar. Returns the number of distinct ids in
+    this delete batch. Idempotent: re-deleting an id appends a
+    duplicate tombstone row, which the serve-side anti-join and the
+    fold both treat identically. Physical removal happens at the next
+    :func:`fold_tombstones` / :func:`compact_store`."""
+    import os
+
+    tomb = ids.select(F.col(id_col).alias("id")).distinct()
+    n = tomb.count()
+    if n:
+        # coalesce(1): a delete batch is driver-small (takedown lists,
+        # not corpora) — one file per delete keeps the sidecar scannable
+        tomb.coalesce(1).write.mode("append").parquet(
+            os.path.join(path, TOMBSTONE_DIR)
+        )
+    return n
+
+
+def store_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
+    """The store's live tombstone set as a distinct-id DataFrame, or
+    None when no deletes are pending (the common case — checked with
+    one directory stat, no Spark job)."""
+    import os
+
+    tdir = os.path.join(path, TOMBSTONE_DIR)
+    if not os.path.isdir(tdir):
+        return None
+    return spark.read.parquet(tdir).select("id").distinct()
+
+
+def apply_tombstones(df: DataFrame, path: str, id_col: str = "id") -> DataFrame:
+    """Filter a store scan down to live rows: anti-join the
+    ``_tombstones`` sidecar if one exists, else return the scan
+    unchanged (zero plan overhead for stores with no pending
+    deletes). The tombstone side is broadcast — deletes are rare by
+    regime, and a broadcast anti-join adds no exchange to the
+    already-pruned store scan."""
+    tomb = store_tombstones(df.sparkSession, path)
+    if tomb is None:
+        return df
+    if id_col == "id":
+        return df.join(F.broadcast(tomb), "id", "anti")
+    return df.join(
+        F.broadcast(tomb.withColumnRenamed("id", id_col)), id_col, "anti"
+    )
+
+
+def reject_tombstoned(
+    spark: SparkSession, path: str, delta: DataFrame, id_col: str
+) -> None:
+    """Append guard: fail loudly when an incoming delta re-uses a
+    tombstoned id. Appending it would leave the NEW row hidden behind
+    the tombstone (lost update) — and silently clearing the tombstone
+    would resurrect the OLD physical rows beside the new ones. The
+    unambiguous order is delete → fold (physical removal) → re-ingest,
+    so that is the one this raises for."""
+    tomb = store_tombstones(spark, path)
+    if tomb is None:
+        return
+    clashing = [
+        r["id"]
+        for r in delta.select(F.col(id_col).alias("id"))
+        .join(F.broadcast(tomb), "id", "semi")
+        .limit(5)
+        .collect()
+    ]
+    if clashing:
+        raise ValueError(
+            f"append to {path} contains tombstoned ids (e.g. {clashing}); "
+            "run fold_tombstones()/compact_store() to fold the deletions, "
+            "then re-ingest"
+        )
+
+
+def fold_tombstones(
+    spark: SparkSession,
+    path: str,
+    fold_sidecars: tuple[str, ...] = ("_fingerprints",),
+) -> int:
+    """Physically remove tombstoned rows from a store (crash-safe
+    whole-directory swap): rewrite the data tree minus the tombstoned
+    ids, fold id-keyed sidecars the same way, carry every other
+    sidecar over verbatim, and drop the ``_tombstones`` sidecar
+    atomically with the swap (it is simply not staged). Returns the
+    number of distinct ids folded, 0 if none were pending.
+
+    Layout is preserved: a ``band=``/``bkt=``/``cid=`` partitioned
+    tree is re-partitioned by the same key; a flat key-sorted dataset
+    is re-range-sorted on its key (row-group pruning survives the
+    fold). Offline maintenance, same operating window as
+    :func:`compact_store` — which calls this first by default, so
+    "compaction folds deletions" is the one rule operators need.
+    A crash mid-fold leaves either the old tree (tombstones intact —
+    the serve anti-join still hides the ids) or the new one
+    (tombstones folded); re-running is a no-op or completes the fold.
+    """
+    import os
+    import shutil
+
+    tomb = store_tombstones(spark, path)
+    if tomb is None:
+        return 0
+    n_tomb = tomb.count()
+    part_key = next(
+        (
+            k
+            for k in ("band", "bkt", "cid")
+            if any(
+                e.name.startswith(f"{k}=") for e in os.scandir(path) if e.is_dir()
+            )
+        ),
+        None,
+    )
+
+    def _stage(staging: str) -> None:
+        os.makedirs(staging, exist_ok=True)
+        live = spark.read.parquet(path).join(F.broadcast(tomb), "id", "anti")
+        if part_key is not None:
+            (
+                live.repartition(F.col(part_key))
+                .write.partitionBy(part_key)
+                .parquet(os.path.join(staging, "_data.tmp"))
+            )
+            # partitionBy writes into staging/_data.tmp/<key>=…; hoist
+            # the partition dirs up so the staged tree mirrors `path`
+            tmp = os.path.join(staging, "_data.tmp")
+            for e in os.scandir(tmp):
+                shutil.move(e.path, os.path.join(staging, e.name))
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            sort_key = next(
+                (k for k in ("band", "bkt", "cid") if k in live.columns), None
+            )
+            if sort_key is not None:
+                live = live.repartitionByRange(4, sort_key).sortWithinPartitions(
+                    sort_key
+                )
+            live.write.mode("overwrite").parquet(staging)
+        for e in os.scandir(path):
+            if not e.name.startswith("_") or e.name == TOMBSTONE_DIR:
+                continue
+            dst = os.path.join(staging, e.name)
+            if e.is_dir() and e.name in fold_sidecars:
+                (
+                    spark.read.parquet(e.path)
+                    .join(F.broadcast(tomb), "id", "anti")
+                    .write.mode("overwrite")
+                    .parquet(dst)
+                )
+            elif e.is_dir():
+                shutil.copytree(e.path, dst, dirs_exist_ok=True)
+            elif e.is_file():
+                shutil.copy2(e.path, dst)
+
+    swap_parquet_rewrite(path, _stage)
+    meta = read_store_meta(path) or {}
+    if "n_rows" in meta:
+        update_store_meta(
+            path, {"n_rows": int(spark.read.parquet(path).count())}
+        )
+    return n_tomb
 
 
 def write_training_shards(
