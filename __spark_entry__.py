@@ -40,14 +40,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # CHANGED in r9 (DSIR now serves from a session-cached weight table;
 # the IVF-PQ build gained nprobe calibration), then the 84 queries
 # absent from the r8 window, similarity/dedup/events family first
-# (their operators changed most in r8). 8 sentinels (2 new + 6
-# r9-changed) + 17 + 25 = 50; the remaining absentees fall past the
+# (their operators changed most in r8). 11 sentinels (5 new + 6
+# r9-changed) + 17 + 22 = 50; the remaining absentees fall past the
 # window — all r7/r8-green and re-verified via the full mini_driver
 # sweep on final r9 code.
 _SENTINELS = [
     # -- NEW r9 queries --
     "doc_span_removal_variable",           # NEW r9: run-merged span cut
     "orders_overlapping_bands",            # NEW r9: bucket-expansion range join
+    "doc_deleted_dedup_status",            # NEW r9: tombstoned minhash store
+    "embedding_deleted_ann_topk",          # NEW r9: tombstoned LSH index
+    "doc_deleted_line_removal",            # NEW r9: negative-count line deletes
     # -- r9-changed implementations --
     "doc_dsir_weights",                    # r9: session-cached weight table
     "doc_dsir_sample",                     # r9: serves precomputed weights

@@ -545,6 +545,107 @@ def doc_incremental_dedup_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mh_del_index_cached(spark: SparkSession, sf_dir: str) -> str:
+    """The even-id MinHash store with ids divisible by 10 retired via
+    ``delete_from_store`` (tombstones pending, NOT folded) — the
+    'corpus after takedowns' fixture for the deletion-aware serve
+    path."""
+    from tiki_data_pipeline_spark.sources.files import delete_from_store
+
+    def build(p: str) -> None:
+        docs = load_table(spark, sf_dir, "documents")
+        DD.write_minhash_index(docs.filter(F.col("doc_id") % 2 == 0), p)
+        delete_from_store(
+            spark,
+            p,
+            docs.filter(F.col("doc_id") % 10 == 0).select(
+                F.col("doc_id").alias("id")
+            ),
+        )
+
+    return _session_index(spark, sf_dir, "mhdel", build)
+
+
+@query(
+    "doc_deleted_dedup_status",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    fpall AS (
+      SELECT doc_id,
+             md5(trim(REGEXP_REPLACE(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    exact AS (
+      SELECT b.doc_id AS new_id, MIN(a.doc_id) AS matched_id
+      FROM fpall a JOIN fpall b ON a.fp = b.fp
+      WHERE a.doc_id % 2 = 0 AND a.doc_id % 10 <> 0 AND b.doc_id % 2 = 1
+      GROUP BY 1
+    ),
+    hashed AS (
+      SELECT doc_id,
+             try_cast(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT)
+               & {(1 << 30) - 1} AS h0
+      FROM sh
+    ),
+    mh AS (
+      SELECT doc_id, {_MH_MINS}
+      FROM hashed GROUP BY doc_id
+    ),
+    sigs AS (
+      {_MH_BANDS}
+    ),
+    cand AS (
+      SELECT DISTINCT b.doc_id AS new_id, a.doc_id AS old_id
+      FROM sigs a JOIN sigs b
+        ON a.band = b.band AND a.band_sig = b.band_sig
+      WHERE a.doc_id % 2 = 0 AND a.doc_id % 10 <> 0 AND b.doc_id % 2 = 1
+        AND b.doc_id NOT IN (SELECT new_id FROM exact)
+    ),
+    est AS (
+      SELECT c.new_id, c.old_id,
+             ROUND(({_MH_AGREE_SQL}) / {float(DD.MINHASH_K)}, 4) AS est_jaccard
+      FROM cand c
+      JOIN mh x ON x.doc_id = c.new_id
+      JOIN mh y ON y.doc_id = c.old_id
+    ),
+    near AS (
+      SELECT new_id, old_id AS matched_id FROM (
+        SELECT new_id, old_id,
+               ROW_NUMBER() OVER (PARTITION BY new_id
+                 ORDER BY est_jaccard DESC, old_id ASC) AS rn
+        FROM est WHERE est_jaccard >= 0.5
+      ) t WHERE rn = 1
+    )
+    SELECT d.doc_id,
+           CASE WHEN e.new_id IS NOT NULL THEN 'exact_dup'
+                WHEN nr.new_id IS NOT NULL THEN 'near_dup'
+                ELSE 'unique' END AS status,
+           COALESCE(e.matched_id, nr.matched_id) AS matched_id
+    FROM documents d
+    LEFT JOIN exact e ON e.new_id = d.doc_id
+    LEFT JOIN near nr ON nr.new_id = d.doc_id
+    WHERE d.doc_id % 2 = 1
+    """,
+)
+def doc_deleted_dedup_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-aware staged incremental dedup: the even-id corpus
+    store has every id divisible by 10 retired (tombstone sidecar,
+    unfolded), and the odd-id batch is statused against it — retired
+    docs must stop matching at BOTH stages (their fingerprint rows and
+    band rows are anti-joined out at serve time), so a batch doc whose
+    only duplicate was taken down now reads ``unique``. The oracle is
+    the incremental-status SQL with the retired ids excluded from the
+    store side. 100 TB shape: the tombstone set is broadcast; the
+    pruned store scan is unchanged (reference deletes rows
+    transactionally, postgres_storage.py DELETE paths — this is the
+    immutable-parquet twin)."""
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    return DD.incremental_dedup_status(
+        spark, _mh_del_index_cached(spark, sf_dir), batch, threshold=0.5
+    )
+
+
 @query(
     "doc_simhash_signatures",
     oracle=f"""
@@ -911,6 +1012,64 @@ def embedding_ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id").isin(_QUERY_IDS))
     return SIM.lsh_index_topk(
         spark, _lsh_index_cached(spark, sf_dir), queries, k=5, emit_radius=2
+    )
+
+
+def _lsh_del_index_cached(spark: SparkSession, sf_dir: str) -> str:
+    """The full-corpus LSH index with ``vec_id % 5 == 3`` retired via
+    ``delete_from_store`` (tombstones pending, NOT folded)."""
+    from tiki_data_pipeline_spark.sources.files import delete_from_store
+
+    def build(p: str) -> None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        SIM.write_lsh_index(emb, p)
+        delete_from_store(
+            spark,
+            p,
+            emb.filter(F.col("vec_id") % 5 == 3).select(
+                F.col("vec_id").alias("id")
+            ),
+        )
+
+    return _session_index(spark, sf_dir, "lshdel", build)
+
+
+@query(
+    "embedding_deleted_ann_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {_LSH_BUCKET_SQL} AS bucket FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b
+          WHERE vec_id IN ({', '.join(map(str, _QUERY_IDS))})),
+    scored AS (
+      SELECT q.query_id, b.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.qv, b.v), 6) AS cosine_sim
+      FROM q JOIN b
+        ON bit_count(xor(b.bucket::BIGINT, q.bucket::BIGINT)) <= 2
+       AND b.vec_id <> q.query_id
+       AND b.vec_id % 5 <> 3
+    )
+    SELECT query_id, neighbor_id, cosine_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+      FROM scored
+    ) t WHERE rn <= 5
+    """,
+)
+def embedding_deleted_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-aware ANN top-5: every fifth-offset vector is retired
+    from the persisted LSH index (tombstone sidecar, unfolded) and the
+    standard query set is served against it — retired vectors must
+    vanish from every neighbor list immediately, with the runner-up
+    live vector taking their rank. Queries whose own stored copy was
+    retired (ids 3 and 8 here) still serve: the query vector comes
+    from the caller, only the store side is tombstone-filtered. The
+    oracle excludes the retired ids from the neighbor side of the
+    probe join only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(_QUERY_IDS))
+    return SIM.lsh_index_topk(
+        spark, _lsh_del_index_cached(spark, sf_dir), queries, k=5, emit_radius=2
     )
 
 
@@ -1434,7 +1593,12 @@ def embedding_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 SESSION_BUILDS: dict = {
     "shingle_set": lambda spark, sf_dir: _shingles_cached(spark, sf_dir),
     "minhash_index": lambda spark, sf_dir: _mh_index_cached(spark, sf_dir),
+    "minhash_del_index": lambda spark, sf_dir: _mh_del_index_cached(spark, sf_dir),
     "line_df_store": lambda spark, sf_dir: _line_df_store_cached(spark, sf_dir),
+    "line_df_del_store": lambda spark, sf_dir: _line_df_del_store_cached(
+        spark, sf_dir
+    ),
+    "lsh_del_index": lambda spark, sf_dir: _lsh_del_index_cached(spark, sf_dir),
     "lsh_index": lambda spark, sf_dir: _lsh_index_cached(spark, sf_dir),
     "lsh_even_index": lambda spark, sf_dir: _emb_even_index_cached(spark, sf_dir),
     "ivf_centroids": lambda spark, sf_dir: _ivf_centroids_cached(spark, sf_dir),
@@ -1699,15 +1863,18 @@ def _line_df_store_cached(spark: SparkSession, sf_dir: str) -> str:
     return _session_index(spark, sf_dir, "linedf", build)
 
 
-def _incremental_line_oracle() -> str:
+def _incremental_line_oracle(
+    store_pred: str = "doc_id % 2 = 0",
+    store_fixture_ids: str = "9101, 9102, 9105",
+) -> str:
     from tiki_data_pipeline_spark import fixtures as FX
 
     return f"""
     WITH {FX.line_docs_cte()},
     store AS (
-      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+      SELECT doc_id, text FROM documents WHERE {store_pred}
       UNION ALL
-      SELECT doc_id, text FROM line_docs WHERE doc_id IN (9101, 9102, 9105)
+      SELECT doc_id, text FROM line_docs WHERE doc_id IN ({store_fixture_ids})
     ),
     batch AS (
       SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
@@ -1770,6 +1937,65 @@ def doc_incremental_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return DD.incremental_line_removal(
         spark, _line_df_store_cached(spark, sf_dir), batch
+    )
+
+
+def _line_df_del_store_cached(spark: SparkSession, sf_dir: str) -> str:
+    """The incremental line-df store after deletions: the even-id
+    corpus (plus boilerplate fixtures) ingested, then ids divisible by
+    10 and fixtures 9101/9102 retired via ``delete_line_df_store``
+    (negative count rows, NOT compacted) — exercises the merge-on-read
+    decrement path."""
+    from tiki_data_pipeline_spark import fixtures as FX
+
+    def build(p: str) -> None:
+        docs = load_table(spark, sf_dir, "documents")
+        fx = FX.line_docs_df(spark)
+        DD.write_line_df_store(
+            docs.filter(F.col("doc_id") % 2 == 0)
+            .select("doc_id", "text")
+            .unionByName(fx.filter(F.col("doc_id").isin(9101, 9102, 9105))),
+            p,
+        )
+        DD.delete_line_df_store(
+            docs.filter(F.col("doc_id") % 10 == 0)
+            .select("doc_id", "text")
+            .unionByName(fx.filter(F.col("doc_id").isin(9101, 9102))),
+            p,
+        )
+
+    return _session_index(spark, sf_dir, "linedfdel", build)
+
+
+@query(
+    "doc_deleted_line_removal",
+    oracle=_incremental_line_oracle(
+        store_pred="doc_id % 2 = 0 AND doc_id % 10 <> 0",
+        store_fixture_ids="9105",
+    ),
+)
+def doc_deleted_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-aware incremental line removal: after retiring every
+    tenth corpus doc and both multi-line boilerplate fixtures from the
+    line-df store (negative count deltas — the additive-counter twin
+    of the tombstone sidecar), the standard batch is decided against
+    the decremented counts. Lines whose document frequency fell below
+    the threshold (e.g. the newsletter banner once its two store
+    carriers are retired) flip from cut to kept — deletion visibly
+    changes the decision, not just the bookkeeping. The oracle
+    recomputes frequencies over the corpus minus the retired docs."""
+    from tiki_data_pipeline_spark import fixtures as FX
+
+    batch = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "text")
+        .unionByName(
+            FX.line_docs_df(spark).filter(F.col("doc_id").isin(9103, 9104))
+        )
+    )
+    return DD.incremental_line_removal(
+        spark, _line_df_del_store_cached(spark, sf_dir), batch
     )
 
 
