@@ -490,6 +490,45 @@ def run_level(spark, n: int) -> dict:
     t0 = time.perf_counter()
     DD.incremental_dedup_status(spark, store, delta.limit(out["delta_docs"])).count()
     out["delta_decide_post_compact_s"] = round(time.perf_counter() - t0, 2)
+
+    # 5. Deletion lifecycle at scale (takedown shape): retire the
+    # planted slice's rep-0 match targets (so the delta's near-dups
+    # must flip to unique) plus a ~1% bulk set, serve with tombstones
+    # PENDING (anti-join overhead must stay near the compacted serve
+    # cost), fold physically, serve again. Pins that deletion is
+    # immediate at serve time and free after the fold.
+    from tiki_data_pipeline_spark.sources.files import (
+        delete_from_store,
+        fold_tombstones,
+    )
+
+    victim_pred = (
+        ((F.col("doc_id") % 10_000 % 100 == 8) & (F.col("doc_id") < 10_000))
+        | (F.col("doc_id") % 97 == 0)
+    ) & ~doc_is_delta
+    victims = docs.filter(victim_pred).select(F.col("doc_id").alias("id"))
+    t0 = time.perf_counter()
+    out["del_ids"] = delete_from_store(spark, store, victims)
+    out["delete_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    st = (
+        DD.incremental_dedup_status(spark, store, delta.limit(out["delta_docs"]))
+        .groupBy("status")
+        .agg(F.count("*").alias("c"))
+    )
+    counts = {r["status"]: r["c"] for r in st.collect()}
+    out["decide_tombstoned_s"] = round(time.perf_counter() - t0, 2)
+    out["dups_tombstoned"] = counts.get("exact_dup", 0) + counts.get("near_dup", 0)
+    assert out["dups_tombstoned"] <= 0.1 * max(out["delta_dups"], 1), (
+        f"retired match targets still matching: {out['dups_tombstoned']} "
+        f"of {out['delta_dups']} dups survive deletion"
+    )
+    t0 = time.perf_counter()
+    fold_tombstones(spark, store)
+    out["fold_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    DD.incremental_dedup_status(spark, store, delta.limit(out["delta_docs"])).count()
+    out["decide_post_fold_s"] = round(time.perf_counter() - t0, 2)
     return out
 
 
