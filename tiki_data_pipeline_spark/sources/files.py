@@ -448,6 +448,107 @@ def fold_tombstones(
     return n_tomb
 
 
+def store_layout(path: str) -> tuple[str | None, bool]:
+    """Inspect a store's physical layout: returns ``(key,
+    partitioned)`` where key is the bucketing column (``band`` /
+    ``bkt`` / ``cid``) inferred from the directory tree or the data
+    schema, and partitioned tells whether the tree uses ``key=…``
+    directory partitions (True) or the flat key-sorted dataset
+    (False). ``(None, False)`` for a store with no recognized key."""
+    import os
+
+    for k in ("band", "bkt", "cid"):
+        if any(
+            e.name.startswith(f"{k}=") for e in os.scandir(path) if e.is_dir()
+        ):
+            return k, True
+    try:
+        import pyarrow.parquet as pq
+
+        first = next(
+            (
+                os.path.join(path, f)
+                for f in sorted(os.listdir(path))
+                if f.endswith(".parquet")
+            ),
+            None,
+        )
+        if first is not None:
+            cols = set(pq.read_schema(first).names)
+            for k in ("band", "bkt", "cid"):
+                if k in cols:
+                    return k, False
+    except Exception:
+        pass
+    return None, False
+
+
+def migrate_store_layout(
+    spark: SparkSession, path: str, partitioned: bool
+) -> bool:
+    """Rewrite a store between its two physical layouts (crash-safe
+    whole-directory swap, sidecars carried verbatim): the flat
+    key-sorted dataset (right for small corpora — row-group min/max
+    pruning, no directory blowup) and the ``key=…`` directory-
+    partitioned tree (right once the store is large — probes become
+    partition pruning, appends land in their own directories).
+
+    Stores are BORN in the layout their build-time size justifies
+    (``partition_min_rows``), but a store that started small outgrows
+    the flat layout as appends accumulate: row groups interleave keys
+    and the min/max pruning decays toward full scans. Serve and
+    append paths auto-detect the layout per call, so migration is
+    purely physical — results are identical before and after, only
+    the scan shape changes. Offline maintenance, same window as
+    :func:`compact_store`. Returns True if a rewrite happened, False
+    if the store was already in the requested layout. Production
+    twin: re-clustering a lakehouse table (``OPTIMIZE ZORDER`` /
+    rewrite_data_files)."""
+    import os
+    import shutil
+
+    key, is_part = store_layout(path)
+    if key is None:
+        raise ValueError(
+            f"store at {path} has no recognized bucketing column "
+            "(band/bkt/cid) — cannot migrate layout"
+        )
+    if is_part == partitioned:
+        return False
+
+    def _stage(staging: str) -> None:
+        os.makedirs(staging, exist_ok=True)
+        rows = spark.read.parquet(path)
+        if partitioned:
+            (
+                rows.repartition(F.col(key))
+                .write.partitionBy(key)
+                .parquet(os.path.join(staging, "_data.tmp"))
+            )
+            tmp = os.path.join(staging, "_data.tmp")
+            for e in os.scandir(tmp):
+                shutil.move(e.path, os.path.join(staging, e.name))
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            (
+                rows.repartitionByRange(4, key)
+                .sortWithinPartitions(key)
+                .write.mode("overwrite")
+                .parquet(staging)
+            )
+        for e in os.scandir(path):
+            if not e.name.startswith("_"):
+                continue
+            dst = os.path.join(staging, e.name)
+            if e.is_dir():
+                shutil.copytree(e.path, dst, dirs_exist_ok=True)
+            elif e.is_file():
+                shutil.copy2(e.path, dst)
+
+    swap_parquet_rewrite(path, _stage)
+    return True
+
+
 def write_training_shards(
     docs: DataFrame,
     path: str,
