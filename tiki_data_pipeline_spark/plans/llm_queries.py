@@ -549,18 +549,21 @@ def _mh_del_index_cached(spark: SparkSession, sf_dir: str) -> str:
     """The even-id MinHash store with ids divisible by 10 retired via
     ``delete_from_store`` (tombstones pending, NOT folded) — the
     'corpus after takedowns' fixture for the deletion-aware serve
-    path."""
+    path. Built by COPYING the session's base store and deleting from
+    the copy — the production order (deletes hit an existing store),
+    and the build cost is one file copy, not a re-ingest."""
+    import shutil
+
     from tiki_data_pipeline_spark.sources.files import delete_from_store
 
     def build(p: str) -> None:
-        docs = load_table(spark, sf_dir, "documents")
-        DD.write_minhash_index(docs.filter(F.col("doc_id") % 2 == 0), p)
+        shutil.copytree(_mh_index_cached(spark, sf_dir), p)
         delete_from_store(
             spark,
             p,
-            docs.filter(F.col("doc_id") % 10 == 0).select(
-                F.col("doc_id").alias("id")
-            ),
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 10 == 0)
+            .select(F.col("doc_id").alias("id")),
         )
 
     return _session_index(spark, sf_dir, "mhdel", build)
@@ -1017,18 +1020,21 @@ def embedding_ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _lsh_del_index_cached(spark: SparkSession, sf_dir: str) -> str:
     """The full-corpus LSH index with ``vec_id % 5 == 3`` retired via
-    ``delete_from_store`` (tombstones pending, NOT folded)."""
+    ``delete_from_store`` (tombstones pending, NOT folded). Copies
+    the session's base index and deletes from the copy — the
+    production order (see ``_mh_del_index_cached``)."""
+    import shutil
+
     from tiki_data_pipeline_spark.sources.files import delete_from_store
 
     def build(p: str) -> None:
-        emb = load_table(spark, sf_dir, "embeddings")
-        SIM.write_lsh_index(emb, p)
+        shutil.copytree(_lsh_index_cached(spark, sf_dir), p)
         delete_from_store(
             spark,
             p,
-            emb.filter(F.col("vec_id") % 5 == 3).select(
-                F.col("vec_id").alias("id")
-            ),
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") % 5 == 3)
+            .select(F.col("vec_id").alias("id")),
         )
 
     return _session_index(spark, sf_dir, "lshdel", build)
@@ -1946,17 +1952,14 @@ def _line_df_del_store_cached(spark: SparkSession, sf_dir: str) -> str:
     10 and fixtures 9101/9102 retired via ``delete_line_df_store``
     (negative count rows, NOT compacted) — exercises the merge-on-read
     decrement path."""
+    import shutil
+
     from tiki_data_pipeline_spark import fixtures as FX
 
     def build(p: str) -> None:
+        shutil.copytree(_line_df_store_cached(spark, sf_dir), p)
         docs = load_table(spark, sf_dir, "documents")
         fx = FX.line_docs_df(spark)
-        DD.write_line_df_store(
-            docs.filter(F.col("doc_id") % 2 == 0)
-            .select("doc_id", "text")
-            .unionByName(fx.filter(F.col("doc_id").isin(9101, 9102, 9105))),
-            p,
-        )
         DD.delete_line_df_store(
             docs.filter(F.col("doc_id") % 10 == 0)
             .select("doc_id", "text")

@@ -380,6 +380,13 @@ def fold_tombstones(
     A crash mid-fold leaves either the old tree (tombstones intact —
     the serve anti-join still hides the ids) or the new one
     (tombstones folded); re-running is a no-op or completes the fold.
+
+    Hot-occupancy sidecars (``_hot_bands`` / ``_hot_buckets``) are
+    carried verbatim: after a large fold they can only be stale in the
+    CONSERVATIVE direction (a bucket that shrank below the cap is
+    still skipped — bounded recall loss, never extra cost). Refresh
+    them in the same maintenance window with ``rebuild_hot_bands`` /
+    ``rebuild_hot_buckets``, exactly as after appends.
     """
     import os
     import shutil
