@@ -1604,8 +1604,8 @@ SESSION_BUILDS: dict = {
     "line_df_del_store": lambda spark, sf_dir: _line_df_del_store_cached(
         spark, sf_dir
     ),
-    "lsh_del_index": lambda spark, sf_dir: _lsh_del_index_cached(spark, sf_dir),
     "lsh_index": lambda spark, sf_dir: _lsh_index_cached(spark, sf_dir),
+    "lsh_del_index": lambda spark, sf_dir: _lsh_del_index_cached(spark, sf_dir),
     "lsh_even_index": lambda spark, sf_dir: _emb_even_index_cached(spark, sf_dir),
     "ivf_centroids": lambda spark, sf_dir: _ivf_centroids_cached(spark, sf_dir),
     "ivf_index": lambda spark, sf_dir: _ivf_index_cached(spark, sf_dir),
