@@ -12,7 +12,10 @@ embeddings (5 000 docs / 2 000 vecs at 1x → 5M docs / 2M vecs at
      for the columnar store scan)
   3. Persisted-LSH embedding index build + delta
      ``lsh_index_near_dups`` (the distributed embedding-dedup path)
-  4. K successive ``append_minhash_index`` deltas followed by
+  4. Deletion lifecycle: tombstone the planted match targets + a ~1%
+     bulk set, serve with tombstones pending, fold physically, serve
+     again (the takedown path — asserts retired ids stop matching)
+  5. K successive ``append_minhash_index`` deltas followed by
      ``compact_store`` (the maintenance path)
 
 Replicas are content-mutated, not copied: replica ``rep`` of a doc
@@ -476,27 +479,15 @@ def run_level(spark, n: int) -> dict:
         f"{out['semantic_dups']} < 0.9*{planted_twins}"
     )
 
-    # 4. K successive appends, then compaction
-    t0 = time.perf_counter()
-    for a in range(APPENDS):
-        DD.append_minhash_index(
-            delta.filter(F.col("doc_id") % APPENDS == a), store
-        )
-    out["appends_s"] = round(time.perf_counter() - t0, 2)
-    t0 = time.perf_counter()
-    out["compacted_dirs"] = compact_store(spark, store)
-    out["compact_s"] = round(time.perf_counter() - t0, 2)
-    # serve again on the compacted, appended store: cost must not grow
-    t0 = time.perf_counter()
-    DD.incremental_dedup_status(spark, store, delta.limit(out["delta_docs"])).count()
-    out["delta_decide_post_compact_s"] = round(time.perf_counter() - t0, 2)
-
-    # 5. Deletion lifecycle at scale (takedown shape): retire the
-    # planted slice's rep-0 match targets (so the delta's near-dups
-    # must flip to unique) plus a ~1% bulk set, serve with tombstones
-    # PENDING (anti-join overhead must stay near the compacted serve
-    # cost), fold physically, serve again. Pins that deletion is
-    # immediate at serve time and free after the fold.
+    # 4. Deletion lifecycle at scale (takedown shape), BEFORE the
+    # ingest appends so the store still holds only the base corpus
+    # (serving the delta after an append would self-match its own
+    # stored copy and mask the drop): retire the planted slice's
+    # rep-0 match targets (so the delta's near-dups must flip to
+    # unique) plus a ~1% bulk set, serve with tombstones PENDING
+    # (anti-join overhead must stay near the warm serve cost), fold
+    # physically, serve again. Pins that deletion is immediate at
+    # serve time and free after the fold.
     from tiki_data_pipeline_spark.sources.files import (
         delete_from_store,
         fold_tombstones,
@@ -529,6 +520,21 @@ def run_level(spark, n: int) -> dict:
     t0 = time.perf_counter()
     DD.incremental_dedup_status(spark, store, delta.limit(out["delta_docs"])).count()
     out["decide_post_fold_s"] = round(time.perf_counter() - t0, 2)
+
+    # 5. K successive appends, then compaction
+    t0 = time.perf_counter()
+    for a in range(APPENDS):
+        DD.append_minhash_index(
+            delta.filter(F.col("doc_id") % APPENDS == a), store
+        )
+    out["appends_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    out["compacted_dirs"] = compact_store(spark, store)
+    out["compact_s"] = round(time.perf_counter() - t0, 2)
+    # serve again on the compacted, appended store: cost must not grow
+    t0 = time.perf_counter()
+    DD.incremental_dedup_status(spark, store, delta.limit(out["delta_docs"])).count()
+    out["delta_decide_post_compact_s"] = round(time.perf_counter() - t0, 2)
     return out
 
 
