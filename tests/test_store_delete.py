@@ -180,6 +180,35 @@ class TestEmbeddingIndexDelete:
         raw = {r["id"] for r in spark.read.parquet(path).select("id").collect()}
         assert victim not in raw
 
+    def test_ivfpq_topk_excludes_deleted_then_fold_parity(self, spark, tmp_path):
+        path = str(tmp_path / "ivfpq")
+        SIM.write_ivfpq_index(
+            _emb(spark), path, n_centroids=2, m=4, k=8, calibrate=False
+        )
+        q = _emb(spark).filter(F.col("vec_id") == 1)
+        full = SIM.ivfpq_index_topk(
+            spark, path, q, k=3, nprobe=2, refine_with=_emb(spark)
+        )
+        victim = sorted(r["neighbor_id"] for r in full.collect())[0]
+        delete_from_store(spark, path, _ids(spark, [victim]))
+        served = {
+            r["neighbor_id"]
+            for r in SIM.ivfpq_index_topk(
+                spark, path, q, k=3, nprobe=2, refine_with=_emb(spark)
+            ).collect()
+        }
+        assert victim not in served
+        fold_tombstones(spark, path)
+        raw = {r["id"] for r in spark.read.parquet(path).select("id").collect()}
+        assert victim not in raw
+        after = {
+            r["neighbor_id"]
+            for r in SIM.ivfpq_index_topk(
+                spark, path, q, k=3, nprobe=2, refine_with=_emb(spark)
+            ).collect()
+        }
+        assert after == served
+
     def test_pq_adc_excludes_deleted_and_append_guard(self, spark, tmp_path):
         path = str(tmp_path / "pq")
         SIM.write_pq_index(_emb(spark), path, m=4, k=8)
