@@ -330,3 +330,66 @@ def test_incremental_dedup_sink_store_stays_canonical(spark, tmp_path):
     # the index side must agree with the fingerprint side
     idx_ids = {r["id"] for r in spark.read.parquet(store).collect()}
     assert idx_ids == {2, 31}
+
+
+def test_takedown_sink_hides_ids_and_replays_idempotently(spark, tmp_path):
+    """Streaming takedowns: ids deleted in micro-batch A are hidden
+    from serving before batch B is processed; re-running the stream
+    with a fresh checkpoint (worst-case full replay) leaves results
+    unchanged — duplicate tombstones are semantically one."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tiki_data_pipeline_spark.operators import dedup as DD
+    from tiki_data_pipeline_spark.sources.files import store_tombstones
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(12))) for i in range(8)],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "store")
+    DD.write_minhash_index(docs, store)
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def _write(name, ids, mtime):
+        p = str(src / name)
+        pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64())}), p)
+        os.utime(p, (mtime, mtime))
+
+    _write("a.parquet", [3], 1_000_000_000)
+    _write("b.parquet", [5, 3], 1_000_000_100)  # 3 re-requested: no-op
+
+    stream = (
+        spark.readStream.schema("doc_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    acks: list = []
+    q = jobs.takedown_sink(stream, store, acks, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert [n for _, n in acks] == [1, 2]
+
+    batch = spark.createDataFrame(
+        [(103, docs.collect()[3]["text"]), (105, docs.collect()[5]["text"]),
+         (106, docs.collect()[6]["text"])],
+        "doc_id long, text string",
+    )
+    st = {
+        r["doc_id"]: r["status"]
+        for r in DD.incremental_dedup_status(spark, store, batch).collect()
+    }
+    assert st == {103: "unique", 105: "unique", 106: "exact_dup"}
+
+    # full replay (fresh checkpoint, same source): same end state
+    acks2: list = []
+    q2 = jobs.takedown_sink(stream, store, acks2, str(tmp_path / "ckpt2"))
+    q2.awaitTermination(120)
+    st2 = {
+        r["doc_id"]: r["status"]
+        for r in DD.incremental_dedup_status(spark, store, batch).collect()
+    }
+    assert st2 == st
+    assert store_tombstones(spark, store).count() == 2  # still {3, 5}

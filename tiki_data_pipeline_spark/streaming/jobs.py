@@ -748,3 +748,46 @@ def incremental_line_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def takedown_sink(
+    requests: DataFrame,
+    index_path: str,
+    acks: list,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+):
+    """Continuous takedown stream: each micro-batch of retirement
+    requests (one id per row — legal takedowns, re-crawl retractions,
+    quality reversals) is applied to the persisted store via
+    ``files.delete_from_store``; serve paths hide the ids from the
+    next query onward (tombstone anti-join), and the physical rewrite
+    happens at the next scheduled ``compact_store`` — never on the
+    stream. The streaming counterpart of the ingest sinks: together
+    they give the store full add/remove lifecycle under continuous
+    operation.
+
+    No decisions-log machinery is needed here: tombstone appends are
+    idempotent BY SEMANTICS (a duplicate tombstone row filters and
+    folds identically to one), so the at-least-once epoch replay of
+    ``foreachBatch`` is already exactly-once in effect. The caller's
+    ``acks`` list receives (epoch, n_requested) heartbeats.
+
+    Single-writer discipline per store, same as appends: a takedown
+    for an id racing an ingest append of that id would trip the
+    append's tombstone guard — serialize the two streams on one
+    store (run the takedown sink in the ingest windows' gaps)."""
+    from tiki_data_pipeline_spark.sources.files import delete_from_store
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        n = delete_from_store(
+            batch_df.sparkSession, index_path, batch_df, id_col=id_col
+        )
+        acks.append((epoch_id, n))
+
+    return (
+        requests.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
