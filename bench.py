@@ -11,10 +11,12 @@ per-query timings measure the warm serve path a deployed pipeline
 actually runs — build cost is amortized across days of deltas, not
 charged to whichever query happens to run first.
 
-Each query is then run TWICE and the minimum kept: this box shows
-2-4x run-to-run swings in the Arrow/pandas-UDF family (documented in
-NOTES.md), and min-of-two makes round-over-round diffs reflect plan
-changes, not scheduler noise.
+Each query is then run THREE times and the minimum kept (raised from
+two in r9: the first real gate run flagged three span-family
+"regressions" that an A/B at the old commit showed to be min-of-2
+noise — this box shows 2-4x run-to-run swings in the Arrow/pandas-UDF
+family, documented in NOTES.md). Min-of-N makes round-over-round
+diffs reflect plan changes, not scheduler noise.
 
 Each run is timed to FULL evaluation through the noop sink
 (``df.write.format("noop")``) — r8 methodology fix: a ``.count()``
@@ -47,7 +49,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BENCH_QUERIES = sorted(QUERIES)
 
 # Per-query serve runs; min is kept. Override for quick local loops.
-RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 
 def _sf_from_dir(sf_dir: str) -> float:
