@@ -142,6 +142,111 @@ def build_corpus(spark, dst: str, n: int) -> None:
     )
 
 
+def deletion_stage(spark, store, docs, delta, doc_is_delta, out) -> None:
+    """Takedown lifecycle: retire the planted slice's rep-0 match
+    targets (so the delta's near-dups must flip) plus a ~1% bulk set,
+    serve with tombstones PENDING (anti-join overhead must stay near
+    the warm serve cost), fold physically, serve again. Pins that
+    deletion is immediate at serve time and free after the fold, and
+    the pointer-level invariant: NO surviving match references a
+    retired id."""
+    from tiki_data_pipeline_spark.operators import dedup as DD
+    from tiki_data_pipeline_spark.sources.files import (
+        delete_from_store,
+        fold_tombstones,
+    )
+
+    victim_pred = (
+        ((F.col("doc_id") % 10_000 % 100 == 8) & (F.col("doc_id") < 10_000))
+        | (F.col("doc_id") % 97 == 0)
+    ) & ~doc_is_delta
+    victims = docs.filter(victim_pred).select(F.col("doc_id").alias("id"))
+    # how many of the delta's current matches point AT a victim — the
+    # takedown's expected effect size (at n≥10 this is the whole
+    # planted slice; at 1× there are no planted reps and it may be 0)
+    pre = DD.incremental_dedup_status(
+        spark, store, delta.limit(out["delta_docs"])
+    )
+    out["matched_victims"] = (
+        pre.join(
+            victims.withColumnRenamed("id", "matched_id"), "matched_id", "semi"
+        ).count()
+    )
+    t0 = time.perf_counter()
+    out["del_ids"] = delete_from_store(spark, store, victims)
+    out["delete_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    post = DD.incremental_dedup_status(
+        spark, store, delta.limit(out["delta_docs"])
+    ).localCheckpoint()
+    counts = {
+        r["status"]: r["c"]
+        for r in post.groupBy("status").agg(F.count("*").alias("c")).collect()
+    }
+    out["decide_tombstoned_s"] = round(time.perf_counter() - t0, 2)
+    out["dups_tombstoned"] = counts.get("exact_dup", 0) + counts.get("near_dup", 0)
+    # the deletion invariant: NO surviving match points at a retired id
+    # (a doc whose best match was retired may legally re-match a live
+    # runner-up, so total dup count is not the right assertion)
+    still = (
+        post.join(
+            victims.withColumnRenamed("id", "matched_id"), "matched_id", "semi"
+        ).count()
+    )
+    assert still == 0, (
+        f"{still} surviving matches point at retired ids "
+        f"(expected 0; {out['matched_victims']} pointed at them pre-delete)"
+    )
+    t0 = time.perf_counter()
+    fold_tombstones(spark, store)
+    out["fold_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    DD.incremental_dedup_status(spark, store, delta.limit(out["delta_docs"])).count()
+    out["decide_post_fold_s"] = round(time.perf_counter() - t0, 2)
+
+
+def run_deletion_level(spark, n: int) -> dict:
+    """--deletion-only: store build + pre-delete decide + the full
+    deletion_stage (invariant included) at one level, skipping the
+    DSIR/PQ/IVF-PQ/span stages — makes the 1000× invariant run a
+    ~3-minute first-class harness mode instead of an ad-hoc script."""
+    from tiki_data_pipeline_spark.io import load_table
+    from tiki_data_pipeline_spark.operators import dedup as DD
+
+    dst = f"/tmp/sf_inc_{n}x"
+    marker = os.path.join(dst, "_GENERATED")
+    if os.path.isdir(dst) and not os.path.exists(marker):
+        shutil.rmtree(dst)
+        print(f"# discarded partial {dst} (no completeness marker)",
+              file=sys.stderr)
+    if not os.path.isdir(dst):
+        os.makedirs(dst)
+        build_corpus(spark, dst, n)
+        open(marker, "w").write("ok\n")
+
+    out: dict = {"n": n, "stage": "deletion_only"}
+    docs = load_table(spark, dst, "documents")
+    doc_base = F.col("doc_id") % 10_000
+    doc_rep = (F.col("doc_id") / 10_000).cast("long")
+    doc_is_delta = (doc_base % 100 == 7) | (
+        (doc_base % 100 == 8) & (doc_rep % 50 == 1)
+    )
+    store = f"{dst}/mh_store_del"
+    shutil.rmtree(store, ignore_errors=True)
+    t0 = time.perf_counter()
+    DD.write_minhash_index(docs.filter(~doc_is_delta), store)
+    out["store_build_s"] = round(time.perf_counter() - t0, 2)
+    delta = docs.filter(doc_is_delta)
+    t0 = time.perf_counter()
+    decided = DD.incremental_dedup_status(spark, store, delta)
+    out["delta_docs"] = decided.count()
+    out["decide_before_s"] = round(time.perf_counter() - t0, 2)
+    out["dups_before"] = decided.filter(F.col("status") != "unique").count()
+    deletion_stage(spark, store, docs, delta, doc_is_delta, out)
+    shutil.rmtree(store, ignore_errors=True)
+    return out
+
+
 def run_level(spark, n: int) -> dict:
     from tiki_data_pipeline_spark.io import load_table
     from tiki_data_pipeline_spark.operators import dedup as DD
@@ -482,64 +587,8 @@ def run_level(spark, n: int) -> dict:
     # 4. Deletion lifecycle at scale (takedown shape), BEFORE the
     # ingest appends so the store still holds only the base corpus
     # (serving the delta after an append would self-match its own
-    # stored copy and mask the drop): retire the planted slice's
-    # rep-0 match targets (so the delta's near-dups must flip to
-    # unique) plus a ~1% bulk set, serve with tombstones PENDING
-    # (anti-join overhead must stay near the warm serve cost), fold
-    # physically, serve again. Pins that deletion is immediate at
-    # serve time and free after the fold.
-    from tiki_data_pipeline_spark.sources.files import (
-        delete_from_store,
-        fold_tombstones,
-    )
-
-    victim_pred = (
-        ((F.col("doc_id") % 10_000 % 100 == 8) & (F.col("doc_id") < 10_000))
-        | (F.col("doc_id") % 97 == 0)
-    ) & ~doc_is_delta
-    victims = docs.filter(victim_pred).select(F.col("doc_id").alias("id"))
-    # how many of the delta's current matches point AT a victim — the
-    # takedown's expected effect size (at n≥10 this is the whole
-    # planted slice; at 1× there are no planted reps and it may be 0)
-    pre = DD.incremental_dedup_status(
-        spark, store, delta.limit(out["delta_docs"])
-    )
-    out["matched_victims"] = (
-        pre.join(
-            victims.withColumnRenamed("id", "matched_id"), "matched_id", "semi"
-        ).count()
-    )
-    t0 = time.perf_counter()
-    out["del_ids"] = delete_from_store(spark, store, victims)
-    out["delete_s"] = round(time.perf_counter() - t0, 2)
-    t0 = time.perf_counter()
-    post = DD.incremental_dedup_status(
-        spark, store, delta.limit(out["delta_docs"])
-    ).localCheckpoint()
-    counts = {
-        r["status"]: r["c"]
-        for r in post.groupBy("status").agg(F.count("*").alias("c")).collect()
-    }
-    out["decide_tombstoned_s"] = round(time.perf_counter() - t0, 2)
-    out["dups_tombstoned"] = counts.get("exact_dup", 0) + counts.get("near_dup", 0)
-    # the deletion invariant: NO surviving match points at a retired id
-    # (a doc whose best match was retired may legally re-match a live
-    # runner-up, so total dup count is not the right assertion)
-    still = (
-        post.join(
-            victims.withColumnRenamed("id", "matched_id"), "matched_id", "semi"
-        ).count()
-    )
-    assert still == 0, (
-        f"{still} surviving matches point at retired ids "
-        f"(expected 0; {out['matched_victims']} pointed at them pre-delete)"
-    )
-    t0 = time.perf_counter()
-    fold_tombstones(spark, store)
-    out["fold_s"] = round(time.perf_counter() - t0, 2)
-    t0 = time.perf_counter()
-    DD.incremental_dedup_status(spark, store, delta.limit(out["delta_docs"])).count()
-    out["decide_post_fold_s"] = round(time.perf_counter() - t0, 2)
+    # stored copy and mask the drop).
+    deletion_stage(spark, store, docs, delta, doc_is_delta, out)
 
     # 5. K successive appends, then compaction
     t0 = time.perf_counter()
@@ -567,10 +616,12 @@ def main() -> None:
     if "--compare-exhaustive" in args:
         COMPARE_EXHAUSTIVE = True
         args = [a for a in args if a != "--compare-exhaustive"]
+    deletion_only = "--deletion-only" in args
+    args = [a for a in args if a != "--deletion-only"]
     levels = [int(a) for a in args] or [1, 10, 100, 1000]
     spark = get_spark(app_name="stress_incremental")
     for n in levels:
-        res = run_level(spark, n)
+        res = run_deletion_level(spark, n) if deletion_only else run_level(spark, n)
         print(json.dumps(res))
 
 
