@@ -108,6 +108,16 @@ def test_expanded_oversized_span_raises(spark):
         range_join_expanded(fact, dim, "v", bucket_width=1.0)
 
 
+def test_attribute_name_collision_raises(spark, dim):
+    # a real join raises AMBIGUOUS_REFERENCE; the compiled rewrite
+    # must not silently overwrite the fact's column instead
+    fact = spark.range(5).select(
+        F.col("id").cast("double").alias("v"), F.lit("mine").alias("band")
+    )
+    with pytest.raises(ValueError, match="band"):
+        range_bucket_attach(fact, dim, "v")
+
+
 def test_overlap_raises(spark):
     bad = spark.createDataFrame(
         [("a", 0.0, 15.0), ("b", 10.0, 20.0)], schema="band string, lo double, hi double"

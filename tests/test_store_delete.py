@@ -263,6 +263,26 @@ class TestLineDfDelete:
         assert len(rows) == 2
         assert all(df == 1 for df in rows.values())
 
+    def test_replayed_delete_batch_is_noop(self, spark, tmp_path):
+        path = str(tmp_path / "ldf3")
+        line = "shared boilerplate line"
+        docs = _docs(spark, [(i, f"u{i}\n{line}") for i in range(3)])
+        DD.write_line_df_store(docs, path)
+        batch = docs.filter(F.col("doc_id") == 0)
+        assert DD.delete_line_df_store(batch, path) == 1
+        # crashed-retry replay: ledger skips the id, df stays at 2
+        assert DD.delete_line_df_store(batch, path) == 0
+        DD.compact_line_df_store(spark, path)
+        dfs = {r["df"] for r in spark.read.parquet(path).collect()}
+        assert 2 in dfs  # the shared line kept its two live carriers
+        # ledger survived compaction → a third replay is still a no-op
+        assert DD.delete_line_df_store(batch, path) == 0
+        # meta survived compaction too (check_store_meta passed above)
+        assert read_store_meta(path)["kind"] == "line_df"
+        # re-ingest clears the ledger entry; a NEW delete decrements
+        DD.append_line_df_store(batch, path)
+        assert DD.delete_line_df_store(batch, path) == 1
+
     def test_overdelete_clamps_at_zero(self, spark, tmp_path):
         path = str(tmp_path / "ldf2")
         DD.write_line_df_store(_docs(spark, [(0, "only line")]), path)

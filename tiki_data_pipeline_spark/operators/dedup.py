@@ -1221,6 +1221,10 @@ def append_line_df_store(
     log (``streaming.jobs``), same as the other ingest sinks."""
     from tiki_data_pipeline_spark.sources.files import check_store_meta
 
+    import os
+
+    from tiki_data_pipeline_spark.sources.files import swap_parquet_rewrite
+
     check_store_meta(path, {"kind": "line_df"})
     lines = _doc_lines(docs, id_col, text_col)
     (
@@ -1230,6 +1234,27 @@ def append_line_df_store(
         .write.mode("append")
         .parquet(path)
     )
+    # a re-ingested id leaves the deletion ledger (delete → re-ingest
+    # → delete must decrement again; the ledger only guards REPLAYS)
+    ldir = os.path.join(path, LINE_DF_LEDGER_DIR)
+    if os.path.isdir(ldir):
+        spark = docs.sparkSession
+        batch_ids = docs.select(F.col(id_col).alias("id")).distinct()
+        ledger = spark.read.parquet(ldir).select("id").distinct()
+        if ledger.join(batch_ids, "id", "semi").limit(1).count():
+            swap_parquet_rewrite(
+                ldir,
+                lambda staging: spark.read.parquet(ldir)
+                .select("id")
+                .distinct()
+                .join(batch_ids, "id", "anti")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(staging),
+            )
+
+
+LINE_DF_LEDGER_DIR = "_deleted_ids"
 
 
 def delete_line_df_store(
@@ -1237,7 +1262,7 @@ def delete_line_df_store(
     path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
-) -> None:
+) -> int:
     """Retire documents from the line-df store by appending NEGATIVE
     per-line document counts — the additive-counter twin of the
     tombstone sidecar (the store keys on line hashes, not doc ids, so
@@ -1247,11 +1272,37 @@ def delete_line_df_store(
     drops lines whose count reaches zero. Delete the SAME rows that
     were appended (the doc text as ingested) — deleting a never-
     appended doc would push counts negative, which the serve path
-    clamps at zero but the store should not be fed."""
+    clamps at zero but the store should not be fed.
+
+    Idempotent: retired ids are recorded in a ``_deleted_ids`` sidecar
+    ledger and SKIPPED on replay, so an at-least-once delivery of the
+    same delete batch (a crashed retry) cannot decrement a line twice
+    — without the ledger a double decrement would let
+    :func:`compact_line_df_store` drop a line whose live carriers
+    still exist, silently flipping later removal decisions. The
+    ledger survives compaction; :func:`append_line_df_store` clears
+    re-ingested ids from it (delete → re-ingest → delete works).
+    Returns the number of NEWLY retired docs (0 for a pure replay)."""
+    import os
+
     from tiki_data_pipeline_spark.sources.files import check_store_meta
 
     check_store_meta(path, {"kind": "line_df"})
-    lines = _doc_lines(docs, id_col, text_col)
+    spark = docs.sparkSession
+    ldir = os.path.join(path, LINE_DF_LEDGER_DIR)
+    fresh = docs
+    if os.path.isdir(ldir):
+        seen = (
+            spark.read.parquet(ldir)
+            .select(F.col("id").alias(id_col))
+            .distinct()
+        )
+        fresh = docs.join(F.broadcast(seen), id_col, "anti")
+    ids = fresh.select(F.col(id_col).alias("id")).distinct()
+    n = ids.count()
+    if n == 0:
+        return 0
+    lines = _doc_lines(fresh, id_col, text_col)
     (
         lines.filter(F.col("lh").isNotNull())
         .groupBy("lh")
@@ -1259,6 +1310,11 @@ def delete_line_df_store(
         .write.mode("append")
         .parquet(path)
     )
+    # ledger lands AFTER the decrement: a crash in between replays as
+    # a double decrement (the narrow at-least-once window every
+    # additive sink shares); the reverse order would drop deletes
+    ids.coalesce(1).write.mode("append").parquet(ldir)
+    return n
 
 
 def compact_line_df_store(spark, path: str) -> None:
@@ -1267,18 +1323,34 @@ def compact_line_df_store(spark, path: str) -> None:
     with delta-row count, not distinct-line count, until compaction.
     Lines whose folded count is ≤ 0 (every contributing doc deleted
     via :func:`delete_line_df_store`) are dropped outright — the
-    store never carries dead lines forward."""
+    store never carries dead lines forward. Sidecars (``_meta.json``,
+    the ``_deleted_ids`` replay ledger) are carried verbatim: the
+    ledger must OUTLIVE compaction, or a replayed delete batch would
+    decrement the freshly folded counts a second time."""
+    import os
+    import shutil
+
     from tiki_data_pipeline_spark.sources.files import swap_parquet_rewrite
 
-    swap_parquet_rewrite(
-        path,
-        lambda staging: spark.read.parquet(path)
-        .groupBy("lh")
-        .agg(F.sum("df").alias("df"))
-        .filter(F.col("df") > 0)
-        .write.mode("overwrite")
-        .parquet(staging),
-    )
+    def _stage(staging: str) -> None:
+        (
+            spark.read.parquet(path)
+            .groupBy("lh")
+            .agg(F.sum("df").alias("df"))
+            .filter(F.col("df") > 0)
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        for e in os.scandir(path):
+            if not e.name.startswith("_") or e.name in ("_SUCCESS",):
+                continue
+            dst = os.path.join(staging, e.name)
+            if e.is_dir():
+                shutil.copytree(e.path, dst, dirs_exist_ok=True)
+            else:
+                shutil.copy2(e.path, dst)
+
+    swap_parquet_rewrite(path, _stage)
 
 
 def incremental_line_removal(

@@ -46,6 +46,18 @@ def range_bucket_attach(
     intervals overlap — both mean this rewrite is the wrong tool and
     an explicit bucket-expansion join should be written instead.
     """
+    clash = [
+        c
+        for c in dim.columns
+        if c not in (lo_col, hi_col) and c in fact.columns
+    ]
+    if clash:
+        # withColumn would silently OVERWRITE the fact column where a
+        # real join raises AMBIGUOUS_REFERENCE — keep that contract
+        raise ValueError(
+            f"dim attribute column(s) {clash} already exist on the fact "
+            "side; rename one side before the range join"
+        )
     rows = sorted(dim.collect(), key=lambda r: r[lo_col])
     if len(rows) > max_dim_rows:
         raise ValueError(

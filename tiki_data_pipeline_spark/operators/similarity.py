@@ -2366,7 +2366,10 @@ def pq_index_topk(
     )
 
     check_store_meta(index_path, {"kind": "pq"})
-    if shortlist == "auto":
+    if shortlist == "auto" and refine_with is not None:
+        # resolved only when a refine pass will consume it: on a
+        # pre-meta store the auto depth needs a full index count,
+        # which pure-ADC serving should never pay
         meta = read_store_meta(index_path) or {}
         n_rows = meta.get("n_rows") or spark.read.parquet(index_path).count()
         shortlist = _auto_shortlist(n_rows)
@@ -2572,7 +2575,9 @@ def ivfpq_index_topk(
     cb = _pq_codebook_mat(spark, index_path)
     m, _, dsub = cb.shape
     cids, cmat = _read_centroid_mat(spark, index_path)
-    if shortlist == "auto":
+    if shortlist == "auto" and refine_with is not None:
+        # see pq_index_topk: only a refine pass reads the shortlist,
+        # so pure-ADC serving skips the (possibly full-count) resolve
         meta = read_store_meta(index_path) or {}
         shortlist = _auto_shortlist(
             meta.get("n_rows") or spark.read.parquet(index_path).count()
