@@ -294,3 +294,123 @@ class TestLineDfDelete:
         ).collect()[0]
         # batch's own df (1) must not be cancelled by the negative store
         assert "only line" not in out["cleaned_text"]
+
+
+class TestPrunedFold:
+    """Partition-pruned fold: only the partition dirs that actually
+    hold tombstoned rows are rewritten; everything else is carried
+    into staging by hardlink (O(metadata)). At 100 TB this is the
+    difference between a takedown batch costing its victims' partition
+    share and a multi-hour full-store rewrite. Parity with the full
+    rewrite is the correctness bar: identical rows, meta, and serves."""
+
+    def _store(self, spark, tmp_path, name):
+        path = str(tmp_path / name)
+        SIM.write_lsh_index(_emb(spark), path, partitioned=True)
+        return path
+
+    def test_pruned_fold_parity_with_full_rewrite(self, spark, tmp_path):
+        pruned = self._store(spark, tmp_path, "p")
+        full = self._store(spark, tmp_path, "f")
+        victims = [0, 5]
+        for p in (pruned, full):
+            delete_from_store(spark, p, _ids(spark, victims))
+        assert fold_tombstones(spark, pruned, prune=True) == 2
+        assert fold_tombstones(spark, full, prune=False) == 2
+
+        def rows(p):
+            return sorted(
+                (r["id"], r["bkt"])
+                for r in spark.read.parquet(p).select("id", "bkt").collect()
+            )
+
+        assert rows(pruned) == rows(full)
+        assert (
+            read_store_meta(pruned)["n_rows"]
+            == read_store_meta(full)["n_rows"]
+            == 24 - len(victims)
+        )
+        q = _emb(spark).filter(F.col("vec_id") == 1)
+        assert _topk_ids(
+            SIM.lsh_index_topk(spark, pruned, q, k=5, emit_radius=2)
+        ) == _topk_ids(SIM.lsh_index_topk(spark, full, q, k=5, emit_radius=2))
+        # both folds are complete: no tombstones left, second fold no-op
+        for p in (pruned, full):
+            assert not os.path.isdir(p + "/_tombstones")
+            assert fold_tombstones(spark, p) == 0
+
+    def test_untouched_partitions_carried_by_hardlink(self, spark, tmp_path):
+        path = self._store(spark, tmp_path, "hl")
+        by_bkt = {}
+        for r in spark.read.parquet(path).select("id", "bkt").collect():
+            by_bkt.setdefault(r["bkt"], []).append(r["id"])
+        assert len(by_bkt) >= 2, "fixture must span multiple buckets"
+        victim_bkt = sorted(by_bkt)[0]
+        victim = by_bkt[victim_bkt][0]
+
+        def inodes(bkt):
+            d = os.path.join(path, f"bkt={bkt}")
+            return {
+                os.stat(os.path.join(d, f)).st_ino
+                for f in os.listdir(d)
+                if f.endswith(".parquet")
+            }
+
+        before = {b: inodes(b) for b in by_bkt if b != victim_bkt}
+        delete_from_store(spark, path, _ids(spark, [victim]))
+        assert fold_tombstones(spark, path) == 1  # prune="auto" default
+        # untouched dirs: same physical files (hardlinks, zero bytes
+        # moved); the victim's dir: rewritten (its id gone)
+        assert {b: inodes(b) for b in before} == before
+        survivors = {
+            r["id"]
+            for r in spark.read.parquet(os.path.join(path, f"bkt={victim_bkt}"))
+            .select("id")
+            .collect()
+        }
+        assert victim not in survivors
+        assert survivors == set(by_bkt[victim_bkt]) - {victim}
+
+    def test_hot_sidecar_refreshed_pruned_and_carried(self, spark, tmp_path):
+        path = self._store(spark, tmp_path, "hot")
+        by_bkt = {}
+        for r in spark.read.parquet(path).select("id", "bkt").collect():
+            by_bkt.setdefault(r["bkt"], []).append(r["id"])
+        bkts = sorted(by_bkt)
+        affected, untouched = bkts[0], bkts[-1]
+        # seed a stale hot sidecar naming one affected + one untouched
+        # bucket (as if both once exceeded the cap)
+        spark.createDataFrame(
+            [(affected,), (untouched,)], "bkt int"
+        ).coalesce(1).write.mode("overwrite").parquet(path + "/_hot_buckets")
+
+        delete_from_store(spark, path, _ids(spark, [by_bkt[affected][0]]))
+        fold_tombstones(spark, path)  # prune="auto", refresh_hot=True
+        hot = {r["bkt"] for r in spark.read.parquet(path + "/_hot_buckets").collect()}
+        # affected bucket recounted (now far below cap) → re-enters
+        # candidate generation; untouched bucket's entry carried as-is
+        assert affected not in hot
+        assert untouched in hot
+
+    def test_hot_sidecar_full_rebuild_on_full_fold(self, spark, tmp_path):
+        path = self._store(spark, tmp_path, "hotfull")
+        bkts = sorted(
+            r["bkt"] for r in spark.read.parquet(path).select("bkt").distinct().collect()
+        )
+        spark.createDataFrame([(b,) for b in bkts], "bkt int").coalesce(
+            1
+        ).write.mode("overwrite").parquet(path + "/_hot_buckets")
+        delete_from_store(spark, path, _ids(spark, [1]))
+        fold_tombstones(spark, path, prune=False)
+        # full fold → full rebuild: nothing exceeds the 10k cap
+        assert spark.read.parquet(path + "/_hot_buckets").count() == 0
+
+    def test_every_row_deleted_leaves_readable_empty_store(self, spark, tmp_path):
+        path = self._store(spark, tmp_path, "empty")
+        delete_from_store(spark, path, _ids(spark, [i for i in range(24)]))
+        assert fold_tombstones(spark, path) == 24
+        # zero-file partitionBy output would fail schema inference —
+        # the guard leaves one schema-bearing file
+        left = spark.read.parquet(path)
+        assert left.count() == 0 and "id" in left.columns
+        assert read_store_meta(path)["n_rows"] == 0

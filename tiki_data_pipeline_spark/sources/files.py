@@ -80,15 +80,13 @@ def write_sorted(
     )
 
 
-def swap_parquet_rewrite(path: str, write_staging) -> None:
-    """Crash-safe in-place dataset rewrite: recover any interrupted
-    prior swap, call ``write_staging(staging_dir)`` to build the new
-    copy, then swap it in — rename the live dir aside, move the staged
-    rewrite into place, delete the old copy. A valid dataset exists at
-    ``path`` at all times except during one rename, and a crash
-    mid-swap leaves both copies on disk (never zero). Shared by
-    :func:`compact_parquet` and the streaming decisions-log layout
-    migration (``streaming.jobs``)."""
+def recover_interrupted_swap(path: str) -> None:
+    """Restore a dataset to a single live copy after a crash during a
+    :func:`swap_parquet_rewrite` (idempotent, no-op in the common
+    case). Called automatically by the swap itself; callers that READ
+    ``path`` before staging a rewrite (e.g. the pruned fold's
+    affected-partition scan) run it first so the read never lands in
+    the between-renames window of a previous crash."""
     import os
     import shutil
 
@@ -103,6 +101,22 @@ def swap_parquet_rewrite(path: str, write_staging) -> None:
         else:
             # crash BETWEEN the two renames: .old IS the live data
             shutil.move(old, path)
+
+
+def swap_parquet_rewrite(path: str, write_staging) -> None:
+    """Crash-safe in-place dataset rewrite: recover any interrupted
+    prior swap, call ``write_staging(staging_dir)`` to build the new
+    copy, then swap it in — rename the live dir aside, move the staged
+    rewrite into place, delete the old copy. A valid dataset exists at
+    ``path`` at all times except during one rename, and a crash
+    mid-swap leaves both copies on disk (never zero). Shared by
+    :func:`compact_parquet` and the streaming decisions-log layout
+    migration (``streaming.jobs``)."""
+    import os
+    import shutil
+
+    recover_interrupted_swap(path)
+    old = path + ".old"
     staging = path + ".staging"
     shutil.rmtree(staging, ignore_errors=True)
     write_staging(staging)
@@ -359,22 +373,58 @@ def reject_tombstoned(
         )
 
 
+def _link_tree(src: str, dst: str) -> None:
+    """Carry a directory into staging without moving bytes: hardlink
+    every file (same-filesystem, O(metadata) — the local-disk twin of
+    a lakehouse manifest carry, where a rewrite re-lists untouched
+    data files instead of copying them), falling back to a byte copy
+    if the staging dir lands on another device."""
+    import os
+    import shutil
+
+    try:
+        shutil.copytree(src, dst, copy_function=os.link)
+    except OSError:
+        shutil.rmtree(dst, ignore_errors=True)
+        shutil.copytree(src, dst)
+
+
 def fold_tombstones(
     spark: SparkSession,
     path: str,
     fold_sidecars: tuple[str, ...] = ("_fingerprints",),
+    prune: bool | str = "auto",
+    refresh_hot: bool = True,
 ) -> int:
     """Physically remove tombstoned rows from a store (crash-safe
-    whole-directory swap): rewrite the data tree minus the tombstoned
-    ids, fold id-keyed sidecars the same way, carry every other
-    sidecar over verbatim, and drop the ``_tombstones`` sidecar
-    atomically with the swap (it is simply not staged). Returns the
-    number of distinct ids folded, 0 if none were pending.
+    whole-directory swap): rewrite the data minus the tombstoned ids,
+    fold id-keyed sidecars the same way, carry every other sidecar
+    over verbatim, and drop the ``_tombstones`` sidecar atomically
+    with the swap (it is simply not staged). Returns the number of
+    distinct ids folded, 0 if none were pending.
 
-    Layout is preserved: a ``band=``/``bkt=``/``cid=`` partitioned
-    tree is re-partitioned by the same key; a flat key-sorted dataset
-    is re-range-sorted on its key (row-group pruning survives the
-    fold). Offline maintenance, same operating window as
+    **Partition-pruned on partitioned trees** (``prune="auto"``): one
+    id-column scan semi-joined against the (driver-small) tombstone
+    set finds the ``band=``/``bkt=``/``cid=`` partitions that actually
+    hold victims; ONLY those partition dirs are rewritten (the scan
+    itself partition-prunes via an ``isin`` on the key), and every
+    untouched dir is carried into staging by hardlink — O(metadata),
+    no bytes moved. A takedown batch therefore costs the victims'
+    partition share of the store, not a full rewrite: the shape that
+    keeps deletion viable at 100 TB, where a fold that re-writes
+    99.99 % untouched data cannot run. ``prune=False`` forces the
+    full rewrite (the parity baseline); the full path also remains
+    the automatic fallback when a partition value does not round-trip
+    to its directory name (nulls, escaped strings) — wrong pruning
+    could duplicate or drop rows, so anything unprovable rewrites.
+
+    Layout is preserved: partitioned trees stay partitioned; a flat
+    key-sorted dataset is re-range-sorted on its key (row-group
+    pruning survives the fold — flat stores are small by the layout
+    contract, so their full rewrite is cheap). A store whose every
+    row is tombstoned folds to one empty schema-bearing file instead
+    of a zero-file tree that would fail later schema inference.
+    Offline maintenance, same operating window as
     :func:`compact_store` — which calls this first by default, so
     "compaction folds deletions" is the one rule operators need.
     A crash mid-fold leaves either the old tree (tombstones intact —
@@ -382,15 +432,20 @@ def fold_tombstones(
     (tombstones folded); re-running is a no-op or completes the fold.
 
     Hot-occupancy sidecars (``_hot_bands`` / ``_hot_buckets``) are
-    carried verbatim: after a large fold they can only be stale in the
-    CONSERVATIVE direction (a bucket that shrank below the cap is
-    still skipped — bounded recall loss, never extra cost). Refresh
-    them in the same maintenance window with ``rebuild_hot_bands`` /
-    ``rebuild_hot_buckets``, exactly as after appends.
-    """
+    refreshed in the same maintenance window (``refresh_hot=True``):
+    on a pruned fold only the AFFECTED partitions are recounted (old
+    entries for untouched partitions carry over — exact, since a fold
+    only shrinks occupancy), on a full fold the rebuild is full. A
+    bucket that shrank below the cap re-enters candidate generation
+    instead of being skipped forever on stale counts."""
     import os
     import shutil
 
+    # the pruned path reads `path` EAGERLY (affected-partition scan)
+    # before swap_parquet_rewrite gets a chance to recover a prior
+    # crashed swap — recover first so that scan never lands in the
+    # between-renames window
+    recover_interrupted_swap(path)
     tomb = store_tombstones(spark, path)
     if tomb is None:
         return 0
@@ -406,10 +461,58 @@ def fold_tombstones(
         None,
     )
 
+    scan = spark.read.parquet(path)
+    affected_vals: list | None = None
+    removed_rows: int | None = None
+    if part_key is not None and prune in ("auto", True):
+        # one column-pruned pass over (id, partition key): which
+        # partitions hold victims, and how many rows leave each —
+        # feeds both the pruned rewrite and the n_rows delta below
+        aff = (
+            scan.join(F.broadcast(tomb), "id", "semi")
+            .groupBy(part_key)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        vals = [r[part_key] for r in aff]
+        expected = {f"{part_key}={v}" for v in vals}
+        actual = {
+            e.name
+            for e in os.scandir(path)
+            if e.is_dir() and e.name.startswith(f"{part_key}=")
+        }
+        if all(v is not None for v in vals) and expected <= actual:
+            affected_vals = vals
+            removed_rows = sum(r["_n"] for r in aff)
+        # else: value→dirname round-trip unproven — full rewrite
+
     def _stage(staging: str) -> None:
         os.makedirs(staging, exist_ok=True)
-        live = spark.read.parquet(path).join(F.broadcast(tomb), "id", "anti")
-        if part_key is not None:
+        if part_key is not None and affected_vals is not None:
+            untouched = {
+                e.name
+                for e in os.scandir(path)
+                if e.is_dir() and e.name.startswith(f"{part_key}=")
+            } - {f"{part_key}={v}" for v in affected_vals}
+            if affected_vals:
+                live = scan.filter(
+                    F.col(part_key).isin(affected_vals)
+                ).join(F.broadcast(tomb), "id", "anti")
+                (
+                    live.repartition(F.col(part_key))
+                    .write.partitionBy(part_key)
+                    .parquet(os.path.join(staging, "_data.tmp"))
+                )
+                tmp = os.path.join(staging, "_data.tmp")
+                for e in os.scandir(tmp):
+                    shutil.move(e.path, os.path.join(staging, e.name))
+                shutil.rmtree(tmp, ignore_errors=True)
+            for name in untouched:
+                _link_tree(
+                    os.path.join(path, name), os.path.join(staging, name)
+                )
+        elif part_key is not None:
+            live = scan.join(F.broadcast(tomb), "id", "anti")
             (
                 live.repartition(F.col(part_key))
                 .write.partitionBy(part_key)
@@ -422,6 +525,7 @@ def fold_tombstones(
                 shutil.move(e.path, os.path.join(staging, e.name))
             shutil.rmtree(tmp, ignore_errors=True)
         else:
+            live = scan.join(F.broadcast(tomb), "id", "anti")
             sort_key = next(
                 (k for k in ("band", "bkt", "cid") if k in live.columns), None
             )
@@ -430,6 +534,16 @@ def fold_tombstones(
                     sort_key
                 )
             live.write.mode("overwrite").parquet(staging)
+        # every-row-deleted guard: partitionBy on an empty DataFrame
+        # writes NO files; leave one schema-bearing file so later
+        # serves (and the n_rows recount) still infer a schema
+        has_data = any(
+            e.name.startswith(f"{part_key}=") if part_key else
+            e.name.endswith(".parquet")
+            for e in os.scandir(staging)
+        )
+        if not has_data:
+            scan.limit(0).coalesce(1).write.mode("append").parquet(staging)
         for e in os.scandir(path):
             if not e.name.startswith("_") or e.name == TOMBSTONE_DIR:
                 continue
@@ -449,10 +563,79 @@ def fold_tombstones(
     swap_parquet_rewrite(path, _stage)
     meta = read_store_meta(path) or {}
     if "n_rows" in meta:
-        update_store_meta(
-            path, {"n_rows": int(spark.read.parquet(path).count())}
-        )
+        if removed_rows is not None:
+            # pruned fold already counted the departing rows — update
+            # by delta instead of a full post-swap recount (the last
+            # O(store) step the pruned path removes)
+            n_rows = max(0, int(meta["n_rows"]) - removed_rows)
+        else:
+            n_rows = int(spark.read.parquet(path).count())
+        update_store_meta(path, {"n_rows": n_rows})
+    if refresh_hot:
+        _refresh_hot_sidecars(spark, path, part_key, affected_vals)
     return n_tomb
+
+
+def _refresh_hot_sidecars(
+    spark: SparkSession,
+    path: str,
+    part_key: str | None,
+    affected_vals: list | None,
+) -> None:
+    """Post-fold hot-occupancy refresh (see :func:`fold_tombstones`).
+    Pruned folds recount ONLY the affected partitions and union the
+    carried entries for untouched ones — exact, because a fold never
+    grows a bucket; full folds delegate to the full rebuilds."""
+    import os
+
+    for sidecar, keys in (("_hot_bands", ["band", "band_sig"]), ("_hot_buckets", ["bkt"])):
+        hot_path = os.path.join(path, sidecar)
+        if not os.path.isdir(hot_path):
+            continue
+        if affected_vals is None or part_key is None:
+            # full fold → full rebuild (same O(store-scan) window)
+            if sidecar == "_hot_bands":
+                from tiki_data_pipeline_spark.operators.dedup import (
+                    rebuild_hot_bands,
+                )
+
+                rebuild_hot_bands(spark, path)
+            else:
+                from tiki_data_pipeline_spark.operators.similarity import (
+                    rebuild_hot_buckets,
+                )
+
+                meta = read_store_meta(path) or {}
+                rebuild_hot_buckets(
+                    spark,
+                    path,
+                    serve_default=bool(meta.get("hot_buckets_serve_skip")),
+                )
+            continue
+        if not affected_vals:
+            continue  # nothing left the store; sidecar is exact
+        if sidecar == "_hot_bands":
+            from tiki_data_pipeline_spark.operators.dedup import HOT_BAND_CAP as cap
+        else:
+            from tiki_data_pipeline_spark.operators.similarity import (
+                HOT_BUCKET_CAP as cap,
+            )
+        old = spark.read.parquet(hot_path)
+        if part_key not in old.columns:
+            continue  # foreign schema — leave untouched
+        kept = old.filter(~F.col(part_key).isin(affected_vals))
+        recount = (
+            spark.read.parquet(path)
+            .filter(F.col(part_key).isin(affected_vals))
+            .groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > cap)
+            .select(*keys)
+        )
+        refreshed = kept.select(*keys).unionByName(recount).localCheckpoint()
+        # coalesce(1): an empty result must still write one
+        # schema-bearing file (serve-side read does inference)
+        refreshed.coalesce(1).write.mode("overwrite").parquet(hot_path)
 
 
 def store_layout(path: str) -> tuple[str | None, bool]:
