@@ -414,3 +414,77 @@ class TestPrunedFold:
         left = spark.read.parquet(path)
         assert left.count() == 0 and "id" in left.columns
         assert read_store_meta(path)["n_rows"] == 0
+
+
+class TestDecisionsRetire:
+    """The fold scrubs the streaming ``_decisions`` lineage log too:
+    a retired id must vanish from the store AND from every decision
+    record — its own ingest rows drop, and other docs' matched_id
+    pointers at it are nulled. Untouched epoch leaves carry by
+    hardlink (leaf identity from file paths, never re-rendered
+    partition values)."""
+
+    RUN = "abcd1234run"  # non-numeric: the run-as-double parse trap
+
+    def _with_decisions(self, spark, mh_store):
+        rows = [
+            # epoch 0: one row naming victim 2 as subject, one
+            # pointing at it, one clean
+            (2, "unique", None, self.RUN, 0),
+            (100, "exact_dup", 2, self.RUN, 0),
+            (101, "unique", None, self.RUN, 0),
+            # epoch 1: no victim references — must carry by hardlink
+            (102, "near_dup", 5, self.RUN, 1),
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, status string, matched_id long, run string, epoch int"
+        ).repartition(1).write.partitionBy("run", "epoch").parquet(
+            mh_store + "/_decisions"
+        )
+
+    def _leaf(self, mh_store, epoch):
+        return os.path.join(
+            mh_store, "_decisions", f"run={self.RUN}", f"epoch={epoch}"
+        )
+
+    def _inodes(self, d):
+        return {
+            os.stat(os.path.join(d, f)).st_ino
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    def test_fold_scrubs_decisions_log(self, spark, mh_store):
+        self._with_decisions(spark, mh_store)
+        clean_before = self._inodes(self._leaf(mh_store, 1))
+        delete_from_store(spark, mh_store, _ids(spark, [2]))
+        fold_tombstones(spark, mh_store)
+
+        dec = spark.read.parquet(mh_store + "/_decisions")
+        rows = {
+            r["doc_id"]: (r["status"], r["matched_id"], r["run"], r["epoch"])
+            for r in dec.collect()
+        }
+        # subject row dropped; pointer nulled with status intact
+        assert 2 not in rows
+        assert rows[100] == ("exact_dup", None, self.RUN, 0)
+        assert rows[101] == ("unique", None, self.RUN, 0)
+        # untouched epoch leaf: same physical files, values intact
+        assert rows[102] == ("near_dup", 5, self.RUN, 1)
+        assert self._inodes(self._leaf(mh_store, 1)) == clean_before
+        # zero references to the retired id anywhere in the log
+        assert (
+            dec.filter(
+                (F.col("doc_id") == 2) | (F.col("matched_id") == 2)
+            ).count()
+            == 0
+        )
+
+    def test_fold_without_victim_references_links_all(self, spark, mh_store):
+        self._with_decisions(spark, mh_store)
+        before = {e: self._inodes(self._leaf(mh_store, e)) for e in (0, 1)}
+        # victim 7 appears nowhere in the log → every leaf carries
+        delete_from_store(spark, mh_store, _ids(spark, [7]))
+        fold_tombstones(spark, mh_store)
+        assert {e: self._inodes(self._leaf(mh_store, e)) for e in (0, 1)} == before
+        assert spark.read.parquet(mh_store + "/_decisions").count() == 4

@@ -888,21 +888,43 @@ def duplicate_span_stats(
     and are CONSERVATIVE (a collision can only over-report
     duplication; production at trillions of windows widens the hash).
     """
-    wins = _with_span_inputs(docs, id_col, text_col).select(
-        F.col(id_col),
-        F.explode(_span_hash_array(F.col("_hs"), span)).alias("span_hash"),
+    inputs = _with_span_inputs(docs, id_col, text_col).select(
+        F.col(id_col), _span_hash_array(F.col("_hs"), span).alias("_arr")
     )
-    df_tbl = wins.groupBy("span_hash").agg(
-        F.count_distinct(F.col(id_col)).alias("span_df")
+    # Document frequency from per-doc DISTINCT hashes: each document
+    # contributes a hash at most once, so a plain count IS the
+    # distinct-document count — and a plain count partial-aggregates
+    # map-side into (hash, n) longs. The count_distinct-over-
+    # occurrences it replaces expanded to a two-round shuffle of every
+    # (hash, doc) window pair; singleton hashes (df=1, the
+    # overwhelming mass of a corpus) now cross the wire once as a
+    # combined 2-long row and never again — the df≥2 filter lands
+    # before the join back, so when the duplicated set is small (the
+    # common case) AQE turns that join into a broadcast and the
+    # occurrence stream never shuffles at all.
+    df_tbl = (
+        inputs.select(F.explode(F.array_distinct("_arr")).alias("span_hash"))
+        .groupBy("span_hash")
+        .agg(F.count(F.lit(1)).alias("span_df"))
+        .filter(F.col("span_df") >= 2)
+        .select("span_hash")
+    )
+    # n_spans is per-row arithmetic (array length, no shuffle); only
+    # the duplicated-occurrence count aggregates, and only over the
+    # occurrences that survive the df≥2 join
+    dup_per = (
+        inputs.select(id_col, F.explode("_arr").alias("span_hash"))
+        .join(df_tbl, "span_hash")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
     )
     per = (
-        wins.join(df_tbl, "span_hash")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.sum(F.when(F.col("span_df") >= 2, 1).otherwise(0)).alias(
-                "n_dup_spans"
-            ),
+        inputs.select(id_col, F.size("_arr").cast("long").alias("n_spans"))
+        .join(dup_per, id_col, "left")
+        .select(
+            id_col,
+            "n_spans",
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
         )
     )
     return (
@@ -979,9 +1001,18 @@ def remove_duplicate_spans(
         # 1-based window start, matching the hash family's slice index
         .select(id_col, (F.col("_p0") + 1).alias("s"), "span_hash")
     )
+    # document frequency over per-doc DISTINCT hashes (plain count ==
+    # distinct-doc count, full map-side combine; see
+    # duplicate_span_stats for why this beats count_distinct over the
+    # occurrence stream at corpus scale)
     dup_hashes = (
-        wins.groupBy("span_hash")
-        .agg(F.count_distinct(F.col(id_col)).alias("span_df"))
+        inputs.select(
+            F.explode(
+                F.array_distinct(_span_hash_array(F.col("_hs"), span))
+            ).alias("span_hash")
+        )
+        .groupBy("span_hash")
+        .agg(F.count(F.lit(1)).alias("span_df"))
         .filter(F.col("span_df") >= min_df)
         .select("span_hash")
     )

@@ -389,6 +389,112 @@ def _link_tree(src: str, dst: str) -> None:
         shutil.copytree(src, dst)
 
 
+def _fold_decisions_sidecar(
+    spark: SparkSession, src: str, dst: str, tomb: DataFrame
+) -> None:
+    """Retire tombstoned ids from a ``_decisions`` lineage log (the
+    streaming sinks' exactly-once decision records, ``run=/epoch=``
+    partitioned — see ``streaming.jobs._epoch_decisions``). The store
+    fold removes a victim's DATA rows, but its decision records would
+    otherwise keep naming it: its own ingest decision carries the id,
+    and other docs' rows point at it through ``matched_id``. A
+    takedown/GDPR regime needs the lineage scrubbed too, so the fold
+    DROPS rows whose subject id is retired and NULLs ``matched_id``
+    pointers that name one (the row's status stands — the dup was
+    real when decided; only the pointer is redacted).
+
+    Leaf-pruned like the data fold: one column-pruned scan tagged
+    with ``input_file_name`` finds the epoch leaves that actually
+    reference a victim; only those are rewritten into staging, every
+    other leaf carries by hardlink. Leaf identity comes from FILE
+    paths, never from re-rendering partition VALUES — a run hash
+    that parses numerically (e.g. ``33312574e463`` → double) does
+    not round-trip to its directory name, so value-derived paths
+    would corrupt the layout (the hazard ``_epoch_decisions``
+    documents). Affected-leaf rewrites are one small job per epoch
+    leaf: a takedown batch touches the few epochs that ingested or
+    matched its victims, not the log's full history.
+
+    Interaction with epoch replay: dropping a victim's row changes a
+    committed epoch's id-set, so a stream resumed from a checkpoint
+    that predates this fold would recompute that epoch (the id-set
+    guard rejects the pruned partition) — run folds in the same
+    maintenance windows as store appends, after the stream's last
+    epoch is checkpoint-committed (the single-writer discipline
+    takedowns already require)."""
+    import os
+    from urllib.parse import unquote, urlparse
+
+    leaves: dict[str, str] = {}
+    for root, _dirs, fnames in os.walk(src):
+        if any(f.endswith(".parquet") for f in fnames):
+            leaves[os.path.relpath(root, src)] = root
+    df = spark.read.parquet(src) if leaves else None
+    idc = (
+        next((c for c in ("doc_id", "vec_id", "id") if c in df.columns), None)
+        if df is not None
+        else None
+    )
+    refs = [c for c in (idc, "matched_id") if c and c in (df.columns if df is not None else [])]
+    if not refs:
+        _link_tree(src, dst)
+        return
+
+    hits = (
+        df.select(
+            F.input_file_name().alias("_f"),
+            F.explode(F.array(*[F.col(r) for r in refs])).alias("id"),
+        )
+        .join(F.broadcast(tomb), "id", "semi")
+        .select("_f")
+        .distinct()
+        .collect()
+    )
+    affected = set()
+    for r in hits:
+        p = r["_f"]
+        if p.startswith("file:"):
+            p = unquote(urlparse(p).path)
+        affected.add(os.path.relpath(os.path.dirname(p), src))
+
+    os.makedirs(dst, exist_ok=True)
+    for rel, leaf in leaves.items():
+        staged = dst if rel == "." else os.path.join(dst, rel)
+        if rel not in affected:
+            if rel == ".":
+                import shutil
+
+                for e in os.scandir(leaf):
+                    if e.is_file():
+                        os.link(e.path, os.path.join(dst, e.name))
+            else:
+                _link_tree(leaf, staged)
+            continue
+        ldf = spark.read.parquet(leaf)  # leaf read: no partition cols
+        out = ldf
+        if idc in ldf.columns:
+            out = out.join(
+                F.broadcast(tomb.withColumnRenamed("id", idc)), idc, "anti"
+            )
+        if "matched_id" in ldf.columns:
+            vt = tomb.select(
+                F.col("id").alias("matched_id"), F.lit(True).alias("_v")
+            )
+            out = (
+                out.join(F.broadcast(vt), "matched_id", "left")
+                .withColumn(
+                    "matched_id",
+                    F.when(F.col("_v").isNull(), F.col("matched_id")),
+                )
+                .drop("_v")
+            )
+        # coalesce(1): an emptied epoch leaf must still hold one
+        # schema-bearing file for later reads of the log
+        out.select(*ldf.columns).coalesce(1).write.mode("overwrite").parquet(
+            staged
+        )
+
+
 def fold_tombstones(
     spark: SparkSession,
     path: str,
@@ -398,9 +504,12 @@ def fold_tombstones(
 ) -> int:
     """Physically remove tombstoned rows from a store (crash-safe
     whole-directory swap): rewrite the data minus the tombstoned ids,
-    fold id-keyed sidecars the same way, carry every other sidecar
-    over verbatim, and drop the ``_tombstones`` sidecar atomically
-    with the swap (it is simply not staged). Returns the number of
+    fold id-keyed sidecars the same way, scrub the streaming
+    ``_decisions`` lineage log of every reference to a retired id
+    (:func:`_fold_decisions_sidecar` — subject rows dropped,
+    ``matched_id`` pointers nulled), carry every other sidecar over
+    verbatim, and drop the ``_tombstones`` sidecar atomically with
+    the swap (it is simply not staged). Returns the number of
     distinct ids folded, 0 if none were pending.
 
     **Partition-pruned on partitioned trees** (``prune="auto"``): one
@@ -555,6 +664,9 @@ def fold_tombstones(
                     .write.mode("overwrite")
                     .parquet(dst)
                 )
+            elif e.is_dir() and e.name == "_decisions":
+                # lineage records must stop naming retired ids too
+                _fold_decisions_sidecar(spark, e.path, dst, tomb)
             elif e.is_dir():
                 shutil.copytree(e.path, dst, dirs_exist_ok=True)
             elif e.is_file():

@@ -172,6 +172,17 @@ def deletion_stage(spark, store, docs, delta, doc_is_delta, out) -> None:
             victims.withColumnRenamed("id", "matched_id"), "matched_id", "semi"
         ).count()
     )
+    # persist the pre-delete decisions as a lineage epoch (the layout
+    # the streaming sinks write) so the fold's decisions scrub runs at
+    # every level — the pointer invariant must hold for the PERSISTED
+    # log, not just freshly computed serves
+    (
+        pre.withColumn("run", F.lit("stressrun"))
+        .withColumn("epoch", F.lit(0))
+        .write.mode("overwrite")
+        .partitionBy("run", "epoch")
+        .parquet(store + "/_decisions")
+    )
     t0 = time.perf_counter()
     out["del_ids"] = delete_from_store(spark, store, victims)
     out["delete_s"] = round(time.perf_counter() - t0, 2)
@@ -200,6 +211,20 @@ def deletion_stage(spark, store, docs, delta, doc_is_delta, out) -> None:
     t0 = time.perf_counter()
     fold_tombstones(spark, store)
     out["fold_s"] = round(time.perf_counter() - t0, 2)
+    # the lineage half of the invariant: post-fold, ZERO persisted
+    # decision rows reference a retired id — neither as subject
+    # (doc_id) nor through a matched_id pointer
+    dec_refs = (
+        spark.read.parquet(store + "/_decisions")
+        .select(F.explode(F.array("doc_id", "matched_id")).alias("id"))
+        .join(victims, "id", "semi")
+        .count()
+    )
+    assert dec_refs == 0, (
+        f"{dec_refs} persisted decision rows still reference retired ids "
+        f"(expected 0; {out['matched_victims']} pointed at them pre-delete)"
+    )
+    out["decision_victim_refs_post_fold"] = dec_refs
     t0 = time.perf_counter()
     DD.incremental_dedup_status(spark, store, delta.limit(out["delta_docs"])).count()
     out["decide_post_fold_s"] = round(time.perf_counter() - t0, 2)
