@@ -347,3 +347,61 @@ def test_apply_mix_budget_and_exclusion(spark):
     assert 0 < per["big"][0] < 4000
     again = CU.apply_mix(docs, {"big": 500_000, "small": 500_000}, 2000)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_dsir_xxhash64_mode_distribution_parity(spark, tmp_path):
+    """The production hash mode ("xxhash64", pure JVM codegen — no
+    md5 hex render per gram) assigns DIFFERENT buckets than md5, so
+    parity is distributional, not bitwise: target-slice documents
+    must outscore the rest under both modes, the two modes' top-k
+    selections must substantially agree, and the weights-store meta
+    pins the mode so consumers cannot silently mix feature spaces."""
+    import pytest
+
+    from tiki_data_pipeline_spark.io import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    target = docs.filter(F.col("lang") == "en")
+
+    def mean_by_slice(w):
+        return {
+            r["is_en"]: r["m"]
+            for r in w.join(docs.select("doc_id", "lang"), "doc_id")
+            .filter(F.col("log_weight").isNotNull())
+            .groupBy((F.col("lang") == "en").alias("is_en"))
+            .agg(F.avg("log_weight").alias("m"))
+            .collect()
+        }
+
+    wx = CU.dsir_log_weights(docs, target, n_buckets=256, hash="xxhash64")
+    mx = mean_by_slice(wx)
+    assert mx[True] > mx[False]
+
+    k = 50
+    top_md5 = {
+        r["doc_id"]
+        for r in CU.dsir_sample(docs, target, n=k, n_buckets=256).collect()
+    }
+    top_xx = {
+        r["doc_id"]
+        for r in CU.dsir_sample(
+            docs, target, n=k, n_buckets=256, hash="xxhash64"
+        ).collect()
+    }
+    # same estimator over the same corpus with a different uniform
+    # hash family: the selections must mostly agree
+    assert len(top_md5 & top_xx) >= int(0.6 * k), (len(top_md5 & top_xx), k)
+
+    path = str(tmp_path / "dsir_wxx")
+    CU.write_dsir_weights_store(wx, path, n_buckets=256, hash="xxhash64")
+    assert (
+        CU.read_dsir_weights_store(
+            spark, path, n_buckets=256, hash="xxhash64"
+        ).count()
+        == wx.count()
+    )
+    with pytest.raises(ValueError, match="hash"):
+        CU.read_dsir_weights_store(spark, path, n_buckets=256, hash="md5")
+
+    with pytest.raises(ValueError, match="hash mode"):
+        CU.dsir_log_weights(docs, target, hash="crc32")

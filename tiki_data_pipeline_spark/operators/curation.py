@@ -383,13 +383,24 @@ def dsir_log_weights(
     n_buckets: int = 1024,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash: str = "md5",
 ) -> DataFrame:
     """Per-document DSIR log importance weight of ``docs`` (the raw
     corpus) toward ``target``'s hashed-n-gram distribution:
     ``(doc_id, log_weight)``, log_weight rounded to 4 decimals
     (per-bucket log-ratios rounded to 9 first so both engines sum the
     same addends). A NULL-text document has no features and carries
-    log_weight NULL — surfaced, not silently zero."""
+    log_weight NULL — surfaced, not silently zero.
+
+    ``hash`` picks the gram→bucket function. ``"md5"`` (default) is
+    the cross-engine-checkable family every oracle query pins.
+    ``"xxhash64"`` is the production-scale mode: a pure JVM codegen
+    builtin over the same salted gram, skipping md5's hex render +
+    substring + base-16 parse per gram — the dominant featurize cost
+    at corpus scale. Bucket assignments differ between modes (both
+    uniform), so DSIR's distribution estimates agree statistically,
+    not bitwise: weights stores pin the mode in meta and consumers
+    must not mix them."""
     # Two narrow passes, ZERO wide shuffles. Pass 1 (per corpus): the
     # bucket DISTRIBUTION — explode + groupBy(bucket) map-side-combines
     # down to ≤n_buckets rows per task before the exchange, so the
@@ -404,6 +415,17 @@ def dsir_log_weights(
     # differs, which the round-to-4 contract already absorbs.
     # (The previous shape aggregated (id, bucket, cnt) bags — a
     # corpus-sized exchange that was 10× the cost of the math.)
+    if hash == "md5":
+        def _bucket_of(g):
+            return F.pmod(md5_h56(g, "dsir"), F.lit(n_buckets)).cast("int")
+    elif hash == "xxhash64":
+        def _bucket_of(g):
+            return F.pmod(
+                F.xxhash64(F.concat(F.lit("dsir:"), g)), F.lit(n_buckets)
+            ).cast("int")
+    else:
+        raise ValueError(f"unknown DSIR hash mode: {hash!r}")
+
     def bucketize(d: DataFrame, *cols) -> DataFrame:
         return d.select(
             *cols,
@@ -413,9 +435,7 @@ def dsir_log_weights(
                 # int, not bigint: buckets < n_buckets, and the
                 # materialized arrays are the featurize pass's whole
                 # memory footprint — half-width halves the spill
-                lambda g: F.pmod(md5_h56(g, "dsir"), F.lit(n_buckets)).cast(
-                    "int"
-                ),
+                _bucket_of,
             ).alias("_bkts"),
         )
 
@@ -501,6 +521,7 @@ def dsir_sample(
     id_col: str = "doc_id",
     text_col: str = "text",
     weights: DataFrame | None = None,
+    hash: str = "md5",
 ) -> DataFrame:
     """Gumbel-top-``n`` DSIR selection: sampling without replacement
     with inclusion odds ∝ exp(log_weight) (the Gumbel-max trick),
@@ -523,7 +544,9 @@ def dsir_sample(
     )
     gumbel = -F.log(-F.log(u))
     if weights is None:
-        weights = dsir_log_weights(docs, target, n_buckets, id_col, text_col)
+        weights = dsir_log_weights(
+            docs, target, n_buckets, id_col, text_col, hash=hash
+        )
     return (
         weights.select(id_col, "log_weight")
         .filter(F.col("log_weight").isNotNull())
@@ -534,7 +557,7 @@ def dsir_sample(
 
 
 def write_dsir_weights_store(
-    weights: DataFrame, path: str, n_buckets: int = 1024
+    weights: DataFrame, path: str, n_buckets: int = 1024, hash: str = "md5"
 ) -> None:
     """Persist a :func:`dsir_log_weights` result as a reusable store
     (the r8 verdict's "a 100 TB user must never pay featurization
@@ -549,24 +572,36 @@ def write_dsir_weights_store(
         {
             "kind": "dsir_weights",
             "n_buckets": int(n_buckets),
+            "hash": hash,
             "n_docs": int(weights.count()),
         },
     )
 
 
 def read_dsir_weights_store(
-    spark, path: str, n_buckets: int | None = None
+    spark, path: str, n_buckets: int | None = None, hash: str | None = None
 ) -> DataFrame:
-    """Serve a persisted DSIR weights table; ``n_buckets`` (when the
-    caller knows what feature space it expects) is checked against
-    the store meta and a mismatch raises instead of silently
-    reweighting with incompatible features."""
-    from tiki_data_pipeline_spark.sources.files import check_store_meta
+    """Serve a persisted DSIR weights table; ``n_buckets`` and
+    ``hash`` (when the caller knows what feature space it expects)
+    are checked against the store meta and a mismatch raises instead
+    of silently reweighting with incompatible features. Stores
+    written before the ``hash`` pin are md5 by construction."""
+    from tiki_data_pipeline_spark.sources.files import (
+        check_store_meta,
+        read_store_meta,
+    )
 
     expected = {"kind": "dsir_weights"}
     if n_buckets is not None:
         expected["n_buckets"] = int(n_buckets)
     check_store_meta(path, expected)
+    if hash is not None:
+        actual = (read_store_meta(path) or {}).get("hash", "md5")
+        if actual != hash:
+            raise ValueError(
+                f"DSIR weights store at {path} was built with "
+                f"hash={actual!r}, caller expects {hash!r}"
+            )
     return spark.read.parquet(path)
 
 
