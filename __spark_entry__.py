@@ -33,78 +33,55 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS sweep samples a bounded window of queries
-# in iteration order (50 per round). Union r1-r8: 133/134 registry
-# queries have a driver-green record (the residue is the
-# by-construction rows-only HLL sketch). Round 9 rotates per the r8
-# verdict's ask #4: lead with the queries whose implementation
-# CHANGED in r9 (DSIR now serves from a session-cached weight table;
-# the IVF-PQ build gained nprobe calibration), then the 84 queries
-# absent from the r8 window, similarity/dedup/events family first
-# (their operators changed most in r8). 11 sentinels (5 new + 6
-# r9-changed) + 17 + 22 = 50; the remaining absentees fall past the
-# window — all r7/r8-green and re-verified via the full mini_driver
-# sweep on final r9 code.
+# in iteration order (50 per round). Round 10 completes the rotation
+# the r9 verdict asked for (ask #2): the r8+r9 windows covered 97
+# distinct queries, leaving exactly 42 without a recent driver
+# record — this window is those 42 plus the 8 queries whose
+# implementation CHANGED in r10 (pruned fold + decisions scrub under
+# the deletion family; the span-family distinct-hash inventory; the
+# range-join collision guard; the lazy PQ auto-shortlist), 8 + 42 =
+# 50. Union r8-r10 therefore covers all 139 registry queries; the
+# full mini_driver sweep on final code re-verifies everything else.
 _SENTINELS = [
-    # -- NEW r9 queries --
-    "doc_span_removal_variable",           # NEW r9: run-merged span cut
-    "orders_overlapping_bands",            # NEW r9: bucket-expansion range join
-    "doc_deleted_dedup_status",            # NEW r9: tombstoned minhash store
-    "embedding_deleted_ann_topk",          # NEW r9: tombstoned LSH index
-    "doc_deleted_line_removal",            # NEW r9: negative-count line deletes
-    # -- r9-changed implementations --
-    "doc_dsir_weights",                    # r9: session-cached weight table
-    "doc_dsir_sample",                     # r9: serves precomputed weights
-    "embedding_ivfpq_refined_topk",        # r9: calibrated-nprobe build
-    "price_segment_join",                  # r9: compiled range join
-    "vw_price_segment_analysis",           # r9: compiled range join
-    "warehouse_kpi_block",                 # r9: tagged-union single agg
-    # -- absent from the r8 window: similarity / events family --
-    "embedding_ann_ivf_topk", "embedding_ann_lsh_topk",
-    "embedding_incremental_near_dup", "embedding_knn_classify",
-    "embedding_label_centroids", "embedding_label_stats",
-    "embedding_near_dup_lsh", "embedding_near_dup_pairs",
-    "embedding_topk_cosine",
-    "events_asof_purchase_click", "events_dedup_first_per_key",
-    "events_props_json", "events_purchase_click_interval_join",
-    "events_sessionization", "events_sliding_windows",
-    "events_tumbling_windows", "events_windowed_topk",
+    # -- r10-changed implementations --
+    "doc_deleted_dedup_status",      # r10: partition-pruned fold + decisions scrub
+    "embedding_deleted_ann_topk",    # r10: pruned fold on the LSH store
+    "doc_deleted_line_removal",      # r10: idempotent line-df deletes (_deleted_ids)
+    "doc_duplicate_span_stats",      # r10: distinct-hash df inventory
+    "doc_span_removal",              # r10: distinct-hash df inventory
+    "doc_span_removal_variable",     # r10: distinct-hash df inventory
+    "orders_overlapping_bands",      # r10: range_bucket_attach collision guard
+    "embedding_ivfpq_refined_topk",  # r10: lazy auto-shortlist resolve
 ]
 _FRESHNESS_ROTATION = [
-    # -- absent from the r8 window: dedup / fingerprint / text --
-    "doc_duplicate_span_stats", "doc_exact_dedup",
-    "doc_ngram_jaccard_pairs", "doc_rolling_fingerprints",
-    "doc_simhash_near_dup", "doc_simhash_signatures",
-    "doc_chunking", "doc_text_stats", "doc_token_counts",
-    # -- absent: history / CDC / upserts --
-    "history_cdc_append", "history_change_detection",
-    "history_latest_per_key", "history_retention_buckets",
-    "history_sales_velocity", "incremental_crawl_priority",
-    "insert_if_absent", "upsert_overwrite", "upsert_preserve_nonnull",
-    "event_value_changes",
-    # -- absent: relational analytics with intricate plans --
-    "lineitem_cube_quantity", "lineitem_rollup_revenue",
-    "orders_grouping_sets", "or_join_part_lineitem",
-    "approx_distinct_stats", "distinct_suppliers_per_flag",
-    "lineitem_stats_block",
-    "category_path_closure", "category_bfs_descendants",
-    # -- past the 50-slot window from here (r7-green, swept via
-    #    mini_driver on final code) --
-    "q1_pricing_summary", "q5_region_revenue", "topk_brands",
-    "status_counts", "order_status_breakdown", "orders_pivot_status",
-    "orders_top_by_price", "latest_order_per_customer",
-    "customers_with_orders", "customers_without_orders",
-    "parts_never_shipped", "union_dedup_keys", "dedup_keep_best_part",
-    "groupby_computed_key", "brand_stats_having", "discount_histogram",
-    "deep_discount_report", "scalar_parse_functions",
-    "text_udf_functions", "product_quality_scores",
-    "products_quality_gate", "category_dedup_keep_best",
+    # -- the 42 queries absent from both the r8 and r9 windows --
+    "approx_distinct_stats", "brand_stats_having",
+    "category_bfs_descendants", "category_dedup_keep_best",
     "category_leaf_detection", "category_level_distribution",
     "category_level_pivot", "category_missing_parents",
-    "category_orphan_cleanup", "category_path_repair",
-    "category_product_count_refresh", "dim_brand_build",
-    "dim_category_build", "dim_price_segment_build",
-    "dim_product_build", "dim_seller_build", "fact_sales_build",
-    "vw_category_performance",
+    "category_orphan_cleanup", "category_path_closure",
+    "category_path_repair", "category_product_count_refresh",
+    "customers_with_orders", "customers_without_orders",
+    "dedup_keep_best_part", "deep_discount_report",
+    "dim_brand_build", "dim_category_build",
+    "dim_price_segment_build", "dim_product_build",
+    "dim_seller_build", "discount_histogram",
+    "distinct_suppliers_per_flag", "fact_sales_build",
+    "groupby_computed_key", "latest_order_per_customer",
+    "lineitem_stats_block", "or_join_part_lineitem",
+    "order_status_breakdown", "orders_pivot_status",
+    "orders_top_by_price", "parts_never_shipped",
+    "product_quality_scores", "products_quality_gate",
+    "q1_pricing_summary", "q5_region_revenue",
+    "scalar_parse_functions", "status_counts",
+    "text_udf_functions", "topk_brands",
+    "union_dedup_keys", "vw_category_performance",
+    # -- past the 50-slot window from here: everything below has an
+    #    r8 or r9 driver record and is swept via mini_driver on
+    #    final code --
+    "doc_dsir_weights", "doc_dsir_sample",
+    "price_segment_join", "vw_price_segment_analysis",
+    "warehouse_kpi_block",
 ]
 
 
