@@ -573,7 +573,13 @@ def fold_tombstones(
     scan = spark.read.parquet(path)
     affected_vals: list | None = None
     removed_rows: int | None = None
-    if part_key is not None and prune in ("auto", True):
+    # "auto" skips the pruning pre-scan on band= stores: the MinHash
+    # layout is unpivoted (one row per doc per band), so ANY victim
+    # touches EVERY band partition by construction — the prune can
+    # never win there and the pre-scan is pure overhead. prune=True
+    # still forces the pruned path (parity tests).
+    do_prune = prune is True or (prune == "auto" and part_key != "band")
+    if part_key is not None and do_prune:
         # one column-pruned pass over (id, partition key): which
         # partitions hold victims, and how many rows leave each —
         # feeds both the pruned rewrite and the n_rows delta below

@@ -230,6 +230,57 @@ def deletion_stage(spark, store, docs, delta, doc_is_delta, out) -> None:
     out["decide_post_fold_s"] = round(time.perf_counter() - t0, 2)
 
 
+def pruned_fold_stage(spark, dst: str, out: dict) -> None:
+    """Pruned vs full fold on a store where pruning CAN win: the
+    MinHash band store above is the adversarial worst case (every doc
+    has a row in EVERY band partition, so any victim set touches all
+    dirs and the pruned fold degenerates to the full rewrite plus the
+    pre-scan). On a cid-partitioned IVF store a takedown is usually
+    CONCENTRATED (one user, one source, one near-dup cluster — here:
+    one centroid's list), so the pruned fold rewrites that list's
+    share of the store and hardlinks the rest. Measures both paths on
+    identical copies and asserts row parity."""
+    import shutil as sh
+
+    from tiki_data_pipeline_spark.io import load_table
+    from tiki_data_pipeline_spark.operators import similarity as SIM
+    from tiki_data_pipeline_spark.sources.files import (
+        delete_from_store,
+        fold_tombstones,
+    )
+
+    emb = load_table(spark, dst, "embeddings")
+    base = f"{dst}/ivf_store_del"
+    sh.rmtree(base, ignore_errors=True)
+    t0 = time.perf_counter()
+    SIM.write_ivf_index(emb, base, n_centroids="auto", partitioned=True)
+    out["emb_store_build_s"] = round(time.perf_counter() - t0, 2)
+    scan = spark.read.parquet(base)
+    out["emb_total_parts"] = scan.select("cid").distinct().count()
+    # a concentrated takedown: every vector in ONE centroid's list
+    victim_cid = scan.groupBy("cid").count().orderBy("cid").first()["cid"]
+    victims = scan.filter(F.col("cid") == victim_cid).select("id")
+    out["emb_victims"] = victims.count()
+
+    copies = {}
+    for mode in ("pruned", "full"):
+        cp = f"{base}_{mode}"
+        sh.rmtree(cp, ignore_errors=True)
+        sh.copytree(base, cp, copy_function=os.link)
+        delete_from_store(spark, cp, victims)
+        t0 = time.perf_counter()
+        fold_tombstones(spark, cp, prune=(mode == "pruned"))
+        out[f"emb_fold_{mode}_s"] = round(time.perf_counter() - t0, 2)
+        copies[mode] = cp
+    n_p = spark.read.parquet(copies["pruned"]).count()
+    n_f = spark.read.parquet(copies["full"]).count()
+    assert n_p == n_f, f"pruned/full fold row mismatch: {n_p} != {n_f}"
+    out["emb_rows_post_fold"] = n_p
+    for cp in copies.values():
+        sh.rmtree(cp, ignore_errors=True)
+    sh.rmtree(base, ignore_errors=True)
+
+
 def run_deletion_level(spark, n: int) -> dict:
     """--deletion-only: store build + pre-delete decide + the full
     deletion_stage (invariant included) at one level, skipping the
@@ -269,6 +320,7 @@ def run_deletion_level(spark, n: int) -> dict:
     out["dups_before"] = decided.filter(F.col("status") != "unique").count()
     deletion_stage(spark, store, docs, delta, doc_is_delta, out)
     shutil.rmtree(store, ignore_errors=True)
+    pruned_fold_stage(spark, dst, out)
     return out
 
 
