@@ -888,9 +888,16 @@ def duplicate_span_stats(
     and are CONSERVATIVE (a collision can only over-report
     duplication; production at trillions of windows widens the hash).
     """
-    inputs = _with_span_inputs(docs, id_col, text_col).select(
-        F.col(id_col), _span_hash_array(F.col("_hs"), span).alias("_arr")
-    )
+    # The generators below take the hash-array EXPRESSION, never a
+    # projected attribute: explode(<attribute>) trips
+    # InferFiltersFromGenerate, which infers a size()>0 filter with
+    # the WHOLE md5+rolling-fold expression inlined and pushes it
+    # below the fan-out repartition — the entire corpus then hashes
+    # on ONE core before fanning out (measured 28.5 s vs 0.6 s at
+    # sf0.1; explode over an expression or over array_distinct(...)
+    # gets no inferred filter).
+    base = _with_span_inputs(docs, id_col, text_col)
+    arr = _span_hash_array(F.col("_hs"), span)
     # Document frequency from per-doc DISTINCT hashes: each document
     # contributes a hash at most once, so a plain count IS the
     # distinct-document count — and a plain count partial-aggregates
@@ -903,7 +910,7 @@ def duplicate_span_stats(
     # common case) AQE turns that join into a broadcast and the
     # occurrence stream never shuffles at all.
     df_tbl = (
-        inputs.select(F.explode(F.array_distinct("_arr")).alias("span_hash"))
+        base.select(F.explode(F.array_distinct(arr)).alias("span_hash"))
         .groupBy("span_hash")
         .agg(F.count(F.lit(1)).alias("span_df"))
         .filter(F.col("span_df") >= 2)
@@ -913,13 +920,23 @@ def duplicate_span_stats(
     # the duplicated-occurrence count aggregates, and only over the
     # occurrences that survive the df≥2 join
     dup_per = (
-        inputs.select(id_col, F.explode("_arr").alias("span_hash"))
+        base.select(id_col, F.explode(arr).alias("span_hash"))
         .join(df_tbl, "span_hash")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_dup_spans"))
     )
+    # n_spans = token count arithmetic — NO hash evaluation (column
+    # pruning drops _hs from this branch entirely); matches
+    # size(_span_hash_array) including the null-text → 0 case
+    n_spans = (
+        F.when(
+            F.size("_toks") >= span, F.size("_toks") - (span - 1)
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
     per = (
-        inputs.select(id_col, F.size("_arr").cast("long").alias("n_spans"))
+        base.select(id_col, n_spans.alias("n_spans"))
         .join(dup_per, id_col, "left")
         .select(
             id_col,
