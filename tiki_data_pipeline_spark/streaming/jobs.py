@@ -771,7 +771,12 @@ def takedown_sink(
     idempotent BY SEMANTICS (a duplicate tombstone row filters and
     folds identically to one), so the at-least-once epoch replay of
     ``foreachBatch`` is already exactly-once in effect. The caller's
-    ``acks`` list receives (epoch, n_requested) heartbeats.
+    ``acks`` list receives (epoch, n_requested) heartbeats. The
+    store's EXISTING ``_decisions`` lineage log is scrubbed of the
+    retired ids at the next fold (``files._fold_decisions_sidecar``
+    — subject rows drop, matched_id pointers null), so a takedown
+    eventually erases the id from the data AND the records that
+    named it.
 
     Single-writer discipline per store, same as appends: a takedown
     for an id racing an ingest append of that id would trip the
