@@ -418,21 +418,35 @@ def dsir_log_weights(
     # differs, which the round-to-4 contract already absorbs.
     # (The previous shape aggregated (id, bucket, cnt) bags — a
     # corpus-sized exchange that was 10× the cost of the math.)
+    # Each mode splits into a PREP projection (what the bucket
+    # expression reads — materialized so nothing expensive is
+    # re-evaluated per element) and the bucket-array EXPRESSION
+    # itself, because the two consumers need different shapes:
+    # bucketize() materializes ``_bkts`` as a column (the raw corpus
+    # is localCheckpointed right after, so its explode reads arrays
+    # from memory), while the TARGET distribution explodes the
+    # expression directly — explode(<attribute>) trips
+    # InferFiltersFromGenerate, which inlines the full featurize into
+    # a size()>0 filter and pushes it below the fan-out repartition:
+    # the whole target corpus then hashes on ONE core (the same trap
+    # the span family documents in dedup.py).
     if hash == "md5":
-        def bucketize(d: DataFrame, *cols) -> DataFrame:
+        def _prepped(d: DataFrame, *cols) -> DataFrame:
             return d.select(
                 *cols,
                 F.col(text_col).isNotNull().alias("_has_text"),
-                F.transform(
-                    _dsir_grams(F.coalesce(F.col(text_col), F.lit(""))),
-                    # int, not bigint: buckets < n_buckets, and the
-                    # materialized arrays are the featurize pass's
-                    # whole memory footprint — half-width halves the
-                    # spill
-                    lambda g: F.pmod(
-                        md5_h56(g, "dsir"), F.lit(n_buckets)
-                    ).cast("int"),
-                ).alias("_bkts"),
+                F.coalesce(F.col(text_col), F.lit("")).alias("_txt"),
+            )
+
+        def _bkts_expr():
+            return F.transform(
+                _dsir_grams(F.col("_txt")),
+                # int, not bigint: buckets < n_buckets, and the
+                # materialized arrays are the featurize pass's whole
+                # memory footprint — half-width halves the spill
+                lambda g: F.pmod(
+                    md5_h56(g, "dsir"), F.lit(n_buckets)
+                ).cast("int"),
             )
     elif hash == "xxhash64":
         # The fast mode avoids materializing GRAM STRINGS entirely:
@@ -446,12 +460,12 @@ def dsir_log_weights(
         # it instead of re-evaluating the hash transform per window
         # (the O(T²) inlining trap NOTES documents for the span
         # family).
-        def bucketize(d: DataFrame, *cols) -> DataFrame:
+        def _prepped(d: DataFrame, *cols) -> DataFrame:
             toks = F.split(
                 F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
                 r"\s+",
             )
-            hashed = d.select(
+            return d.select(
                 *cols,
                 F.col(text_col).isNotNull().alias("_has_text"),
                 F.transform(
@@ -459,6 +473,8 @@ def dsir_log_weights(
                     lambda t: F.xxhash64(F.concat(F.lit("dsir:"), t)),
                 ).alias("_th"),
             )
+
+        def _bkts_expr():
             th = F.col("_th")
             uni = F.transform(
                 th, lambda h: F.pmod(h, F.lit(n_buckets)).cast("int")
@@ -475,9 +491,7 @@ def dsir_log_weights(
                     ).cast("int"),
                 ),
             ).otherwise(F.array().cast("array<int>"))
-            return hashed.select(
-                *cols, "_has_text", F.concat(uni, big).alias("_bkts")
-            )
+            return F.concat(uni, big)
     else:
         raise ValueError(f"unknown DSIR hash mode: {hash!r}")
 
@@ -494,19 +508,36 @@ def dsir_log_weights(
     spark = docs.sparkSession
     docs = fan_out_small(docs)
     target = fan_out_small(target)
+    def bucketize(d: DataFrame, *cols) -> DataFrame:
+        return _prepped(d, *cols).select(
+            *cols, "_has_text", _bkts_expr().alias("_bkts")
+        )
+
     raw = bucketize(docs, F.col(id_col)).localCheckpoint()
 
     def dist(d: DataFrame, name: str) -> DataFrame:
+        # raw is checkpointed: the inferred size-filter reads
+        # materialized arrays, not the featurize expression
         return (
             d.select(F.explode("_bkts").alias("bucket"))
             .groupBy("bucket")
             .agg(F.count(F.lit(1)).alias(name))
         )
 
+    # target distribution: generator over the EXPRESSION (see the
+    # mode-split comment above — attribute explode would single-core
+    # the target featurize via the pushed inferred filter)
+    tgt_dist = (
+        _prepped(target)
+        .select(F.explode(_bkts_expr()).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c_tgt"))
+    )
+
     totals = {
         int(r["bucket"]): (r["c_raw"] or 0, r["c_tgt"] or 0)
         for r in dist(raw, "c_raw")
-        .join(dist(bucketize(target), "c_tgt"), "bucket", "full")
+        .join(tgt_dist, "bucket", "full")
         .na.fill({"c_raw": 0, "c_tgt": 0})
         .collect()
     }
