@@ -1072,7 +1072,16 @@ def remove_duplicate_spans(
     )
     tokpos = (
         normalized.join(affected_ids, id_col, "left_semi")
-        .select(F.col(id_col), F.posexplode("_toks").alias("_p0", "token"))
+        # _outer: semantically identical here (every affected doc has
+        # ≥ span tokens, so no empty arrays exist to preserve) but
+        # OUTER generators get no inferred size()>0 filter —
+        # InferFiltersFromGenerate would inline the token split into
+        # a filter pushed below the fan-out repartition and
+        # re-tokenize the whole corpus on one core (the same trap the
+        # span-hash generators dodge by taking expressions)
+        .select(
+            F.col(id_col), F.posexplode_outer("_toks").alias("_p0", "token")
+        )
         .select(id_col, (F.col("_p0") + 1).alias("p"), "token")
     )
     cleaned = (
