@@ -160,3 +160,35 @@ def test_incremental_dedup_plan_prunes_and_broadcasts(spark):
         if "FileScan" in l and "band" in l and "dynamicpruning" in l
     ]
     assert index_scans, plan
+
+
+# Generators over PROJECTED ATTRIBUTES trip InferFiltersFromGenerate:
+# Spark infers a size()>0 filter with the generating expression
+# INLINED and pushes it below the fan-out repartition — the whole
+# corpus then evaluates the expensive expression (md5 token hashing,
+# gram construction) on ONE core before fanning out. Round 10's bench
+# gate caught doc_duplicate_span_stats at 31× from exactly this; the
+# fix is to hand generators the EXPRESSION (or the _outer variant).
+# This test pins the class: no hash/tokenize work may appear inside a
+# Filter in the corpus-scan region of these plans.
+EXPENSIVE_FILTER_MARKERS = ("md5(", "xxhash64(", "aggregate(slice(")
+NO_EXPENSIVE_INFERRED_FILTER = [
+    "doc_duplicate_span_stats",
+    "doc_span_removal",
+    "doc_span_removal_variable",
+    "doc_dsir_weights",
+    "doc_dsir_sample",
+]
+
+
+@pytest.mark.parametrize("name", NO_EXPENSIVE_INFERRED_FILTER)
+def test_no_expensive_expression_inside_filter(spark, name):
+    df = QUERIES[name](spark, SF)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    bad = [
+        line.strip()[:160]
+        for line in plan.splitlines()
+        if "Filter " in line
+        and any(m in line for m in EXPENSIVE_FILTER_MARKERS)
+    ]
+    assert bad == [], f"{name}: expensive work inlined into a Filter: {bad}"
