@@ -488,3 +488,27 @@ class TestDecisionsRetire:
         fold_tombstones(spark, mh_store)
         assert {e: self._inodes(self._leaf(mh_store, e)) for e in (0, 1)} == before
         assert spark.read.parquet(mh_store + "/_decisions").count() == 4
+
+    def test_flat_legacy_decisions_layout_scrubbed(self, spark, mh_store):
+        # pre-(run,epoch) logs are a single flat parquet dir; the
+        # scrub must handle leaf == root (rewrite in place, or link
+        # when untouched) without inventing partition dirs
+        flat = [
+            (2, "unique", None),
+            (100, "exact_dup", 2),
+            (101, "near_dup", 5),
+        ]
+        spark.createDataFrame(
+            flat, "doc_id long, status string, matched_id long"
+        ).coalesce(1).write.parquet(mh_store + "/_decisions")
+        delete_from_store(spark, mh_store, _ids(spark, [2]))
+        fold_tombstones(spark, mh_store)
+        dec = spark.read.parquet(mh_store + "/_decisions")
+        rows = {r["doc_id"]: r["matched_id"] for r in dec.collect()}
+        assert set(rows) == {100, 101}
+        assert rows[100] is None and rows[101] == 5
+        # no partition dirs appeared
+        assert not any(
+            e.startswith("run=")
+            for e in os.listdir(mh_store + "/_decisions")
+        )
