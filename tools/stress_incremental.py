@@ -392,6 +392,25 @@ def run_level(spark, n: int) -> dict:
         .agg(F.avg("log_weight")).collect()[0][0], 4,
     )
     out["dsir_weights_s"] = round(time.perf_counter() - t0, 2)
+    # production hash mode (r10): same estimator, xxhash64 token
+    # hashing with no bigram strings — the sign check pins that the
+    # cheap mode still separates the target slice
+    t0 = time.perf_counter()
+    dx = CU.dsir_log_weights(
+        docs, docs.filter(F.col("lang") == "en"), hash="xxhash64"
+    )
+    means_xx = {
+        r["is_en"]: r["m"]
+        for r in dx.join(docs.select("doc_id", "lang"), "doc_id")
+        .filter(F.col("log_weight").isNotNull())
+        .groupBy((F.col("lang") == "en").alias("is_en"))
+        .agg(F.avg("log_weight").alias("m"))
+        .collect()
+    }
+    out["dsir_weights_xx_s"] = round(time.perf_counter() - t0, 2)
+    assert means_xx[True] > means_xx[False], (
+        f"xxhash64 DSIR lost target separation: {means_xx}"
+    )
 
     # 2b2. PQ: compress the embedding corpus to 16 codes/vector, then
     # serve 10 queries by pure ADC (codes-only scan) and by
