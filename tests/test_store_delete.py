@@ -295,6 +295,57 @@ class TestLineDfDelete:
         # batch's own df (1) must not be cancelled by the negative store
         assert "only line" not in out["cleaned_text"]
 
+    def test_ledger_crash_recovery_preserves_replay_guard(
+        self, spark, tmp_path
+    ):
+        # a hard crash between the two renames of the ledger's OWN
+        # swap leaves only `_deleted_ids.old`; both ledger readers
+        # must recover it before their isdir probe, or replay
+        # protection silently and permanently disappears
+        path = str(tmp_path / "ldf4")
+        line = "shared boilerplate line"
+        docs = _docs(spark, [(i, f"u{i}\n{line}") for i in range(3)])
+        DD.write_line_df_store(docs, path)
+        batch = docs.filter(F.col("doc_id") == 0)
+        assert DD.delete_line_df_store(batch, path) == 1
+        ldir = os.path.join(path, DD.LINE_DF_LEDGER_DIR)
+        os.rename(ldir, ldir + ".old")
+        # replayed delete must still be a no-op, not a double decrement
+        assert DD.delete_line_df_store(batch, path) == 0
+        # same window ahead of an append: the recovered ledger is
+        # scrubbed of the re-ingested id, so a NEW delete decrements
+        os.rename(ldir, ldir + ".old")
+        DD.append_line_df_store(batch, path)
+        assert DD.delete_line_df_store(batch, path) == 1
+        DD.compact_line_df_store(spark, path)
+        dfs = {r["df"] for r in spark.read.parquet(path).collect()}
+        assert 2 in dfs  # shared line ends with exactly 2 live carriers
+
+    def test_delete_batch_pinned_against_nondeterminism(
+        self, spark, tmp_path
+    ):
+        # count / decrement / ledger all reuse the anti-joined batch;
+        # it is localCheckpoint-pinned so a non-deterministic input
+        # cannot decrement one id set and ledger a different one
+        path = str(tmp_path / "ldf5")
+        line = "shared boilerplate line"
+        docs = _docs(spark, [(i, f"u{i}\n{line}") for i in range(4)])
+        DD.write_line_df_store(docs, path)
+        # a re-execution-unstable delete batch: fixed size, random rows
+        wobbly = docs.sort(F.rand(seed=7)).limit(2)
+        n = DD.delete_line_df_store(wobbly, path)
+        assert n == 2
+        ledgered = spark.read.parquet(
+            os.path.join(path, DD.LINE_DF_LEDGER_DIR)
+        ).count()
+        assert ledgered == n  # ledger matches the counted set exactly
+        DD.compact_line_df_store(spark, path)
+        rows = spark.read.parquet(path).collect()
+        # decrement hit the same 2 docs: their unique lines folded to
+        # zero and dropped; 2 surviving uniques + the shared line stay
+        assert len(rows) == 3
+        assert max(r["df"] for r in rows) == 2
+
 
 class TestPrunedFold:
     """Partition-pruned fold: only the partition dirs that actually
@@ -370,6 +421,56 @@ class TestPrunedFold:
         }
         assert victim not in survivors
         assert survivors == set(by_bkt[victim_bkt]) - {victim}
+
+    def test_aliased_partition_dirs_force_full_rewrite(
+        self, spark, tmp_path
+    ):
+        # two directory names that parse to the SAME partition value
+        # (bkt=5 and bkt=05 both read as 5 under Spark's int
+        # inference) would let a pruned fold merge both dirs into one
+        # AND carry the second verbatim — duplicating its live rows
+        # and retaining its victims. The guard must detect the alias
+        # and fall back to the full rewrite. Spark's own writer never
+        # emits such a tree; craft it with pyarrow.
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path = self._store(spark, tmp_path, "alias")
+        base = sorted(
+            int(e.name.split("=", 1)[1])
+            for e in os.scandir(path)
+            if e.is_dir() and e.name.startswith("bkt=")
+        )
+        v = next(b for b in base if b >= 0)
+        src_dir = os.path.join(path, f"bkt={v}")
+        src = next(
+            os.path.join(src_dir, f)
+            for f in os.listdir(src_dir)
+            if f.endswith(".parquet")
+        )
+        t = pq.read_table(src).slice(0, 1)
+        idx = t.schema.get_field_index("id")
+        t = t.set_column(
+            idx, "id", pa.array([999], type=t.schema.field("id").type)
+        )
+        alias = os.path.join(path, f"bkt=0{v}")
+        os.makedirs(alias)
+        pq.write_table(t, os.path.join(alias, "part-alias.parquet"))
+
+        before = sorted(
+            r["id"] for r in spark.read.parquet(path).select("id").collect()
+        )
+        assert 999 in before
+        # the victim lives ONLY in the aliased dir — the exact row a
+        # naive pruned fold would hardlink back in
+        delete_from_store(spark, path, _ids(spark, [999]))
+        assert fold_tombstones(spark, path, prune=True) == 1
+        after = sorted(
+            r["id"] for r in spark.read.parquet(path).select("id").collect()
+        )
+        assert 999 not in after
+        # no duplicated live rows either: one row per original id
+        assert after == [i for i in before if i != 999]
 
     def test_hot_sidecar_refreshed_pruned_and_carried(self, spark, tmp_path):
         path = self._store(spark, tmp_path, "hot")

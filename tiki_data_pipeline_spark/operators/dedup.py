@@ -1275,25 +1275,34 @@ def append_line_df_store(
     at-least-once replay of the same batch inflates df — harmless in
     direction (boilerplate only gets MORE likely to be cut) but the
     exactly-once shape is to gate appends on the streaming decisions
-    log (``streaming.jobs``), same as the other ingest sinks."""
+    log (``streaming.jobs``), same as the other ingest sinks.
+
+    Crash ordering: the ledger scrub (clearing re-ingested ids from
+    ``_deleted_ids`` so a later legitimate delete decrements again)
+    runs BEFORE the data append. A crash between the two loses only
+    the replay guard for ids that were about to be re-ingested — the
+    batch replays, the scrub no-ops, the append lands. The reverse
+    order's window (append committed, scrub lost) would leave the ids
+    ledgered FOREVER: their next legitimate delete silently returns 0
+    and the counts over-count until manual repair."""
     from tiki_data_pipeline_spark.sources.files import check_store_meta
 
     import os
 
-    from tiki_data_pipeline_spark.sources.files import swap_parquet_rewrite
+    from tiki_data_pipeline_spark.sources.files import (
+        recover_interrupted_swap,
+        swap_parquet_rewrite,
+    )
 
     check_store_meta(path, {"kind": "line_df"})
-    lines = _doc_lines(docs, id_col, text_col)
-    (
-        lines.filter(F.col("lh").isNotNull())
-        .groupBy("lh")
-        .agg(F.count_distinct(F.col(id_col)).alias("df"))
-        .write.mode("append")
-        .parquet(path)
-    )
     # a re-ingested id leaves the deletion ledger (delete → re-ingest
-    # → delete must decrement again; the ledger only guards REPLAYS)
+    # → delete must decrement again; the ledger only guards REPLAYS).
+    # Recover a crashed ledger swap BEFORE the isdir probe: after a
+    # crash between the swap's two renames only `_deleted_ids.old`
+    # exists, and a bare isdir would silently skip the scrub AND the
+    # next delete's replay guard.
     ldir = os.path.join(path, LINE_DF_LEDGER_DIR)
+    recover_interrupted_swap(ldir)
     if os.path.isdir(ldir):
         spark = docs.sparkSession
         batch_ids = docs.select(F.col(id_col).alias("id")).distinct()
@@ -1309,6 +1318,14 @@ def append_line_df_store(
                 .write.mode("overwrite")
                 .parquet(staging),
             )
+    lines = _doc_lines(docs, id_col, text_col)
+    (
+        lines.filter(F.col("lh").isNotNull())
+        .groupBy("lh")
+        .agg(F.count_distinct(F.col(id_col)).alias("df"))
+        .write.mode("append")
+        .parquet(path)
+    )
 
 
 LINE_DF_LEDGER_DIR = "_deleted_ids"
@@ -1342,11 +1359,19 @@ def delete_line_df_store(
     Returns the number of NEWLY retired docs (0 for a pure replay)."""
     import os
 
-    from tiki_data_pipeline_spark.sources.files import check_store_meta
+    from tiki_data_pipeline_spark.sources.files import (
+        check_store_meta,
+        recover_interrupted_swap,
+    )
 
     check_store_meta(path, {"kind": "line_df"})
     spark = docs.sparkSession
     ldir = os.path.join(path, LINE_DF_LEDGER_DIR)
+    # recover a crashed ledger swap before the isdir probe — after a
+    # crash between the swap's renames only `_deleted_ids.old` exists
+    # and a bare isdir would drop replay protection for every past
+    # delete (a replayed batch would then double-decrement)
+    recover_interrupted_swap(ldir)
     fresh = docs
     if os.path.isdir(ldir):
         seen = (
@@ -1355,6 +1380,11 @@ def delete_line_df_store(
             .distinct()
         )
         fresh = docs.join(F.broadcast(seen), id_col, "anti")
+    # pin the batch once: count, decrement write and ledger append all
+    # re-execute `fresh` otherwise, and a non-deterministic input
+    # (sample/limit upstream) would decrement one id set and ledger a
+    # different one — desynchronizing counts from replay protection
+    fresh = fresh.localCheckpoint(eager=False)
     ids = fresh.select(F.col(id_col).alias("id")).distinct()
     n = ids.count()
     if n == 0:

@@ -596,7 +596,21 @@ def fold_tombstones(
             for e in os.scandir(path)
             if e.is_dir() and e.name.startswith(f"{part_key}=")
         }
-        if all(v is not None for v in vals) and expected <= actual:
+        if (
+            all(v is not None for v in vals)
+            and expected <= actual
+            # expected ⊆ actual alone misses ALIASED dirs: two names
+            # that parse to the same value (cid=33 and cid=033 both
+            # read as 33 under Spark's int inference) would let the
+            # affected rewrite merge both dirs into one AND hardlink
+            # the second verbatim as untouched — duplicating its live
+            # rows and retaining its victims. Spark's own writer never
+            # emits such a layout, but an externally crafted tree can;
+            # require dirs ↔ distinct parsed values to be 1:1
+            # (partition-column-only scan — file listing, no row read)
+            and len(actual)
+            == scan.select(part_key).distinct().count()
+        ):
             affected_vals = vals
             removed_rows = sum(r["_n"] for r in aff)
         # else: value→dirname round-trip unproven — full rewrite
