@@ -233,12 +233,24 @@ def test_compact_store_preserves_rows_and_merges_files(spark, tmp_path):
         return bands, fps
 
     before = _snapshot()
+    n_fpb = len(
+        [d for d in Path(store + "/_fingerprints").iterdir() if d.is_dir()]
+    )
+    assert n_fpb >= 2  # bucketed sidecar: fpb= leaves
     n = compact_store(spark, store, target_files_per_partition=1)
-    assert n == DD.LSH_BANDS + 2  # band dirs + _fingerprints + _hot_bands
-    for d in Path(store).iterdir():
-        if d.is_dir():
-            files = [f for f in d.iterdir() if f.name.endswith(".parquet")]
-            assert len(files) == 1, f"{d.name} not compacted"
+    # band dirs + _hot_bands + each fpb= bucket of _fingerprints
+    assert n == DD.LSH_BANDS + 1 + n_fpb
+
+    def _leaves(root):
+        for d in root.iterdir():
+            if not d.is_dir():
+                continue
+            subs = [s for s in d.iterdir() if s.is_dir() and "=" in s.name]
+            yield from subs if subs else [d]
+
+    for d in _leaves(Path(store)):
+        files = [f for f in d.iterdir() if f.name.endswith(".parquet")]
+        assert len(files) == 1, f"{d.name} not compacted"
     assert _snapshot() == before
 
 

@@ -181,6 +181,30 @@ NO_EXPENSIVE_INFERRED_FILTER = [
 ]
 
 
+# The span STATS query derives document frequency, dup occurrences
+# and n_spans from ONE (doc, span_hash, n_occ) inventory exchange;
+# AQE's stage cache replays the shuffle for the second consumer
+# instead of re-running the md5+rolling-fold pipeline over the corpus
+# (2× the dominant CPU at scale; 29.6 → 22.7 s at 1M docs). Reuse is
+# all-or-nothing on canonical plan equality, and two optimizer rules
+# can silently split the stage (constraint-derived isnotnull filters
+# differing per branch; RemoveRedundantAggregates pruning the counted
+# column out of one copy) — so pin it on the FINAL adaptive plan.
+# (doc_span_removal deliberately does NOT share an inventory: its
+# coverage branch is shuffle-free via a broadcast join, and a shared
+# exchange measured 2.1× slower — see remove_duplicate_spans.)
+SINGLE_HASH_PASS = ["doc_duplicate_span_stats"]
+
+
+@pytest.mark.parametrize("name", SINGLE_HASH_PASS)
+def test_span_inventory_exchange_reused(spark, name):
+    df = QUERIES[name](spark, SF)
+    df.collect()  # reuse only materializes in the final adaptive plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert plan.count("ReusedExchange") >= 1, plan
+
+
 @pytest.mark.parametrize("name", NO_EXPENSIVE_INFERRED_FILTER)
 def test_no_expensive_expression_inside_filter(spark, name):
     df = QUERIES[name](spark, SF)

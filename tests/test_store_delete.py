@@ -422,6 +422,80 @@ class TestPrunedFold:
         assert victim not in survivors
         assert survivors == set(by_bkt[victim_bkt]) - {victim}
 
+    def test_fingerprints_sidecar_fold_is_bucket_pruned(
+        self, spark, tmp_path
+    ):
+        # the _fingerprints sidecar is fpb=-bucketed; a fold must
+        # rewrite ONLY the buckets the victims hash into and carry
+        # every other bucket by hardlink — the last O(sidecar) write
+        # becomes O(affected), same as the main tree
+        from tiki_data_pipeline_spark.sources.files import fp_bucket
+
+        path = str(tmp_path / "fpsc")
+        DD.write_minhash_index(_docs(spark, CORPUS), path)
+        fdir = os.path.join(path, "_fingerprints")
+        victim = 3
+        vbkt = (
+            spark.createDataFrame([(victim,)], "id long")
+            .select(fp_bucket(F.col("id")).alias("b"))
+            .collect()[0]["b"]
+        )
+
+        def inodes(b):
+            d = os.path.join(fdir, f"fpb={b}")
+            return {
+                os.stat(os.path.join(d, f)).st_ino
+                for f in os.listdir(d)
+                if f.endswith(".parquet")
+            }
+
+        all_bkts = {
+            int(e.name.split("=", 1)[1])
+            for e in os.scandir(fdir)
+            if e.is_dir()
+        }
+        assert vbkt in all_bkts and len(all_bkts) >= 2
+        before = {b: inodes(b) for b in all_bkts if b != vbkt}
+        delete_from_store(spark, path, _ids(spark, [victim]))
+        fold_tombstones(spark, path)
+        # untouched buckets: same physical files; victim bucket: id gone
+        assert {b: inodes(b) for b in before} == before
+        fps = {
+            r["id"] for r in spark.read.parquet(fdir).select("id").collect()
+        }
+        assert victim not in fps
+        assert fps == {i for i, _ in CORPUS} - {victim}
+        # serve path still does exact-first dedup against the sidecar
+        batch = _docs(spark, [(90 + i, t) for i, t in CORPUS[:2]])
+        st = _status(spark, path, batch)
+        assert st[90] == ("exact_dup", 0)
+
+    def test_legacy_flat_fingerprints_append_and_fold(self, spark, tmp_path):
+        # a pre-bucketing store (flat _fingerprints) must keep working:
+        # appends stay flat (a mixed tree would not read) and the fold
+        # falls back to the full sidecar rewrite
+        import shutil
+
+        path = str(tmp_path / "legacy")
+        DD.write_minhash_index(_docs(spark, CORPUS[:6]), path)
+        fdir = os.path.join(path, "_fingerprints")
+        # flatten: rewrite the sidecar as a legacy unbucketed dataset
+        flat = spark.read.parquet(fdir).select("id", "fp")
+        flat.coalesce(1).write.mode("overwrite").parquet(fdir + ".flat")
+        shutil.rmtree(fdir)
+        os.rename(fdir + ".flat", fdir)
+
+        DD.append_minhash_index(_docs(spark, CORPUS[6:]), path)
+        assert not any(
+            e.name.startswith("fpb=") for e in os.scandir(fdir) if e.is_dir()
+        ), "append must not mix layouts into a flat sidecar"
+        delete_from_store(spark, path, _ids(spark, [1, 7]))
+        fold_tombstones(spark, path)
+        fps = {
+            r["id"] for r in spark.read.parquet(fdir).select("id").collect()
+        }
+        assert fps == {i for i, _ in CORPUS} - {1, 7}
+
     def test_aliased_partition_dirs_force_full_rewrite(
         self, spark, tmp_path
     ):

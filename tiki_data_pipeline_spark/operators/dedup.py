@@ -374,14 +374,37 @@ def _write_minhash_store(
     # exact-fingerprint sidecar (underscore prefix = invisible to the
     # band-row reader, the _centroids pattern): lets a later batch do
     # exact-first staged dedup against the same store. Written AFTER
-    # the main tree (an overwrite above would clobber it).
-    (
-        docs.select(
-            F.col(id_col).alias("id"), _content_fingerprint(text_col).alias("fp")
+    # the main tree (an overwrite above would clobber it). Bucketed by
+    # a 64-way id hash (``fpb=``) so fold_tombstones rewrites only the
+    # buckets that hold victims instead of the whole sidecar — the
+    # same O(affected) maintenance discipline as the band/cid trees.
+    # Appends sniff the existing layout: a legacy flat sidecar keeps
+    # appending flat (a mixed flat+partitioned tree would not read).
+    import os
+
+    fdir = path + "/_fingerprints"
+    legacy_flat = (
+        mode == "append"
+        and os.path.isdir(fdir)
+        and not any(
+            e.name.startswith("fpb=") for e in os.scandir(fdir) if e.is_dir()
         )
-        .write.mode(mode)
-        .parquet(path + "/_fingerprints")
     )
+    fps = docs.select(
+        F.col(id_col).alias("id"), _content_fingerprint(text_col).alias("fp")
+    )
+    from tiki_data_pipeline_spark.sources.files import fp_bucket
+
+    if legacy_flat:
+        fps.write.mode(mode).parquet(fdir)
+    else:
+        (
+            fps.withColumn("fpb", fp_bucket(F.col("id")))
+            .repartition("fpb")
+            .write.mode(mode)
+            .partitionBy("fpb")
+            .parquet(fdir)
+        )
     if mode == "overwrite":
         from tiki_data_pipeline_spark.sources.files import write_store_meta
 
@@ -888,60 +911,67 @@ def duplicate_span_stats(
     and are CONSERVATIVE (a collision can only over-report
     duplication; production at trillions of windows widens the hash).
     """
-    # The generators below take the hash-array EXPRESSION, never a
+    # The generator below takes the hash-array EXPRESSION, never a
     # projected attribute: explode(<attribute>) trips
     # InferFiltersFromGenerate, which infers a size()>0 filter with
     # the WHOLE md5+rolling-fold expression inlined and pushes it
     # below the fan-out repartition — the entire corpus then hashes
     # on ONE core before fanning out (measured 28.5 s vs 0.6 s at
-    # sf0.1; explode over an expression or over array_distinct(...)
-    # gets no inferred filter).
+    # sf0.1; explode over an expression gets no inferred filter).
     base = _with_span_inputs(docs, id_col, text_col)
     arr = _span_hash_array(F.col("_hs"), span)
-    # Document frequency from per-doc DISTINCT hashes: each document
-    # contributes a hash at most once, so a plain count IS the
-    # distinct-document count — and a plain count partial-aggregates
-    # map-side into (hash, n) longs. The count_distinct-over-
-    # occurrences it replaces expanded to a two-round shuffle of every
-    # (hash, doc) window pair; singleton hashes (df=1, the
-    # overwhelming mass of a corpus) now cross the wire once as a
-    # combined 2-long row and never again — the df≥2 filter lands
-    # before the join back, so when the duplicated set is small (the
-    # common case) AQE turns that join into a broadcast and the
-    # occurrence stream never shuffles at all.
+    # ONE explode, ONE evaluation of the md5+rolling-fold pipeline:
+    # every downstream statistic derives from the same per-doc hash
+    # inventory g = (doc, span_hash, n_occ). The partial aggregate
+    # collapses within-doc repeats map-side, and because df_tbl and
+    # per below are built from the SAME g, the two physical plans
+    # share an identical Exchange — AQE's stage cache computes the
+    # hash pipeline ONCE and replays the shuffle files for the second
+    # consumer (ReusedExchange in the final adaptive plan; pinned by
+    # test_plan_quality). The previous two-branch shape (distinct-hash
+    # df pass + occurrence pass) evaluated the interpreted fold twice
+    # — 2× the corpus CPU, which dominates at scale (29.6 s → 22.7 s
+    # at 1M docs, and the compute share only grows with doc count).
+    #
+    # Two details keep the exchanges canonically EQUAL (reuse is
+    # all-or-nothing on that):
+    # - the isnotnull filters are explicit on occ, so constraint
+    #   propagation has nothing different to infer per branch (the
+    #   outer left join would push isnotnull(doc_id) into one copy,
+    #   the inner hash join isnotnull(span_hash) into the other);
+    # - df_tbl's count REFERENCES n_occ via a non-foldable expression
+    #   — a bare count(1) lets RemoveRedundantAggregates prune n_occ
+    #   out of that branch's copy of g, silently splitting the stage.
+    occ = base.select(id_col, F.explode(arr).alias("span_hash")).filter(
+        F.col(id_col).isNotNull() & F.col("span_hash").isNotNull()
+    )
+    g = occ.groupBy(id_col, "span_hash").agg(
+        F.count(F.lit(1)).alias("n_occ")
+    )
+    # Document frequency: g already holds each (doc, hash) pair once,
+    # so a plain pair count IS the distinct-document count (n_occ ≥ 1
+    # by construction, so the when() filters nothing). Singleton
+    # hashes (df=1, the overwhelming mass of a corpus) are dropped
+    # before the join back, so the df≥2 side stays broadcast-small in
+    # the common case.
     df_tbl = (
-        base.select(F.explode(F.array_distinct(arr)).alias("span_hash"))
-        .groupBy("span_hash")
-        .agg(F.count(F.lit(1)).alias("span_df"))
+        g.groupBy("span_hash")
+        .agg(F.count(F.when(F.col("n_occ") > 0, 1)).alias("span_df"))
         .filter(F.col("span_df") >= 2)
-        .select("span_hash")
+        .select("span_hash", F.lit(True).alias("_dup"))
     )
-    # n_spans is per-row arithmetic (array length, no shuffle); only
-    # the duplicated-occurrence count aggregates, and only over the
-    # occurrences that survive the df≥2 join
-    dup_per = (
-        base.select(id_col, F.explode(arr).alias("span_hash"))
-        .join(df_tbl, "span_hash")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
-    )
-    # n_spans = token count arithmetic — NO hash evaluation (column
-    # pruning drops _hs from this branch entirely); matches
-    # size(_span_hash_array) including the null-text → 0 case
-    n_spans = (
-        F.when(
-            F.size("_toks") >= span, F.size("_toks") - (span - 1)
-        )
-        .otherwise(F.lit(0))
-        .cast("long")
-    )
+    # n_spans = Σ n_occ (every window), n_dup_spans = Σ n_occ over
+    # hashes that survive the df≥2 filter — one left join, one
+    # group-by, both over the deduped (doc, hash) pairs, never the
+    # raw occurrence stream
     per = (
-        base.select(id_col, n_spans.alias("n_spans"))
-        .join(dup_per, id_col, "left")
-        .select(
-            id_col,
-            "n_spans",
-            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+        g.join(df_tbl, "span_hash", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n_occ").alias("n_spans"),
+            F.sum(
+                F.when(F.col("_dup"), F.col("n_occ")).otherwise(F.lit(0))
+            ).alias("n_dup_spans"),
         )
     )
     return (
@@ -1008,6 +1038,15 @@ def remove_duplicate_spans(
     learns the boilerplate corpus-wide from span document frequency.
     """
     inputs = _with_span_inputs(docs, id_col, text_col)
+    # TWO evaluations of the md5+rolling-fold pipeline — deliberately.
+    # The stats half (duplicate_span_stats) shares one inventory
+    # exchange between its consumers and wins; here it LOSES, because
+    # the coverage branch below never shuffles at all (the raw window
+    # stream broadcast-joins dup_hashes map-side), so a shared
+    # inventory would ADD a full occurrence-stream shuffle (~tokens ×
+    # 24 B) to save one hash pass. Measured at 500k docs (sf0.1 ×100):
+    # two-pass 40.8 s vs shared-exchange 87.4 s vs collect_list
+    # inventory 154 s at 1M — the re-hash is the cheaper currency.
     wins = (
         inputs.select(
             F.col(id_col),

@@ -256,17 +256,38 @@ def compact_store(
                 break
         if "=" in name or name.startswith("_"):
             bases.add(name)
-    leaf_dirs = sorted(
-        os.path.join(path, b)
-        for b in bases
+    leaves: set[str] = set()
+
+    def _maybe_add(dirpath: str) -> bool:
         if (
-            os.path.isdir(os.path.join(path, b))
-            and any(
-                f.endswith(".parquet") for f in os.listdir(os.path.join(path, b))
-            )
-        )
-        or os.path.isdir(os.path.join(path, b + ".old"))
-    )
+            os.path.isdir(dirpath)
+            and any(f.endswith(".parquet") for f in os.listdir(dirpath))
+        ) or os.path.isdir(dirpath + ".old"):
+            leaves.add(dirpath)
+            return True
+        return False
+
+    for b in bases:
+        bdir = os.path.join(path, b)
+        if _maybe_add(bdir) or not os.path.isdir(bdir):
+            continue
+        # partitioned sidecar (e.g. the fpb=-bucketed _fingerprints):
+        # its compactable leaves are one level down, with the same
+        # crash-leftover name resolution as the root
+        inner: set[str] = set()
+        for s in os.scandir(bdir):
+            if not s.is_dir():
+                continue
+            name = s.name
+            for suffix in (".old", ".staging", ".compacting"):
+                if name.endswith(suffix):
+                    name = name[: -len(suffix)]
+                    break
+            if "=" in name:
+                inner.add(name)
+        for name in inner:
+            _maybe_add(os.path.join(bdir, name))
+    leaf_dirs = sorted(leaves)
     for d in leaf_dirs:
         compact_parquet(spark, d, target_files_per_partition)
     return len(leaf_dirs)
@@ -371,6 +392,78 @@ def reject_tombstoned(
             "run fold_tombstones()/compact_store() to fold the deletions, "
             "then re-ingest"
         )
+
+
+FP_BUCKETS = 64
+
+
+def fp_bucket(id_col: "F.Column") -> "F.Column":
+    """64-way id hash bucket for id-keyed sidecars (``fpb=`` layout):
+    the writer partitions the ``_fingerprints`` sidecar by this, and
+    :func:`fold_tombstones` rewrites only the buckets whose value set
+    intersects the tombstoned ids — O(affected) sidecar maintenance,
+    mirroring the band/cid pruning of the main tree. Must stay in
+    lockstep between writer and fold (both call this)."""
+    return F.pmod(F.xxhash64(id_col), F.lit(FP_BUCKETS)).cast("int")
+
+
+def _fold_id_sidecar(
+    spark: SparkSession, src: str, dst: str, tomb: DataFrame
+) -> None:
+    """Rewrite an id-keyed sidecar (``_fingerprints``) without its
+    tombstoned rows. A ``fpb=``-bucketed sidecar is pruned: only the
+    buckets the victim ids hash into are anti-joined and rewritten;
+    untouched buckets are hardlinked into staging (O(metadata)). A
+    legacy flat sidecar falls back to the full anti-join rewrite."""
+    import os
+    import shutil
+
+    bucketed = any(
+        e.name.startswith("fpb=") for e in os.scandir(src) if e.is_dir()
+    )
+    if bucketed:
+        affected = sorted(
+            r["b"]
+            for r in tomb.select(fp_bucket(F.col("id")).alias("b"))
+            .distinct()
+            .collect()
+        )
+        actual = {
+            e.name
+            for e in os.scandir(src)
+            if e.is_dir() and e.name.startswith("fpb=")
+        }
+        expected = {f"fpb={b}" for b in affected}
+        # value→dirname round-trip guard, same discipline as the main
+        # tree (Spark wrote these int dirs itself, but stay paranoid)
+        if expected <= actual and len(actual) == spark.read.parquet(
+            src
+        ).select("fpb").distinct().count():
+            os.makedirs(dst, exist_ok=True)
+            hit = expected & actual
+            if hit:
+                (
+                    spark.read.parquet(src)
+                    .filter(F.col("fpb").isin(affected))
+                    .join(F.broadcast(tomb), "id", "anti")
+                    .repartition(F.col("fpb"))
+                    .write.partitionBy("fpb")
+                    .parquet(os.path.join(dst, "_data.tmp"))
+                )
+                tmp = os.path.join(dst, "_data.tmp")
+                for e in os.scandir(tmp):
+                    if e.name.startswith("fpb="):
+                        shutil.move(e.path, os.path.join(dst, e.name))
+                shutil.rmtree(tmp, ignore_errors=True)
+            for name in actual - expected:
+                _link_tree(os.path.join(src, name), os.path.join(dst, name))
+            return
+    (
+        spark.read.parquet(src)
+        .join(F.broadcast(tomb), "id", "anti")
+        .write.mode("overwrite")
+        .parquet(dst)
+    )
 
 
 def _link_tree(src: str, dst: str) -> None:
@@ -678,12 +771,9 @@ def fold_tombstones(
                 continue
             dst = os.path.join(staging, e.name)
             if e.is_dir() and e.name in fold_sidecars:
-                (
-                    spark.read.parquet(e.path)
-                    .join(F.broadcast(tomb), "id", "anti")
-                    .write.mode("overwrite")
-                    .parquet(dst)
-                )
+                # bucketed sidecars rewrite only the victim buckets
+                # (hardlink the rest); flat legacy ones rewrite whole
+                _fold_id_sidecar(spark, e.path, dst, tomb)
             elif e.is_dir() and e.name == "_decisions":
                 # lineage records must stop naming retired ids too
                 _fold_decisions_sidecar(spark, e.path, dst, tomb)
