@@ -33,55 +33,50 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS sweep samples a bounded window of queries
-# in iteration order (50 per round). Round 10 completes the rotation
-# the r9 verdict asked for (ask #2): the r8+r9 windows covered 97
-# distinct queries, leaving exactly 42 without a recent driver
-# record — this window is those 42 plus the 8 queries whose
-# implementation CHANGED in r10 (pruned fold + decisions scrub under
-# the deletion family; the span-family distinct-hash inventory; the
-# range-join collision guard; the lazy PQ auto-shortlist), 8 + 42 =
-# 50. Union r8-r10 therefore covers all 139 registry queries; the
-# full mini_driver sweep on final code re-verifies everything else.
+# in iteration order (50 per round). Round 11's window: the 3 queries
+# whose implementation changed THIS round (the span-stats single-pass
+# inventory; the line-df ledger crash-recovery + pinned delete batch;
+# the fpb-bucketed _fingerprints sidecar the deletion serve reads),
+# plus all 47 queries with no driver record newer than r8 — including
+# the NEW doc_dedup_status_timetravel. 3 + 47 = 50, so union
+# r9-r11 covers all 140 registry queries; the full mini_driver sweep
+# on final code re-verifies everything else.
 _SENTINELS = [
-    # -- r10-changed implementations --
-    "doc_deleted_dedup_status",      # r10: partition-pruned fold + decisions scrub
-    "embedding_deleted_ann_topk",    # r10: pruned fold on the LSH store
-    "doc_deleted_line_removal",      # r10: idempotent line-df deletes (_deleted_ids)
-    "doc_duplicate_span_stats",      # r10: distinct-hash df inventory
-    "doc_span_removal",              # r10: distinct-hash df inventory
-    "doc_span_removal_variable",     # r10: distinct-hash df inventory
-    "orders_overlapping_bands",      # r10: range_bucket_attach collision guard
-    "embedding_ivfpq_refined_topk",  # r10: lazy auto-shortlist resolve
+    # -- r11-changed implementations --
+    "doc_duplicate_span_stats",   # r11: shared inventory exchange (AQE reuse)
+    "doc_deleted_line_removal",   # r11: ledger swap recovery + pinned batch
+    "doc_deleted_dedup_status",   # r11: bucketed _fingerprints sidecar serve
 ]
 _FRESHNESS_ROTATION = [
-    # -- the 42 queries absent from both the r8 and r9 windows --
-    "approx_distinct_stats", "brand_stats_having",
-    "category_bfs_descendants", "category_dedup_keep_best",
-    "category_leaf_detection", "category_level_distribution",
-    "category_level_pivot", "category_missing_parents",
-    "category_orphan_cleanup", "category_path_closure",
-    "category_path_repair", "category_product_count_refresh",
-    "customers_with_orders", "customers_without_orders",
-    "dedup_keep_best_part", "deep_discount_report",
-    "dim_brand_build", "dim_category_build",
-    "dim_price_segment_build", "dim_product_build",
-    "dim_seller_build", "discount_histogram",
-    "distinct_suppliers_per_flag", "fact_sales_build",
-    "groupby_computed_key", "latest_order_per_customer",
-    "lineitem_stats_block", "or_join_part_lineitem",
-    "order_status_breakdown", "orders_pivot_status",
-    "orders_top_by_price", "parts_never_shipped",
-    "product_quality_scores", "products_quality_gate",
-    "q1_pricing_summary", "q5_region_revenue",
-    "scalar_parse_functions", "status_counts",
-    "text_udf_functions", "topk_brands",
-    "union_dedup_keys", "vw_category_performance",
+    # -- the 47 queries absent from both the r9 and r10 windows --
+    "transform_products", "category_integrity_report",
+    "doc_minhash_lsh_near_dup", "doc_incremental_near_dup",
+    "doc_incremental_near_dup_verified", "doc_incremental_dedup_status",
+    "doc_dedup_status_timetravel",  # NEW r11: snapshot time travel
+    "embedding_incremental_dedup_status", "embedding_ann_index_topk",
+    "corpus_dedup_pipeline", "corpus_dedup_staged",
+    "embedding_ann_ivf_index_topk", "embedding_semantic_dedup",
+    "embedding_ivf_semantic_dedup", "doc_line_dedup_removal",
+    "doc_incremental_line_removal", "embedding_pq_adc_topk",
+    "embedding_pq_refined_topk", "events_funnel_steps",
+    "dim_date_build", "vw_daily_sales", "vw_top_products_revenue",
+    "scd2_dimension_apply", "daily_revenue_7d_ma",
+    "customer_running_revenue", "dataset_verification_report",
+    "median_order_value", "corpus_quality_filter",
+    "category_name_reconciliation", "category_image_filter",
+    "dlq_error_routing", "html_field_extraction",
+    "json_recursive_product_search", "doc_decontamination",
+    "doc_repetition_filter", "doc_stratified_sample",
+    "doc_sequence_packing", "corpus_mix_weights", "doc_word_entropy",
+    "doc_sample_fixed_per_stratum", "corpus_curation_pipeline",
+    "doc_pii_redaction", "corpus_composition_report",
+    "doc_source_frequency_cap", "doc_shard_assignment",
+    "corpus_quantile_profile", "corpus_mix_apply",
     # -- past the 50-slot window from here: everything below has an
-    #    r8 or r9 driver record and is swept via mini_driver on
+    #    r9 or r10 driver record and is swept via mini_driver on
     #    final code --
-    "doc_dsir_weights", "doc_dsir_sample",
-    "price_segment_join", "vw_price_segment_analysis",
-    "warehouse_kpi_block",
+    "embedding_deleted_ann_topk", "doc_span_removal",
+    "doc_span_removal_variable", "doc_dsir_weights", "doc_dsir_sample",
 ]
 
 

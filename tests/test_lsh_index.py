@@ -1255,3 +1255,62 @@ def test_ivf_nprobe_calibration_generic(spark, tmp_path):
     SIM.write_pq_index(emb, flat)
     with pytest.raises(ValueError, match="ivf/ivfpq"):
         SIM.calibrate_index_nprobe(spark, flat, queries)
+
+
+def test_calibrate_lsh_planes_trades_buckets_for_measured_recall(
+    spark, tmp_path
+):
+    """The plane calibrator must (a) never return fewer planes than
+    the auto floor, (b) report a measured recall that actually holds
+    for the planted near-dup pairs when the chosen store serves them,
+    and (c) choose MORE planes (smaller buckets) when the target is
+    loose — the whole point is buying serve cost with measured recall
+    instead of the one-size auto heuristic."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    # 120 base vectors + a 0.02-noise near-dup of each (cos ≈ 0.998)
+    for i in range(120):
+        v = rng.normal(size=32)
+        v /= np.linalg.norm(v)
+        w = v + 0.02 * rng.normal(size=32)
+        w /= np.linalg.norm(w)
+        rows.append((i, [float(x) for x in v]))
+        rows.append((1000 + i, [float(x) for x in w]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    strict = SIM.calibrate_lsh_planes(
+        spark, emb, threshold=0.99, target_recall=0.95, n_rows=2_000_000
+    )
+    floor = SIM.auto_n_planes(2_000_000)
+    assert strict["floor"] == floor
+    assert strict["n_planes"] >= floor
+    assert strict["n_true_pairs"] >= 100  # ~120 planted, noise tolerant
+    assert strict["achieved_on_sample"] is None or (
+        strict["achieved_on_sample"] >= 0.95
+        or strict["n_planes"] == floor  # fell back, loudly visible
+    )
+    # recall decreases with plane count: the per-candidate curve the
+    # choice is read from must reflect that (allow noise plateaus)
+    curve = strict["per_candidate"]
+    ps = sorted(curve)
+    assert curve[ps[0]] >= curve[ps[-1]] - 1e-9
+
+    loose = SIM.calibrate_lsh_planes(
+        spark, emb, threshold=0.99, target_recall=0.3, n_rows=2_000_000
+    )
+    assert loose["n_planes"] >= strict["n_planes"]
+
+    # end-to-end: a store built at the calibrated plane count still
+    # finds the planted duplicates it promised
+    path = str(tmp_path / "cal_lsh")
+    SIM.write_lsh_index(emb, path, n_planes=strict["n_planes"])
+    delta = emb.filter(F.col("vec_id") >= 1000).limit(40)
+    status = SIM.lsh_index_dedup_status(spark, path, delta, threshold=0.99)
+    got = {
+        r["vec_id"]: r["status"]
+        for r in status.collect()
+    }
+    dup_frac = sum(1 for s in got.values() if s != "unique") / len(got)
+    assert dup_frac >= 0.9, got

@@ -1,0 +1,227 @@
+"""Store snapshots / time travel / rollback.
+
+Immutable-parquet stores already have a deletion lifecycle
+(tombstones → serve anti-join → physical fold); what was missing is
+the OTHER half of data governance at 100 TB: undo. Every writer in
+this repo creates new files and swaps whole directories — bytes are
+never mutated in place — so a hardlink tree under ``_versions/v{N}``
+is a complete, immutable, O(metadata) snapshot (the local-disk twin
+of a lakehouse snapshot manifest). These tests pin the contract:
+snapshots are cheap and complete (sidecars included), time-travel
+reads apply the snapshot's OWN tombstones, rollback restores exactly
+while preserving the full history, and maintenance (fold/compaction)
+carries history by hardlink instead of rewriting or copying it.
+
+Reference analogue: the reference's OLTP store leans on transactional
+DELETE/UPDATE with point-in-time recovery at the database layer
+(src/pipelines/crawl/storage/postgres_storage.py); on immutable
+parquet the equivalent is explicit snapshot + rollback.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tiki_data_pipeline_spark.operators import dedup as DD
+from tiki_data_pipeline_spark.sources.files import (
+    compact_store,
+    delete_from_store,
+    fold_tombstones,
+    list_store_versions,
+    read_store_meta,
+    read_store_version,
+    rollback_store,
+    snapshot_store,
+)
+
+CORPUS = [
+    (i, " ".join(f"w{i}x{j}" for j in range(12)) + f" tail t{i}")
+    for i in range(10)
+]
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _ids(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "id long")
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    path = str(tmp_path / "mh")
+    DD.write_minhash_index(_docs(spark, CORPUS), path)
+    return path
+
+
+def _live_ids(spark, path):
+    return {r["id"] for r in spark.read.parquet(path).select("id").collect()}
+
+
+class TestSnapshot:
+    def test_snapshot_survives_fold_and_serves_prefold_rows(
+        self, spark, store
+    ):
+        v1 = snapshot_store(store, tag="pre-takedown")
+        assert v1 == 1
+        delete_from_store(spark, store, _ids(spark, [3]))
+        assert fold_tombstones(spark, store) > 0
+        assert 3 not in _live_ids(spark, store)
+        # time travel: the pre-delete snapshot still has the victim
+        old = {
+            r["id"]
+            for r in read_store_version(spark, store, v1)
+            .select("id")
+            .collect()
+        }
+        assert 3 in old
+        assert old == set(range(10))
+
+    def test_snapshot_applies_its_own_tombstones(self, spark, store):
+        delete_from_store(spark, store, _ids(spark, [5]))
+        v = snapshot_store(store)  # tombstoned-but-unfolded state
+        fold_tombstones(spark, store)
+        served = {
+            r["id"]
+            for r in read_store_version(spark, store, v)
+            .select("id")
+            .collect()
+        }
+        assert 5 not in served  # as-of semantics: serve hides it
+        raw = {
+            r["id"]
+            for r in read_store_version(
+                spark, store, v, with_tombstones=False
+            )
+            .select("id")
+            .collect()
+        }
+        assert 5 in raw  # forensics view: physical rows intact
+
+    def test_snapshot_is_hardlinked_not_copied(self, spark, store):
+        band = next(
+            e.name
+            for e in os.scandir(store)
+            if e.is_dir() and e.name.startswith("band=")
+        )
+        live = {
+            os.stat(os.path.join(store, band, f)).st_ino
+            for f in os.listdir(os.path.join(store, band))
+            if f.endswith(".parquet")
+        }
+        v = snapshot_store(store)
+        snap_band = os.path.join(store, "_versions", f"v{v}", band)
+        snap = {
+            os.stat(os.path.join(snap_band, f)).st_ino
+            for f in os.listdir(snap_band)
+            if f.endswith(".parquet")
+        }
+        assert snap == live  # same inodes: zero data bytes copied
+
+    def test_crashed_snapshot_staging_is_swept(self, spark, store):
+        snapshot_store(store)
+        # a crash mid-snapshot leaves only the dot-staging dir
+        leftover = os.path.join(store, "_versions", ".v9.staging")
+        os.makedirs(leftover)
+        v = snapshot_store(store)
+        assert v == 2
+        assert not os.path.isdir(leftover)
+        assert [m["version"] for m in list_store_versions(store)] == [1, 2]
+
+    def test_manifest_contents(self, spark, store):
+        snapshot_store(store, tag="nightly")
+        (m,) = list_store_versions(store)
+        assert m["tag"] == "nightly"
+        assert m["version"] == 1
+        assert "_meta.json" in m["entries"]
+        assert any(e.startswith("band=") for e in m["entries"])
+
+    def test_unknown_version_fails_loudly(self, spark, store):
+        snapshot_store(store)
+        with pytest.raises(ValueError, match="no snapshot v7"):
+            read_store_version(spark, store, 7)
+
+
+class TestRollback:
+    def test_rollback_restores_exactly_and_keeps_history(
+        self, spark, store
+    ):
+        def rows():
+            return sorted(
+                (r["id"], r["band"], r["band_sig"])
+                for r in spark.read.parquet(store)
+                .select("id", "band", "band_sig")
+                .collect()
+            )
+
+        before = rows()
+        v1 = snapshot_store(store, tag="before-bad-fold")
+        delete_from_store(spark, store, _ids(spark, [0, 4, 9]))
+        fold_tombstones(spark, store)
+        v2 = snapshot_store(store, tag="after-fold")
+        assert rows() != before
+
+        rollback_store(store, v1)
+        assert rows() == before
+        assert read_store_meta(store)["kind"] == "minhash"
+        # history survives the rollback — including the newer snapshot
+        assert [m["version"] for m in list_store_versions(store)] == [v1, v2]
+        # roll FORWARD again: the rollback itself was the mistake
+        rollback_store(store, v2)
+        assert sorted(_live_ids(spark, store)) == [1, 2, 3, 5, 6, 7, 8]
+
+    def test_rolled_back_store_serves(self, spark, store):
+        v1 = snapshot_store(store)
+        delete_from_store(spark, store, _ids(spark, [2]))
+        fold_tombstones(spark, store)
+        rollback_store(store, v1)
+        batch = _docs(spark, [(92, CORPUS[2][1])])
+        st = {
+            r["doc_id"]: (r["status"], r["matched_id"])
+            for r in DD.incremental_dedup_status(spark, store, batch).collect()
+        }
+        assert st[92] == ("exact_dup", 2)  # victim is back, serve sees it
+
+
+class TestMaintenanceCarry:
+    def test_fold_carries_versions_by_hardlink(self, spark, store):
+        v = snapshot_store(store)
+        vband = os.path.join(store, "_versions", f"v{v}")
+        f = next(
+            os.path.join(dp, fn)
+            for dp, _, fns in os.walk(vband)
+            for fn in fns
+            if fn.endswith(".parquet")
+        )
+        ino = os.stat(f).st_ino
+        delete_from_store(spark, store, _ids(spark, [6]))
+        fold_tombstones(spark, store)
+        assert os.stat(f).st_ino == ino  # same inode: linked, not copied
+        # and time travel still works post-fold
+        assert 6 in {
+            r["id"]
+            for r in read_store_version(spark, store, v).select("id").collect()
+        }
+
+    def test_compaction_leaves_snapshots_untouched(self, spark, store):
+        v = snapshot_store(store)
+        vdir = os.path.join(store, "_versions", f"v{v}")
+
+        def tree(p):
+            return sorted(
+                os.path.join(dp, f)[len(p):]
+                for dp, _, fs in os.walk(p)
+                for f in fs
+            )
+
+        before = tree(vdir)
+        DD.append_minhash_index(
+            _docs(spark, [(50, "fresh doc body " * 3)]), store
+        )
+        compact_store(spark, store, target_files_per_partition=1)
+        assert tree(vdir) == before
+        assert 50 in _live_ids(spark, store)

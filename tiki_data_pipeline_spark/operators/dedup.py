@@ -1456,7 +1456,11 @@ def compact_line_df_store(spark, path: str) -> None:
     import os
     import shutil
 
-    from tiki_data_pipeline_spark.sources.files import swap_parquet_rewrite
+    from tiki_data_pipeline_spark.sources.files import (
+        VERSIONS_DIR,
+        _link_tree,
+        swap_parquet_rewrite,
+    )
 
     def _stage(staging: str) -> None:
         (
@@ -1471,7 +1475,9 @@ def compact_line_df_store(spark, path: str) -> None:
             if not e.name.startswith("_") or e.name in ("_SUCCESS",):
                 continue
             dst = os.path.join(staging, e.name)
-            if e.is_dir():
+            if e.is_dir() and e.name == VERSIONS_DIR:
+                _link_tree(e.path, dst)  # immutable history: O(metadata)
+            elif e.is_dir():
                 shutil.copytree(e.path, dst, dirs_exist_ok=True)
             else:
                 shutil.copy2(e.path, dst)

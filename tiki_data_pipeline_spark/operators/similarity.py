@@ -757,6 +757,136 @@ def auto_n_planes(n_rows: int, target_per_bucket: int = 200) -> int:
     return min(24, max(N_PLANES, math.ceil(math.log2(max(1, n_rows / target_per_bucket)))))
 
 
+def calibrate_lsh_planes(
+    spark,
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    target_recall: float = 0.95,
+    sample_size: int = 2000,
+    emit_radius: int = 2,
+    probe_planes: int | None = None,
+    n_rows: int | None = None,
+    max_planes: int = 24,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Pick the LARGEST plane count whose margin-ranked multi-probe
+    still reaches ``target_recall`` of true near-dup pairs — the LSH
+    twin of :func:`calibrate_index_nprobe`, and the knob the measured
+    2M-vector headroom points at: :func:`auto_n_planes` sizes buckets
+    to ~200 rows for the MEAN corpus, but every extra plane halves
+    bucket occupancy (so candidate volume) at a recall cost this
+    function MEASURES instead of guessing.
+
+    Mechanics: a driver-side sample (≤ ``MAX_QUERY_SET`` rows, same
+    contract as the ANN query paths) yields ground-truth pairs by
+    exact cosine; for each candidate plane count the sign codes and
+    margins are recomputed in numpy from the SAME deterministic
+    ``_plane_weight`` family the Spark/DuckDB bucketers evaluate, and
+    a pair counts as reached only if the probe scheme finds it from
+    BOTH directions (delta-probes-store serving has one fixed
+    direction, unknown here — both-ways is the conservative bound).
+    A pair is reachable from side q when every differing plane sits
+    among q's ``probe_planes`` smallest-margin planes and the Hamming
+    distance is ≤ ``emit_radius`` — exactly the mask set
+    ``lsh_index_near_dups`` emits.
+
+    Returns ``{n_planes, floor, achieved_on_sample, n_true_pairs,
+    target_recall, est_mean_bucket, probe_planes, emit_radius,
+    per_candidate}``; pass ``result["n_planes"]`` to
+    :func:`write_lsh_index`. Falls back to the :func:`auto_n_planes`
+    floor (flagged by ``achieved_on_sample``) when no candidate meets
+    the target or the sample has no true pairs."""
+    import numpy as np
+
+    rows = (
+        embeddings.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+        .limit(min(sample_size, MAX_QUERY_SET))
+        .collect()
+    )
+    total = int(n_rows) if n_rows is not None else embeddings.count()
+    floor = auto_n_planes(total)
+    base = {
+        "floor": floor,
+        "target_recall": target_recall,
+        "emit_radius": emit_radius,
+    }
+    if len(rows) < 2:
+        return {
+            **base,
+            "n_planes": floor,
+            "achieved_on_sample": None,
+            "n_true_pairs": 0,
+            "est_mean_bucket": total / float(2**floor),
+            "probe_planes": probe_planes,
+            "per_candidate": {},
+        }
+    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1)
+    keep = norms > 0
+    X = X[keep]
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    sims = Xn @ Xn.T
+    ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
+    if len(ia) == 0:
+        return {
+            **base,
+            "n_planes": floor,
+            "achieved_on_sample": None,
+            "n_true_pairs": 0,
+            "est_mean_bucket": total / float(2**floor),
+            "probe_planes": probe_planes,
+            "per_candidate": {},
+        }
+    dim = X.shape[1]
+    # weights for the LARGEST candidate once; plane p's weights do not
+    # depend on the total plane count, so smaller candidates slice
+    wmat = np.array(
+        [
+            [_plane_weight(p, i) for i in range(1, dim + 1)]
+            for p in range(max_planes)
+        ]
+    )
+    margins_all = X @ wmat.T  # n × max_planes
+    per_candidate: dict[int, float] = {}
+    chosen = None
+    for p in range(max(floor, 1), max_planes + 1):
+        marg = margins_all[:, :p]
+        codes = marg > 0
+        pp = (
+            min(probe_planes, p)
+            if probe_planes is not None
+            else min(p, max(4, 2 * emit_radius))
+        )
+        # rank[i, j] = how small plane j's |margin| is for vector i
+        order = np.argsort(np.abs(marg), axis=1)
+        rank = np.empty_like(order)
+        np.put_along_axis(rank, order, np.arange(p)[None, :], axis=1)
+        diff = codes[ia] ^ codes[ib]
+        within = diff.sum(axis=1) <= emit_radius
+
+        def _dir_ok(side):
+            r = rank[side]
+            worst = np.where(diff, r, -1).max(axis=1)
+            return worst < pp
+
+        reached = within & _dir_ok(ia) & _dir_ok(ib)
+        per_candidate[p] = round(float(reached.mean()), 4)
+        if per_candidate[p] >= target_recall:
+            chosen = p  # keep climbing: more planes = cheaper serve
+    n_planes = chosen if chosen is not None else floor
+    return {
+        **base,
+        "n_planes": int(n_planes),
+        "achieved_on_sample": per_candidate.get(n_planes),
+        "n_true_pairs": int(len(ia)),
+        "est_mean_bucket": total / float(2**n_planes),
+        "probe_planes": probe_planes,
+        "per_candidate": per_candidate,
+    }
+
+
 def write_lsh_index(
     embeddings: DataFrame,
     path: str,

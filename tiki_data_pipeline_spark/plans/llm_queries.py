@@ -649,6 +649,151 @@ def doc_deleted_dedup_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mh_tt_index_cached(spark: SparkSession, sf_dir: str) -> str:
+    """The even-id MinHash store with a FULL takedown lifecycle plus
+    history: snapshot v1 (pre-delete), retire ids divisible by 10,
+    physical fold. Serving the live tree sees the post-takedown
+    corpus; serving ``_versions/v1`` time-travels to before it — the
+    snapshot is a complete hardlinked store tree, so the SAME serve
+    code runs against both ends with no time-travel special case."""
+    import shutil
+
+    from tiki_data_pipeline_spark.sources.files import (
+        delete_from_store,
+        fold_tombstones,
+        snapshot_store,
+    )
+
+    def build(p: str) -> None:
+        shutil.copytree(_mh_index_cached(spark, sf_dir), p)
+        snapshot_store(p, tag="pre-takedown")
+        delete_from_store(
+            spark,
+            p,
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 10 == 0)
+            .select(F.col("doc_id").alias("id")),
+        )
+        fold_tombstones(spark, p)
+
+    return _session_index(spark, sf_dir, "mhtt", build)
+
+
+@query(
+    "doc_dedup_status_timetravel",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    eras AS (SELECT * FROM (VALUES (TRUE), (FALSE)) e(pre_del)),
+    fpall AS (
+      SELECT doc_id,
+             md5(trim(REGEXP_REPLACE(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    exact AS (
+      SELECT e.pre_del, b.doc_id AS new_id, MIN(a.doc_id) AS matched_id
+      FROM fpall a JOIN fpall b ON a.fp = b.fp CROSS JOIN eras e
+      WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        AND (e.pre_del OR a.doc_id % 10 <> 0)
+      GROUP BY 1, 2
+    ),
+    hashed AS (
+      SELECT doc_id,
+             try_cast(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT)
+               & {(1 << 30) - 1} AS h0
+      FROM sh
+    ),
+    mh AS (
+      SELECT doc_id, {_MH_MINS}
+      FROM hashed GROUP BY doc_id
+    ),
+    sigs AS (
+      {_MH_BANDS}
+    ),
+    cand AS (
+      SELECT DISTINCT e.pre_del, b.doc_id AS new_id, a.doc_id AS old_id
+      FROM sigs a JOIN sigs b
+        ON a.band = b.band AND a.band_sig = b.band_sig
+      CROSS JOIN eras e
+      WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        AND (e.pre_del OR a.doc_id % 10 <> 0)
+        AND NOT EXISTS (
+          SELECT 1 FROM exact x
+          WHERE x.pre_del = e.pre_del AND x.new_id = b.doc_id
+        )
+    ),
+    est AS (
+      SELECT c.pre_del, c.new_id, c.old_id,
+             ROUND(({_MH_AGREE_SQL}) / {float(DD.MINHASH_K)}, 4) AS est_jaccard
+      FROM cand c
+      JOIN mh x ON x.doc_id = c.new_id
+      JOIN mh y ON y.doc_id = c.old_id
+    ),
+    near AS (
+      SELECT pre_del, new_id, old_id AS matched_id FROM (
+        SELECT pre_del, new_id, old_id,
+               ROW_NUMBER() OVER (PARTITION BY pre_del, new_id
+                 ORDER BY est_jaccard DESC, old_id ASC) AS rn
+        FROM est WHERE est_jaccard >= 0.5
+      ) t WHERE rn = 1
+    )
+    SELECT d.doc_id,
+           CASE WHEN e1.new_id IS NOT NULL THEN 'exact_dup'
+                WHEN n1.new_id IS NOT NULL THEN 'near_dup'
+                ELSE 'unique' END AS status_asof,
+           COALESCE(e1.matched_id, n1.matched_id) AS matched_asof,
+           CASE WHEN e0.new_id IS NOT NULL THEN 'exact_dup'
+                WHEN n0.new_id IS NOT NULL THEN 'near_dup'
+                ELSE 'unique' END AS status_now,
+           COALESCE(e0.matched_id, n0.matched_id) AS matched_now
+    FROM documents d
+    LEFT JOIN exact e1 ON e1.pre_del AND e1.new_id = d.doc_id
+    LEFT JOIN near n1 ON n1.pre_del AND n1.new_id = d.doc_id
+    LEFT JOIN exact e0 ON NOT e0.pre_del AND e0.new_id = d.doc_id
+    LEFT JOIN near n0 ON NOT n0.pre_del AND n0.new_id = d.doc_id
+    WHERE d.doc_id % 2 = 1
+    """,
+)
+def doc_dedup_status_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel dedup audit: status every odd-id batch doc against
+    the corpus store BEFORE a takedown batch (snapshot ``v1``) and
+    AFTER it (live tree, tombstones folded), side by side — the
+    question a takedown/GDPR review actually asks ("which decisions
+    did this removal flip?"). A doc whose only duplicate was retired
+    reads (exact_dup → unique); survivors keep their match. The
+    snapshot is a hardlinked full store tree under ``_versions/v1``
+    (O(metadata) to record), so BOTH serves run the identical staged
+    exact-first path — time travel is a path choice, not a code
+    path. Oracle: the same staged-status SQL evaluated under both
+    store predicates (with and without the retired ids). Reference
+    analogue: point-in-time recovery on the OLTP store
+    (src/pipelines/crawl/storage/postgres_storage.py) — on immutable
+    parquet, explicit snapshots."""
+    import os
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    store = _mh_tt_index_cached(spark, sf_dir)
+    asof = DD.incremental_dedup_status(
+        spark, os.path.join(store, "_versions", "v1"), batch, threshold=0.5
+    )
+    now = DD.incremental_dedup_status(spark, store, batch, threshold=0.5)
+    return (
+        asof.select(
+            "doc_id",
+            F.col("status").alias("status_asof"),
+            F.col("matched_id").alias("matched_asof"),
+        )
+        .join(
+            now.select(
+                "doc_id",
+                F.col("status").alias("status_now"),
+                F.col("matched_id").alias("matched_now"),
+            ),
+            "doc_id",
+        )
+    )
+
+
 @query(
     "doc_simhash_signatures",
     oracle=f"""
@@ -1600,6 +1745,7 @@ SESSION_BUILDS: dict = {
     "shingle_set": lambda spark, sf_dir: _shingles_cached(spark, sf_dir),
     "minhash_index": lambda spark, sf_dir: _mh_index_cached(spark, sf_dir),
     "minhash_del_index": lambda spark, sf_dir: _mh_del_index_cached(spark, sf_dir),
+    "minhash_tt_index": lambda spark, sf_dir: _mh_tt_index_cached(spark, sf_dir),
     "line_df_store": lambda spark, sf_dir: _line_df_store_cached(spark, sf_dir),
     "line_df_del_store": lambda spark, sf_dir: _line_df_del_store_cached(
         spark, sf_dir

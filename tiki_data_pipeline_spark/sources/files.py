@@ -394,6 +394,145 @@ def reject_tombstoned(
         )
 
 
+VERSIONS_DIR = "_versions"
+
+
+def snapshot_store(path: str, tag: str | None = None) -> int:
+    """Record a point-in-time snapshot of a persisted store as a
+    hardlink tree under ``_versions/v{N}/`` — O(metadata), zero data
+    bytes copied (the local-disk twin of a lakehouse snapshot
+    manifest: every writer in this repo creates NEW parquet files and
+    swaps whole directories, never mutates bytes in place, so a
+    hardlinked file is immutable for the snapshot's lifetime).
+
+    Run before destructive maintenance (``fold_tombstones``,
+    ``compact_store``, a risky migration): :func:`rollback_store`
+    restores the tree exactly, and :func:`read_store_version` serves
+    any snapshot read-only without touching the live store. Returns
+    the new version number (monotonic from 1). Crash-safe: the
+    snapshot is staged under a dot-prefixed temp dir and renamed into
+    place; a crashed attempt is swept on the next call."""
+    import json
+    import os
+    import shutil
+    import time
+
+    recover_interrupted_swap(path)
+    vroot = os.path.join(path, VERSIONS_DIR)
+    os.makedirs(vroot, exist_ok=True)
+    versions = [0]
+    for e in os.scandir(vroot):
+        if e.name.startswith(".") and e.name.endswith(".staging"):
+            shutil.rmtree(e.path, ignore_errors=True)  # crashed attempt
+        elif e.is_dir() and e.name.startswith("v") and e.name[1:].isdigit():
+            versions.append(int(e.name[1:]))
+    n = max(versions) + 1
+    staging = os.path.join(vroot, f".v{n}.staging")
+    os.makedirs(staging)
+    for e in os.scandir(path):
+        if e.name == VERSIONS_DIR or e.name.endswith(
+            (".old", ".staging", ".compacting")
+        ):
+            continue  # never snapshot snapshots or swap residue
+        dst = os.path.join(staging, e.name)
+        if e.is_dir():
+            _link_tree(e.path, dst)
+        else:
+            try:
+                os.link(e.path, dst)
+            except OSError:
+                shutil.copy2(e.path, dst)
+    manifest = {
+        "version": n,
+        "tag": tag,
+        "created_unix": int(time.time()),
+        "entries": sorted(os.listdir(staging)),
+    }
+    with open(os.path.join(staging, "_version.json"), "w") as f:
+        json.dump(manifest, f)
+    os.rename(staging, os.path.join(vroot, f"v{n}"))
+    return n
+
+
+def list_store_versions(path: str) -> list[dict]:
+    """Manifests of every snapshot recorded for the store, ascending
+    by version. Filesystem-only — no Spark session needed."""
+    import json
+    import os
+
+    vroot = os.path.join(path, VERSIONS_DIR)
+    if not os.path.isdir(vroot):
+        return []
+    out = []
+    for e in sorted(os.scandir(vroot), key=lambda x: x.name):
+        mf = os.path.join(e.path, "_version.json")
+        if e.is_dir() and not e.name.startswith(".") and os.path.isfile(mf):
+            with open(mf) as f:
+                out.append(json.load(f))
+    return sorted(out, key=lambda m: m["version"])
+
+
+def _version_dir(path: str, version: int) -> str:
+    import os
+
+    vdir = os.path.join(path, VERSIONS_DIR, f"v{version}")
+    if not os.path.isdir(vdir):
+        known = [m["version"] for m in list_store_versions(path)]
+        raise ValueError(
+            f"store {path} has no snapshot v{version}; recorded: {known}"
+        )
+    return vdir
+
+
+def read_store_version(
+    spark: SparkSession, path: str, version: int, with_tombstones: bool = True
+) -> DataFrame:
+    """Serve a snapshot read-only (time travel): the snapshot tree is
+    a complete store — data partitions AND sidecars — so the read
+    applies the snapshot's OWN tombstones by default, exactly like a
+    serve against the live store at the moment the snapshot was
+    taken. ``with_tombstones=False`` exposes the raw pre-anti-join
+    rows (forensics)."""
+    vdir = _version_dir(path, version)
+    df = spark.read.parquet(vdir)
+    return apply_tombstones(df, vdir) if with_tombstones else df
+
+
+def rollback_store(path: str, version: int) -> None:
+    """Restore the live store to snapshot ``version`` — the undo for
+    a bad fold/compaction/append batch. The snapshot history itself
+    SURVIVES the rollback (including snapshots newer than the target:
+    a rollback is an event, not history rewriting — roll forward
+    again if the rollback itself was the mistake). Same crash-safe
+    swap as every other store rewrite; hardlinks, zero data bytes
+    moved."""
+    import os
+    import shutil
+
+    vdir = _version_dir(path, version)
+
+    def _stage(staging: str) -> None:
+        os.makedirs(staging)
+        for e in os.scandir(vdir):
+            if e.name == "_version.json":
+                continue
+            dst = os.path.join(staging, e.name)
+            if e.is_dir():
+                _link_tree(e.path, dst)
+            else:
+                try:
+                    os.link(e.path, dst)
+                except OSError:
+                    shutil.copy2(e.path, dst)
+        # carry the FULL version history across the swap
+        _link_tree(
+            os.path.join(path, VERSIONS_DIR),
+            os.path.join(staging, VERSIONS_DIR),
+        )
+
+    swap_parquet_rewrite(path, _stage)
+
+
 FP_BUCKETS = 64
 
 
@@ -777,6 +916,13 @@ def fold_tombstones(
             elif e.is_dir() and e.name == "_decisions":
                 # lineage records must stop naming retired ids too
                 _fold_decisions_sidecar(spark, e.path, dst, tomb)
+            elif e.is_dir() and e.name == VERSIONS_DIR:
+                # snapshots are immutable history — carry by hardlink
+                # (a byte copy of every snapshot per fold would be the
+                # O(store) cost snapshots exist to avoid); a fold does
+                # NOT rewrite them: time travel to a pre-fold version
+                # intentionally still sees the folded rows
+                _link_tree(e.path, dst)
             elif e.is_dir():
                 shutil.copytree(e.path, dst, dirs_exist_ok=True)
             elif e.is_file():
@@ -952,7 +1098,9 @@ def migrate_store_layout(
             if not e.name.startswith("_"):
                 continue
             dst = os.path.join(staging, e.name)
-            if e.is_dir():
+            if e.is_dir() and e.name == VERSIONS_DIR:
+                _link_tree(e.path, dst)  # immutable history: O(metadata)
+            elif e.is_dir():
                 shutil.copytree(e.path, dst, dirs_exist_ok=True)
             elif e.is_file():
                 shutil.copy2(e.path, dst)

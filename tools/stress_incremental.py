@@ -588,6 +588,62 @@ def run_level(spark, n: int) -> dict:
         ).count()
         out["emb_status_exhaustive_s"] = round(time.perf_counter() - t0, 2)
 
+    # 3a-cal. measured-recall plane calibration (r11): auto planes
+    # target ~200 rows/bucket for the MEAN corpus; every extra plane
+    # halves bucket occupancy (→ candidate volume through the scoring
+    # join, the measured 2M-vector serve cost) at a recall price
+    # calibrate_lsh_planes MEASURES on a sample instead of guessing.
+    # Build a second store at the calibrated count, serve the same
+    # delta, and pin: (a) planted-dup recovery must not drop below
+    # the default store's, (b) the serve should not be slower.
+    t0 = time.perf_counter()
+    cal = SIM.calibrate_lsh_planes(
+        spark,
+        emb.filter(~vec_is_delta),
+        threshold=0.9,
+        target_recall=0.95,
+        n_rows=out["lsh_meta"].get("n_rows"),
+    )
+    out["lsh_cal"] = {
+        k: cal[k]
+        for k in ("n_planes", "floor", "achieved_on_sample", "n_true_pairs")
+    }
+    out["lsh_cal_s"] = round(time.perf_counter() - t0, 2)
+    if cal["n_planes"] > cal["floor"]:
+        cal_store = f"{dst}/lsh_store_cal"
+        shutil.rmtree(cal_store, ignore_errors=True)
+        t0 = time.perf_counter()
+        SIM.write_lsh_index(
+            emb.filter(~vec_is_delta), cal_store, n_planes=cal["n_planes"]
+        )
+        out["lsh_cal_build_s"] = round(time.perf_counter() - t0, 2)
+        planted_delta = delta_emb.filter(
+            (vec_base % 100 == 8) & (vec_rep % 50 == 1)
+        )
+        dup_planted = lambda store: (
+            SIM.lsh_index_dedup_status(
+                spark, store, planted_delta, threshold=0.9, emit_radius=2
+            )
+            .filter(F.col("status") != "unique")
+            .count()
+        )
+        base_planted = dup_planted(lsh_store)
+        t0 = time.perf_counter()
+        out["emb_status_dups_cal"] = (
+            SIM.lsh_index_dedup_status(
+                spark, cal_store, delta_emb, threshold=0.9, emit_radius=2
+            )
+            .filter(F.col("status") != "unique")
+            .count()
+        )
+        out["emb_status_cal_s"] = round(time.perf_counter() - t0, 2)
+        cal_planted = dup_planted(cal_store)
+        out["lsh_cal_planted"] = {"base": base_planted, "cal": cal_planted}
+        assert cal_planted >= 0.9 * base_planted, (
+            f"calibrated store lost planted dups: {cal_planted} vs "
+            f"{base_planted} at n_planes={cal['n_planes']}"
+        )
+
     # 3b. IVF auto-nprobe recall pin (r8): build an auto-sized IVF
     # index over the store slice, serve 10 PLANTED delta vectors
     # (the 0.001-noise near-dup slice) with nprobe="auto", and
