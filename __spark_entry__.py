@@ -37,10 +37,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # whose implementation changed THIS round (the span-stats single-pass
 # inventory; the line-df ledger crash-recovery + pinned delete batch;
 # the fpb-bucketed _fingerprints sidecar the deletion serve reads),
-# plus all 47 queries with no driver record newer than r8 — including
-# the NEW doc_dedup_status_timetravel. 3 + 47 = 50, so union
-# r9-r11 covers all 140 registry queries; the full mini_driver sweep
-# on final code re-verifies everything else.
+# the 3 queries NEW this round (doc_dedup_status_timetravel,
+# doc_dedup_store_version_diff, lineitem_zorder_box_scan), plus 44 of
+# the 47 queries with no driver record newer than r8 (the 2 displaced
+# by the new queries are r8-green and re-swept via mini_driver).
+# Union r8-r11 covers all 142 registry queries.
 _SENTINELS = [
     # -- r11-changed implementations --
     "doc_duplicate_span_stats",   # r11: shared inventory exchange (AQE reuse)
@@ -48,8 +49,11 @@ _SENTINELS = [
     "doc_deleted_dedup_status",   # r11: bucketed _fingerprints sidecar serve
 ]
 _FRESHNESS_ROTATION = [
-    # -- the 47 queries absent from both the r9 and r10 windows --
-    "transform_products", "category_integrity_report",
+    # -- NEW r11 queries (no driver record exists yet) --
+    "doc_dedup_store_version_diff",  # NEW r11: snapshot membership diff
+    "lineitem_zorder_box_scan",      # NEW r11: Z-order layout round-trip
+    # -- the queries absent from both the r9 and r10 windows --
+    "category_integrity_report",
     "doc_minhash_lsh_near_dup", "doc_incremental_near_dup",
     "doc_incremental_near_dup_verified", "doc_incremental_dedup_status",
     "doc_dedup_status_timetravel",  # NEW r11: snapshot time travel
@@ -63,7 +67,7 @@ _FRESHNESS_ROTATION = [
     "scd2_dimension_apply", "daily_revenue_7d_ma",
     "customer_running_revenue", "dataset_verification_report",
     "median_order_value", "corpus_quality_filter",
-    "category_name_reconciliation", "category_image_filter",
+    "category_name_reconciliation",
     "dlq_error_routing", "html_field_extraction",
     "json_recursive_product_search", "doc_decontamination",
     "doc_repetition_filter", "doc_stratified_sample",
@@ -73,8 +77,10 @@ _FRESHNESS_ROTATION = [
     "doc_source_frequency_cap", "doc_shard_assignment",
     "corpus_quantile_profile", "corpus_mix_apply",
     # -- past the 50-slot window from here: everything below has an
-    #    r9 or r10 driver record and is swept via mini_driver on
-    #    final code --
+    #    r8, r9 or r10 driver record and is swept via mini_driver on
+    #    final code (transform_products / category_image_filter were
+    #    displaced from the window by the two NEW r11 queries) --
+    "transform_products", "category_image_filter",
     "embedding_deleted_ann_topk", "doc_span_removal",
     "doc_span_removal_variable", "doc_dsir_weights", "doc_dsir_sample",
 ]

@@ -225,3 +225,70 @@ class TestMaintenanceCarry:
         compact_store(spark, store, target_files_per_partition=1)
         assert tree(vdir) == before
         assert 50 in _live_ids(spark, store)
+
+
+class TestVersionDiff:
+    def test_diff_reads_exactly_the_maintenance_window(self, spark, store):
+        from tiki_data_pipeline_spark.sources.files import store_version_diff
+
+        v1 = snapshot_store(store, tag="baseline")
+        DD.append_minhash_index(
+            _docs(spark, [(20, "fresh body " * 4), (21, "other body " * 4)]),
+            store,
+        )
+        delete_from_store(spark, store, _ids(spark, [3, 7]))
+        fold_tombstones(spark, store)
+        v2 = snapshot_store(store, tag="post")
+        got = {
+            (r["id"], r["change"])
+            for r in store_version_diff(spark, store, v1, v2).collect()
+        }
+        assert got == {
+            (20, "added"),
+            (21, "added"),
+            (3, "removed"),
+            (7, "removed"),
+        }
+
+    def test_diff_against_live_tree_sees_pending_tombstones(
+        self, spark, store
+    ):
+        from tiki_data_pipeline_spark.sources.files import store_version_diff
+
+        v1 = snapshot_store(store)
+        # delete WITHOUT folding: the live set must already exclude
+        # the victim (diff sees what a serve sees, not raw files)
+        delete_from_store(spark, store, _ids(spark, [4]))
+        got = {
+            (r["id"], r["change"])
+            for r in store_version_diff(spark, store, v1).collect()
+        }
+        assert got == {(4, "removed")}
+
+    def test_diff_without_fingerprints_sidecar_falls_back(
+        self, spark, tmp_path
+    ):
+        import shutil
+
+        from tiki_data_pipeline_spark.sources.files import store_version_diff
+
+        # a bare parquet store with an id column and no sidecars
+        path = str(tmp_path / "bare")
+        _docs(spark, CORPUS).select(
+            F.col("doc_id").alias("id"), "text"
+        ).write.parquet(path)
+        v1 = snapshot_store(path)
+        delete_from_store(spark, path, _ids(spark, [1]))
+        fold_tombstones(spark, path)
+        got = {
+            (r["id"], r["change"])
+            for r in store_version_diff(spark, path, v1).collect()
+        }
+        assert got == {(1, "removed")}
+
+    def test_identity_diff_is_empty(self, spark, store):
+        from tiki_data_pipeline_spark.sources.files import store_version_diff
+
+        v1 = snapshot_store(store)
+        assert store_version_diff(spark, store, v1, v1).count() == 0
+        assert store_version_diff(spark, store, v1).count() == 0

@@ -274,6 +274,76 @@ def deep_discount_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------ data layout (Z-order scan)
+
+def _zorder_lineitem_cached(spark: SparkSession, sf_dir: str) -> str:
+    """lineitem rewritten Z-ordered on (l_extendedprice, l_quantity),
+    built once per (session, sf_dir) like every persisted-store
+    fixture (llm_queries._session_index)."""
+    from tiki_data_pipeline_spark.operators import layout as L
+    from tiki_data_pipeline_spark.plans.llm_queries import _session_index
+
+    return _session_index(
+        spark,
+        sf_dir,
+        "zorder_li",
+        lambda p: L.write_zordered(
+            load_table(spark, sf_dir, "lineitem"),
+            p,
+            ["l_extendedprice", "l_quantity"],
+            target_files=16,
+        ),
+    )
+
+
+@query(
+    "lineitem_zorder_box_scan",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM({X.o_ints('l_quantity')}) AS DOUBLE) AS sum_qty,
+           {X.o_div_round(
+               f"SUM({X.o_cents('l_extendedprice')}"
+               f" * (100 - {X.o_hundredths('l_discount')}))",
+               "100", 100)} AS revenue
+    FROM lineitem
+    WHERE l_extendedprice BETWEEN 10000 AND 30000
+      AND l_quantity BETWEEN 10 AND 20
+    GROUP BY l_returnflag
+    """,
+)
+def lineitem_zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D box scan over the Z-ordered lineitem copy: the layout
+    round-trip must be value-exact under a selective predicate on
+    BOTH clustering dimensions. The 100 TB point of the layout is in
+    the footers, not the answer: every row group of the Z-ordered
+    copy covers a small (price × quantity) rectangle, so this box
+    skips most of the table on min/max statistics alone
+    (tests/test_layout.py pins the pruning fraction; this query pins
+    value fidelity against the UN-clustered oracle table)."""
+    li = spark.read.parquet(_zorder_lineitem_cached(spark, sf_dir))
+    ext_c = X.cents(F.col("l_extendedprice"))
+    d_h = X.hundredths(F.col("l_discount"))
+    return (
+        li.filter(
+            F.col("l_extendedprice").between(10000, 30000)
+            & F.col("l_quantity").between(10, 20)
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(X.ints(F.col("l_quantity"))).alias("_sq"),
+            F.sum(ext_c * (100 - d_h)).alias("_rev"),
+        )
+        .selectExpr(
+            "l_returnflag",
+            "n_rows",
+            "CAST(_sq AS DOUBLE) AS sum_qty",
+            X.div_round_expr("_rev", "100", 100) + " AS revenue",
+        )
+    )
+
+
 # ------------------------------------------------------- approx (scale path)
 
 @query("approx_distinct_stats")

@@ -794,6 +794,70 @@ def doc_dedup_status_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mh_vd_index_cached(spark: SparkSession, sf_dir: str) -> str:
+    """The even-id MinHash store with a FULL maintenance window
+    between two snapshots: v1 (baseline) → append the odd%3 batch →
+    retire ids divisible by 10 → physical fold → v2. The version
+    diff v1→v2 must read back exactly (appended − retired)."""
+    import shutil
+
+    from tiki_data_pipeline_spark.sources.files import (
+        delete_from_store,
+        fold_tombstones,
+        snapshot_store,
+    )
+
+    def build(p: str) -> None:
+        shutil.copytree(_mh_index_cached(spark, sf_dir), p)
+        snapshot_store(p, tag="baseline")
+        docs = load_table(spark, sf_dir, "documents")
+        DD.append_minhash_index(
+            docs.filter(
+                (F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 3 == 0)
+            ),
+            p,
+        )
+        delete_from_store(
+            spark,
+            p,
+            docs.filter(F.col("doc_id") % 10 == 0).select(
+                F.col("doc_id").alias("id")
+            ),
+        )
+        fold_tombstones(spark, p)
+        snapshot_store(p, tag="post-maintenance")
+
+    return _session_index(spark, sf_dir, "mhvd", build)
+
+
+@query(
+    "doc_dedup_store_version_diff",
+    oracle="""
+    SELECT doc_id AS id,
+           CASE WHEN doc_id % 2 = 1 THEN 'added' ELSE 'removed' END AS change
+    FROM documents
+    WHERE (doc_id % 2 = 1 AND doc_id % 3 = 0) OR doc_id % 10 = 0
+    """,
+)
+def doc_dedup_store_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot membership diff across a maintenance window: which
+    doc ids entered / left the corpus store between snapshot v1
+    (baseline) and v2 (after an append batch + a takedown fold) —
+    the closing audit of every takedown ticket ("the fold retired
+    exactly the requested ids, the append landed, nothing else
+    moved"). Serve-side it is ONE full-outer join of two id sets
+    read column-pruned from the ``_fingerprints`` sidecars (O(docs)
+    per side, never O(band rows)); at 100 TB the id sets are ~1/1000
+    of the store bytes and the join shuffles only ids. Oracle: the
+    batch/victim predicates restated over ``documents``. Reference
+    analogue: audit-log reconciliation on the OLTP store
+    (src/pipelines/crawl/storage/postgres_storage.py)."""
+    from tiki_data_pipeline_spark.sources.files import store_version_diff
+
+    store = _mh_vd_index_cached(spark, sf_dir)
+    return store_version_diff(spark, store, 1, 2)
+
+
 @query(
     "doc_simhash_signatures",
     oracle=f"""
@@ -1758,6 +1822,11 @@ SESSION_BUILDS: dict = {
     "ivf_even_index": lambda spark, sf_dir: _ivf_even_index_cached(spark, sf_dir),
     "pq_index": lambda spark, sf_dir: _pq_index_cached(spark, sf_dir),
     "ivfpq_index": lambda spark, sf_dir: _ivfpq_index_cached(spark, sf_dir),
+    "minhash_vd_index": lambda spark, sf_dir: _mh_vd_index_cached(spark, sf_dir),
+    "zorder_lineitem": lambda spark, sf_dir: __import__(
+        "tiki_data_pipeline_spark.plans.extras_queries",
+        fromlist=["_zorder_lineitem_cached"],
+    )._zorder_lineitem_cached(spark, sf_dir),
 }
 
 

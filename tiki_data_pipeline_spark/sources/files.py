@@ -533,6 +533,61 @@ def rollback_store(path: str, version: int) -> None:
     swap_parquet_rewrite(path, _stage)
 
 
+def _store_live_ids(
+    spark: SparkSession, tree: str, id_col: str = "id"
+) -> DataFrame:
+    """Distinct live ids of one store tree (a snapshot dir or the
+    live root): the ``_fingerprints`` sidecar when present (one
+    column-pruned scan of (id) — O(docs), never O(rows) — the same
+    sidecar the deletion serve reads), else a distinct over the data
+    tree; either way anti-joined with THAT tree's own pending
+    tombstones so the set matches what a serve would see."""
+    import os
+
+    fdir = os.path.join(tree, "_fingerprints")
+    if os.path.isdir(fdir):
+        ids = spark.read.parquet(fdir).select("id")
+    else:
+        ids = spark.read.parquet(tree).select(F.col(id_col).alias("id"))
+    return apply_tombstones(ids.distinct(), tree)
+
+
+def store_version_diff(
+    spark: SparkSession,
+    path: str,
+    v_from: int,
+    v_to: int | None = None,
+    id_col: str = "id",
+) -> DataFrame:
+    """Membership diff between two points in a store's history:
+    which ids were ``added`` / ``removed`` going from snapshot
+    ``v_from`` to ``v_to`` (None = the live tree) — the audit a
+    maintenance window ends with ("this fold retired exactly the
+    takedown batch and nothing else") and the reviewable record a
+    takedown request closes on. One full-outer join of the two
+    (driver-small relative to data: one id row per doc) live-id
+    sets; rows present on both sides never survive the join filter.
+    Reference analogue: WAL/audit diffing on the OLTP store
+    (src/pipelines/crawl/storage/postgres_storage.py) — on immutable
+    parquet, snapshot set difference."""
+    recover_interrupted_swap(path)
+    a = _store_live_ids(spark, _version_dir(path, v_from), id_col)
+    b = _store_live_ids(
+        spark,
+        path if v_to is None else _version_dir(path, v_to),
+        id_col,
+    )
+    j = a.withColumn("_from", F.lit(1)).join(
+        b.withColumn("_to", F.lit(1)), "id", "full_outer"
+    )
+    return j.filter(F.col("_from").isNull() | F.col("_to").isNull()).select(
+        "id",
+        F.when(F.col("_from").isNull(), F.lit("added"))
+        .otherwise(F.lit("removed"))
+        .alias("change"),
+    )
+
+
 FP_BUCKETS = 64
 
 
