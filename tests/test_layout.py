@@ -99,3 +99,31 @@ class TestBucketIndex:
             L.zorder_value([F.lit(3), F.lit(0)], bits=2).alias("z")
         )
         assert df.collect()[0]["z"] == 5
+
+
+class TestAppend:
+    def test_append_keeps_grid_and_stays_skippable(
+        self, spark, grid, tmp_path
+    ):
+        zpath = str(tmp_path / "za")
+        half_a = grid.filter(F.col("id") % 2 == 0)
+        half_b = grid.filter(F.col("id") % 2 == 1)
+        meta = L.write_zordered(half_a, zpath, ["x", "y"], target_files=8)
+        got = L.append_zordered(half_b, zpath, target_files=8)
+        # frozen grid: the append reuses the recorded boundaries
+        assert got == meta and L.read_layout_meta(zpath) == meta
+        back = spark.read.parquet(zpath)
+        assert back.count() == N
+        # the merged table still prunes the box well: both the old and
+        # the appended files cluster on the same value grid
+        stats = L.scan_pruning_stats(zpath, BOX)
+        assert stats["rows"] == N
+        assert stats["rows_pruned_frac"] >= 0.5
+
+    def test_append_to_unlayouted_table_fails_loudly(
+        self, spark, grid, tmp_path
+    ):
+        plain = str(tmp_path / "plain")
+        grid.write.parquet(plain)
+        with pytest.raises(ValueError, match="_layout.json"):
+            L.append_zordered(grid, plain)

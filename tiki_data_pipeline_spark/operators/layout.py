@@ -139,6 +139,42 @@ def write_zordered(
     return meta
 
 
+def append_zordered(
+    df: DataFrame, path: str, target_files: int | None = None
+) -> dict:
+    """Append a batch to an existing Z-ordered table, clustering the
+    NEW files on the SAME boundary grid recorded in ``_layout.json``
+    (re-deriving quantiles from the batch would drift the grid and
+    blur every future file's min/max windows). The live table stays
+    globally skippable: old files keep their tight rectangles, the
+    appended files get their own. Periodic re-layout (re-running
+    :func:`write_zordered` over the accumulated table, which also
+    refreshes the boundaries against data drift) is the compaction
+    step — same regime as every store's fold/compact maintenance."""
+    meta = read_layout_meta(path)
+    if meta is None:
+        raise ValueError(
+            f"{path} has no _layout.json - not a Z-ordered table; "
+            "build it with write_zordered() first"
+        )
+    z = zorder_value(
+        [bucket_index(F.col(c), meta["bounds"][c]) for c in meta["cols"]],
+        meta["bits"],
+    )
+    n = target_files or max(
+        1, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")) // 8
+    )
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(int(n), "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("append")
+        .parquet(path)
+    )
+    return meta
+
+
 def read_layout_meta(path: str) -> dict | None:
     mf = os.path.join(path, LAYOUT_META)
     if not os.path.isfile(mf):
