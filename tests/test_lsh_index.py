@@ -1314,3 +1314,65 @@ def test_calibrate_lsh_planes_trades_buckets_for_measured_recall(
     }
     dup_frac = sum(1 for s in got.values() if s != "unique") / len(got)
     assert dup_frac >= 0.9, got
+
+
+def test_calibrate_lsh_planes_with_harvested_pairs(spark, tmp_path):
+    """The pairs escape hatch for sparse-near-dup corpora: a uniform
+    sample of a corpus with ~40 true pairs in 200k vectors contains
+    none of them (measured in the r11 stress run: n_true_pairs=0,
+    vacuous floor fallback), so calibrate_lsh_planes accepts the
+    pairs a DEFAULT-plane serve finds and measures exactly the
+    non-regression criterion on them — of the pairs the default
+    scheme finds, the chosen plane count must keep >= target_recall
+    reachable."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(120):
+        v = rng.normal(size=32)
+        v /= np.linalg.norm(v)
+        w = v + 0.02 * rng.normal(size=32)
+        w /= np.linalg.norm(w)
+        rows.append((i, [float(x) for x in v]))
+        rows.append((1000 + i, [float(x) for x in w]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    store_emb = emb.filter(F.col("vec_id") < 1000)
+    delta = emb.filter(F.col("vec_id") >= 1000)
+
+    floor = SIM.auto_n_planes(2_000_000)
+    base_store = str(tmp_path / "lsh_floor")
+    SIM.write_lsh_index(store_emb, base_store, n_planes=floor)
+    pairs = SIM.lsh_index_near_dups(
+        spark, base_store, delta, threshold=0.99
+    ).select("new_id", "old_id")
+    base_found = pairs.count()
+    assert base_found >= 100  # the planted mass, noise tolerant
+
+    cal = SIM.calibrate_lsh_planes(
+        spark,
+        emb,
+        threshold=0.99,
+        target_recall=0.9,
+        n_rows=2_000_000,
+        pairs=pairs,
+    )
+    assert cal["pairs_source"] == "provided"
+    assert cal["n_true_pairs"] >= 100
+    assert cal["n_planes"] >= floor
+    assert cal["per_candidate"], "must be measured, not a vacuous fallback"
+
+    # end-to-end: a store at the calibrated count keeps the default
+    # store's pairs
+    cal_store = str(tmp_path / "lsh_cal")
+    SIM.write_lsh_index(store_emb, cal_store, n_planes=cal["n_planes"])
+    found = SIM.lsh_index_near_dups(
+        spark, cal_store, delta, threshold=0.99
+    ).count()
+    assert found >= 0.9 * base_found
+
+    # empty harvested pairs: loud floor fallback, source still tagged
+    empty = spark.createDataFrame([], "new_id long, old_id long")
+    fb = SIM.calibrate_lsh_planes(spark, emb, n_rows=2_000_000, pairs=empty)
+    assert fb["n_planes"] == fb["floor"]
+    assert fb["pairs_source"] == "provided" and fb["per_candidate"] == {}

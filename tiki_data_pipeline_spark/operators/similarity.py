@@ -769,6 +769,7 @@ def calibrate_lsh_planes(
     max_planes: int = 24,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pairs: DataFrame | None = None,
 ) -> dict:
     """Pick the LARGEST plane count whose margin-ranked multi-probe
     still reaches ``target_recall`` of true near-dup pairs — the LSH
@@ -778,9 +779,13 @@ def calibrate_lsh_planes(
     bucket occupancy (so candidate volume) at a recall cost this
     function MEASURES instead of guessing.
 
-    Mechanics: a driver-side sample (≤ ``MAX_QUERY_SET`` rows, same
-    contract as the ANN query paths) yields ground-truth pairs by
-    exact cosine; for each candidate plane count the sign codes and
+    Mechanics: ground-truth pairs come either from ``pairs`` (a
+    caller-harvested (id_a, id_b) DataFrame — use a serve of the
+    default-plane store when near-dups are too rare for a uniform
+    sample to contain any; vectors for the endpoints are fetched by
+    id, bounded by ``MAX_QUERY_SET`` pairs) or, by default, from a
+    driver-side sample (≤ ``MAX_QUERY_SET`` rows, same contract as
+    the ANN query paths) scored by exact cosine; for each candidate plane count the sign codes and
     margins are recomputed in numpy from the SAME deterministic
     ``_plane_weight`` family the Spark/DuckDB bucketers evaluate, and
     a pair counts as reached only if the probe scheme finds it from
@@ -799,46 +804,80 @@ def calibrate_lsh_planes(
     the target or the sample has no true pairs."""
     import numpy as np
 
-    rows = (
-        embeddings.filter(F.col(vec_col).isNotNull())
-        .select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
-        .limit(min(sample_size, MAX_QUERY_SET))
-        .collect()
-    )
     total = int(n_rows) if n_rows is not None else embeddings.count()
     floor = auto_n_planes(total)
     base = {
         "floor": floor,
         "target_recall": target_recall,
         "emit_radius": emit_radius,
+        "pairs_source": "provided" if pairs is not None else "sample",
     }
-    if len(rows) < 2:
+
+    def _floor_fallback(n_true: int = 0) -> dict:
         return {
             **base,
             "n_planes": floor,
             "achieved_on_sample": None,
-            "n_true_pairs": 0,
+            "n_true_pairs": n_true,
             "est_mean_bucket": total / float(2**floor),
             "probe_planes": probe_planes,
             "per_candidate": {},
         }
-    X = np.array([r["v"] for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(X, axis=1)
-    keep = norms > 0
-    X = X[keep]
-    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-    sims = Xn @ Xn.T
-    ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
-    if len(ia) == 0:
-        return {
-            **base,
-            "n_planes": floor,
-            "achieved_on_sample": None,
-            "n_true_pairs": 0,
-            "est_mean_bucket": total / float(2**floor),
-            "probe_planes": probe_planes,
-            "per_candidate": {},
+
+    if pairs is not None:
+        # Caller-harvested ground truth (first two columns = the pair
+        # ids): the escape from the uniform-sample blind spot — when
+        # near-dups are RARE (e.g. 40 planted pairs in 200k vectors),
+        # a 2000-row sample contains ~(s/N)² of them, i.e. none, and
+        # calibration degenerates to the floor. A serve of the
+        # default-plane store supplies real pairs instead; calibrating
+        # on them measures exactly the non-regression criterion
+        # ("of the pairs the default scheme finds, what fraction does
+        # a higher plane count keep reachable").
+        pr = [(r[0], r[1]) for r in pairs.limit(MAX_QUERY_SET).collect()]
+        if not pr:
+            return _floor_fallback()
+        need = sorted({a for a, _ in pr} | {b for _, b in pr})
+        vrows = (
+            embeddings.filter(F.col(id_col).isin(need))
+            .select(
+                F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+            )
+            .collect()
+        )
+        vmap = {
+            r["id"]: np.asarray(r["v"], dtype=np.float64)
+            for r in vrows
+            if r["v"] is not None
         }
+        vmap = {k: v for k, v in vmap.items() if np.linalg.norm(v) > 0}
+        pr = [(a, b) for a, b in pr if a in vmap and b in vmap]
+        if not pr:
+            return _floor_fallback()
+        order_ids = sorted({a for a, _ in pr} | {b for _, b in pr})
+        pos = {i: k for k, i in enumerate(order_ids)}
+        X = np.array([vmap[i] for i in order_ids])
+        ia = np.array([pos[a] for a, _ in pr])
+        ib = np.array([pos[b] for _, b in pr])
+    else:
+        rows = (
+            embeddings.filter(F.col(vec_col).isNotNull())
+            .select(
+                F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+            )
+            .limit(min(sample_size, MAX_QUERY_SET))
+            .collect()
+        )
+        if len(rows) < 2:
+            return _floor_fallback()
+        X = np.array([r["v"] for r in rows], dtype=np.float64)
+        norms = np.linalg.norm(X, axis=1)
+        X = X[norms > 0]
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        sims = Xn @ Xn.T
+        ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
+        if len(ia) == 0:
+            return _floor_fallback()
     dim = X.shape[1]
     # weights for the LARGEST candidate once; plane p's weights do not
     # depend on the total plane count, so smaller candidates slice

@@ -597,16 +597,32 @@ def run_level(spark, n: int) -> dict:
     # delta, and pin: (a) planted-dup recovery must not drop below
     # the default store's, (b) the serve should not be slower.
     t0 = time.perf_counter()
+    # ground truth for the calibration: the pairs the DEFAULT store's
+    # serve finds for this delta (near-dups are ~40 in 200k vectors
+    # here — far too rare for calibrate's uniform sample to contain
+    # any; the r11 first run measured n_true_pairs=0 and a vacuous
+    # floor fallback). Endpoints span delta+store, so the vector
+    # source is the full emb frame.
+    true_pairs = SIM.lsh_index_near_dups(
+        spark, lsh_store, delta_emb, threshold=0.9, emit_radius=2
+    ).select("new_id", "old_id")
     cal = SIM.calibrate_lsh_planes(
         spark,
-        emb.filter(~vec_is_delta),
+        emb,
         threshold=0.9,
         target_recall=0.95,
         n_rows=out["lsh_meta"].get("n_rows"),
+        pairs=true_pairs,
     )
     out["lsh_cal"] = {
         k: cal[k]
-        for k in ("n_planes", "floor", "achieved_on_sample", "n_true_pairs")
+        for k in (
+            "n_planes",
+            "floor",
+            "achieved_on_sample",
+            "n_true_pairs",
+            "pairs_source",
+        )
     }
     out["lsh_cal_s"] = round(time.perf_counter() - t0, 2)
     if cal["n_planes"] > cal["floor"]:
