@@ -292,3 +292,86 @@ class TestVersionDiff:
         v1 = snapshot_store(store)
         assert store_version_diff(spark, store, v1, v1).count() == 0
         assert store_version_diff(spark, store, v1).count() == 0
+
+
+class TestExpiry:
+    def test_expire_keeps_newest_and_frees_data_files(self, spark, store):
+        from tiki_data_pipeline_spark.sources.files import (
+            expire_store_versions,
+        )
+
+        v1 = snapshot_store(store)
+        delete_from_store(spark, store, _ids(spark, [2]))
+        fold_tombstones(spark, store)
+        v2 = snapshot_store(store)
+        v3 = snapshot_store(store)
+        # the pre-fold snapshot pins the victim's old partition files;
+        # count hardlinks on one of its parquet files
+        vdir1 = os.path.join(store, "_versions", f"v{v1}")
+        f = next(
+            os.path.join(dp, fn)
+            for dp, _, fns in os.walk(vdir1)
+            for fn in fns
+            if fn.endswith(".parquet")
+        )
+        assert os.path.exists(f)
+        expired = expire_store_versions(store, keep_last=2)
+        assert expired == [v1]
+        assert not os.path.isdir(vdir1)
+        # survivors serve unchanged
+        assert 2 not in {
+            r["id"]
+            for r in read_store_version(spark, store, v2)
+            .select("id")
+            .collect()
+        }
+        from tiki_data_pipeline_spark.sources.files import (
+            list_store_versions,
+        )
+
+        assert [m["version"] for m in list_store_versions(store)] == [v2, v3]
+
+    def test_expire_before_and_combined(self, spark, store):
+        from tiki_data_pipeline_spark.sources.files import (
+            expire_store_versions,
+            list_store_versions,
+        )
+
+        vs = [snapshot_store(store) for _ in range(4)]
+        assert expire_store_versions(store, before=vs[1]) == [vs[0]]
+        # keep_last below the survivor count trims the oldest
+        assert expire_store_versions(store, keep_last=2) == [vs[1]]
+        assert [m["version"] for m in list_store_versions(store)] == vs[2:]
+        # next snapshot numbers PAST the expired ones (monotonic ids)
+        assert snapshot_store(store) == vs[-1] + 1
+
+    def test_crashed_expiry_is_swept(self, spark, store):
+        import shutil
+
+        from tiki_data_pipeline_spark.sources.files import (
+            expire_store_versions,
+            list_store_versions,
+        )
+
+        v1 = snapshot_store(store)
+        v2 = snapshot_store(store)
+        vroot = os.path.join(store, "_versions")
+        # simulate a crash mid-expiry: renamed but not removed
+        os.rename(
+            os.path.join(vroot, f"v{v1}"),
+            os.path.join(vroot, f".v{v1}.expiring"),
+        )
+        assert [m["version"] for m in list_store_versions(store)] == [v2]
+        expire_store_versions(store)  # no victims, but sweeps residue
+        assert not any(
+            e.name.endswith(".expiring") for e in os.scandir(vroot)
+        )
+
+    def test_expire_noop_without_versions(self, spark, tmp_path):
+        from tiki_data_pipeline_spark.sources.files import (
+            expire_store_versions,
+        )
+
+        p = str(tmp_path / "nv")
+        _docs(spark, CORPUS).write.parquet(p)
+        assert expire_store_versions(p, keep_last=1) == []

@@ -472,6 +472,46 @@ def list_store_versions(path: str) -> list[dict]:
     return sorted(out, key=lambda m: m["version"])
 
 
+def expire_store_versions(
+    path: str, keep_last: int | None = None, before: int | None = None
+) -> list[int]:
+    """Drop old snapshots — the VACUUM half of versioning. Hardlinked
+    trees are free to RECORD but pin every data file they reference:
+    after a fold physically removes rows, the pre-fold snapshot keeps
+    the old partition files alive on disk until it is expired, so a
+    store under takedown pressure grows by one store-image per
+    retained snapshot generation. ``keep_last=N`` keeps the N newest;
+    ``before=V`` drops versions < V; both may combine. Returns the
+    expired version numbers.
+
+    Crash-safe in the same idiom as every destructive step here: a
+    victim is renamed to a dot-prefixed ``.vN.expiring`` first (the
+    atomic commit point — a crashed rmtree leaves an invisible dir
+    that the next :func:`snapshot_store` / expiry call sweeps), then
+    deleted. Never touches the live tree or surviving snapshots."""
+    import os
+    import shutil
+
+    vroot = os.path.join(path, VERSIONS_DIR)
+    if not os.path.isdir(vroot):
+        return []
+    for e in os.scandir(vroot):  # sweep prior crashed expiries
+        if e.name.startswith(".") and e.name.endswith(".expiring"):
+            shutil.rmtree(e.path, ignore_errors=True)
+    versions = sorted(m["version"] for m in list_store_versions(path))
+    victims = set()
+    if before is not None:
+        victims |= {v for v in versions if v < before}
+    if keep_last is not None:
+        victims |= set(versions[: max(len(versions) - keep_last, 0)])
+    for v in sorted(victims):
+        vdir = os.path.join(vroot, f"v{v}")
+        staging = os.path.join(vroot, f".v{v}.expiring")
+        os.rename(vdir, staging)  # commit point: invisible from here on
+        shutil.rmtree(staging, ignore_errors=True)
+    return sorted(victims)
+
+
 def _version_dir(path: str, version: int) -> str:
     import os
 
