@@ -1376,3 +1376,43 @@ def test_calibrate_lsh_planes_with_harvested_pairs(spark, tmp_path):
     fb = SIM.calibrate_lsh_planes(spark, emb, n_rows=2_000_000, pairs=empty)
     assert fb["n_planes"] == fb["floor"]
     assert fb["pairs_source"] == "provided" and fb["per_candidate"] == {}
+
+
+def test_high_plane_store_never_explodes_directories(spark, tmp_path):
+    """The 1000x stress run caught a calibrated 24-plane store over 2M
+    vectors asking for up to 2^24 bkt= DIRECTORIES — RawLocalFileSystem
+    forks a chmod per created file and the write sat in forkAndExec for
+    half an hour. Layout auto-selection must refuse directory partitions
+    beyond MAX_PARTITION_DIRS (the flat key-sorted layout serves any
+    plane count via bkt row-group pruning), and an explicit
+    partitioned=True at such a plane count must fail loudly instead of
+    melting the filesystem."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=16)]) for i in range(400)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    path = str(tmp_path / "hi_planes")
+    # partition_min_rows=10 would force the partitioned layout; the
+    # dir-count guard must override it back to flat
+    SIM.write_lsh_index(
+        emb, path, n_planes=16, partition_min_rows=10
+    )
+    import os
+
+    assert not any(
+        e.name.startswith("bkt=") for e in os.scandir(path) if e.is_dir()
+    ), "high-plane store must be flat"
+    # and it still serves
+    got = SIM.lsh_index_topk(spark, path, emb.limit(3), k=2)
+    assert got.count() > 0
+
+    import pytest
+
+    with pytest.raises(ValueError, match="MAX_PARTITION_DIRS"):
+        SIM.write_lsh_index(
+            emb, str(tmp_path / "boom"), n_planes=16, partitioned=True
+        )

@@ -48,6 +48,13 @@ def cosine(a: Column, b: Column) -> Column:
 # OOMing the driver at scale; batch-score larger sets by chunking.
 MAX_QUERY_SET = 10_000
 
+# Ceiling on bkt= directory partitions for a persisted LSH store.
+# Beyond this the flat key-sorted layout (row-group min/max pruning on
+# bkt) serves any plane count without the small-dirs anti-pattern —
+# local filesystems pay a fork+chmod per created file, object stores
+# and metastores pay per-prefix listing costs.
+MAX_PARTITION_DIRS = 32_768
+
 
 def _check_query_set(n: int) -> None:
     if n > MAX_QUERY_SET:
@@ -966,10 +973,29 @@ def write_lsh_index(
         )
     if n_planes == "auto":
         n_planes = auto_n_planes(n_rows)
+    if partitioned and (1 << n_planes) > MAX_PARTITION_DIRS:
+        # guard learned the hard way: a calibrated 24-plane store over
+        # 2M vectors asked for up to 2^24 bkt= DIRECTORIES, and
+        # RawLocalFileSystem forks a chmod per file — the write sat in
+        # ProcessImpl.forkAndExec for half an hour before it was
+        # killed. Row-group pruning on the flat key-sorted layout
+        # serves ANY bucket count; no directory tree should ever
+        # exceed what a filesystem (or a lakehouse metastore) can
+        # list.
+        raise ValueError(
+            f"partitioned layout with 2^{n_planes} = {1 << n_planes} "
+            f"bucket directories exceeds MAX_PARTITION_DIRS "
+            f"({MAX_PARTITION_DIRS}); use the flat key-sorted layout "
+            "(partitioned=False) — bkt row-group pruning serves any "
+            "plane count"
+        )
     base = _lsh_index_rows(embeddings, id_col, vec_col, n_planes)
     if partitioned is None:
-        partitioned = n_rows >= partition_min_rows
-    _write_index_rows(base, path, "overwrite", "bkt", partitioned)
+        partitioned = (
+            n_rows >= partition_min_rows
+            and (1 << n_planes) <= MAX_PARTITION_DIRS
+        )
+    _write_index_rows(base, path, "overwrite", "bkt", partitioned, n_rows=n_rows)
     from tiki_data_pipeline_spark.sources.files import write_store_meta
 
     # serve statistics, computed from the WRITTEN store (one columnar
@@ -1082,13 +1108,20 @@ def _lsh_index_rows(
 
 
 def _write_index_rows(
-    rows: DataFrame, path: str, mode: str, key: str, partitioned: bool
+    rows: DataFrame,
+    path: str,
+    mode: str,
+    key: str,
+    partitioned: bool,
+    n_rows: int | None = None,
 ) -> None:
     """One writer for both index layouts and both build/append modes:
     directory partitions on ``key`` (co-located first — otherwise
     every input partition writes a file into every key directory:
-    tasks × keys small files), or the small-corpus key-sorted flat
-    dataset (row-group min/max pruning, no directory blowup)."""
+    tasks × keys small files), or the key-sorted flat dataset
+    (row-group min/max pruning, no directory blowup; file count
+    scales with the corpus when the caller knows it, so a 2M-vector
+    flat store is not four giant sort tasks)."""
     if partitioned:
         (
             rows.repartition(F.col(key))
@@ -1097,8 +1130,9 @@ def _write_index_rows(
             .parquet(path)
         )
     else:
+        n_files = max(4, min(64, (n_rows or 0) // 100_000))
         (
-            rows.repartitionByRange(4, key)
+            rows.repartitionByRange(n_files, key)
             .sortWithinPartitions(key)
             .write.mode(mode)
             .parquet(path)
