@@ -1416,3 +1416,50 @@ def test_high_plane_store_never_explodes_directories(spark, tmp_path):
         SIM.write_lsh_index(
             emb, str(tmp_path / "boom"), n_planes=16, partitioned=True
         )
+
+
+def test_write_lsh_index_build_time_calibration(spark, tmp_path):
+    """calibrate=True makes the measured plane count the default
+    path: the build harvests pairs by serving a bounded query sample
+    against the just-built floor store (sample-vs-CORPUS: only one
+    endpoint of a pair must land in the sample — the planted dups
+    here live OUTSIDE the query window and are still found), rebuilds
+    at the calibrated count, and records the verdict in meta. The
+    calibrated store must keep finding every planted dup."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    base = []
+    for i in range(3000):
+        v = rng.normal(size=24)
+        v /= np.linalg.norm(v)
+        base.append((i, [float(x) for x in v]))
+    dups = []
+    for i in range(30):  # appended LAST: outside the 2000-row sample
+        w = np.array(base[i][1]) + 0.02 * rng.normal(size=24)
+        w /= np.linalg.norm(w)
+        dups.append((10_000 + i, [float(x) for x in w]))
+    emb = spark.createDataFrame(
+        base + dups, "vec_id long, embedding array<double>"
+    )
+
+    path = str(tmp_path / "autocal")
+    SIM.write_lsh_index(
+        emb, path, n_planes="auto", calibrate=True, calibrate_threshold=0.98
+    )
+    from tiki_data_pipeline_spark.sources.files import read_store_meta
+
+    meta = read_store_meta(path)
+    floor = SIM.auto_n_planes(3030)
+    assert meta["calibrated_planes"] == meta["n_planes"] >= floor
+    cal = meta["calibration"]
+    assert cal["pairs_source"] == "provided"
+    assert cal["n_true_pairs"] >= 20  # most planted pairs harvested
+    assert cal["achieved_on_sample"] is None or (
+        cal["achieved_on_sample"] >= 0.95 or meta["n_planes"] == floor
+    )
+    # the calibrated store still finds the planted dups end-to-end
+    delta = emb.filter(F.col("vec_id") >= 10_000)
+    status = SIM.lsh_index_dedup_status(spark, path, delta, threshold=0.98)
+    dup_n = status.filter(F.col("status") != "unique").count()
+    assert dup_n >= 27, f"calibrated store lost planted dups: {dup_n}/30"

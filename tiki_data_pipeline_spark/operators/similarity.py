@@ -941,6 +941,10 @@ def write_lsh_index(
     n_planes: int | str = N_PLANES,
     partitioned: bool | None = None,
     partition_min_rows: int = 200_000,
+    calibrate: bool = False,
+    calibrate_threshold: float = 0.9,
+    calibrate_target_recall: float = 0.95,
+    calibrate_queries: int = 2000,
 ) -> None:
     """Materialize the corpus keyed by LSH bucket (one row per
     vector). Bucket assignment is the same md5-derived hyperplane
@@ -951,6 +955,20 @@ def write_lsh_index(
     (:func:`auto_n_planes`) — the scale path. Serve functions resolve
     the actual plane count from the store's ``_meta.json``, so
     callers never need to know what "auto" chose.
+
+    ``calibrate=True`` makes the measured plane count the DEFAULT
+    path (the IVF-PQ ``calibrate`` twin): after the base build, a
+    bounded query sample is served against the just-built store to
+    harvest true near-dup pairs (sample-vs-CORPUS, so only ONE
+    endpoint of a pair must land in the sample — a sample-vs-sample
+    harvest would re-create the (s/N)² sparse-corpus blind spot the
+    r11 stress run measured), :func:`calibrate_lsh_planes` picks the
+    largest plane count that keeps ``calibrate_target_recall`` of
+    those pairs reachable, and the store is REBUILT at that count
+    when it differs. Meta records the calibration verdict either
+    way. Cost: one extra bounded serve + at most one rebuild —
+    measured worth 14× on the 2M-vector serve at equal planted
+    recovery (SCALE.md round-11).
 
     Layout is scale-aware (``partitioned=None`` decides by corpus
     size): a big corpus gets ``bkt`` DIRECTORY partitions (probes
@@ -1022,6 +1040,55 @@ def write_lsh_index(
             "n_distinct_vectors": int(stats["d"]),
         },
     )
+    if calibrate:
+        from tiki_data_pipeline_spark.sources.files import update_store_meta
+
+        qs = embeddings.limit(calibrate_queries)
+        pairs = (
+            lsh_index_near_dups(
+                spark,
+                path,
+                qs,
+                threshold=calibrate_threshold,
+                id_col=id_col,
+                vec_col=vec_col,
+            )
+            .filter(F.col("new_id") != F.col("old_id"))
+            .select("new_id", "old_id")
+        )
+        cal = calibrate_lsh_planes(
+            spark,
+            embeddings,
+            threshold=calibrate_threshold,
+            target_recall=calibrate_target_recall,
+            n_rows=int(stats["n"]),
+            id_col=id_col,
+            vec_col=vec_col,
+            pairs=pairs,
+        )
+        calinfo = {
+            k: cal[k]
+            for k in (
+                "n_planes",
+                "floor",
+                "achieved_on_sample",
+                "n_true_pairs",
+                "pairs_source",
+            )
+        }
+        if cal["n_planes"] != n_planes:
+            write_lsh_index(
+                embeddings,
+                path,
+                id_col=id_col,
+                vec_col=vec_col,
+                n_planes=cal["n_planes"],
+                partition_min_rows=partition_min_rows,
+            )
+        update_store_meta(
+            path,
+            {"calibrated_planes": cal["n_planes"], "calibration": calinfo},
+        )
 
 
 def _store_n_planes(path: str, fallback: int) -> int:
