@@ -127,3 +127,16 @@ class TestAppend:
         grid.write.parquet(plain)
         with pytest.raises(ValueError, match="_layout.json"):
             L.append_zordered(grid, plain)
+
+
+def test_sampled_bounds_still_prune(spark, grid, tmp_path):
+    """Boundary derivation from a 5% sample must cluster ~as well as
+    the exact quantile pass — bounds steer layout, never correctness,
+    so the 100 TB path pays a bounded scan instead of a full one."""
+    zpath = str(tmp_path / "zs")
+    L.write_zordered(
+        grid, zpath, ["x", "y"], target_files=16, sample_fraction=0.05
+    )
+    stats = L.scan_pruning_stats(zpath, BOX)
+    assert stats["rows"] == N  # every row written, layout-only change
+    assert stats["rows_pruned_frac"] >= 0.5

@@ -106,6 +106,7 @@ def write_zordered(
     cols: list[str],
     bits: int = DEFAULT_BITS,
     target_files: int | None = None,
+    sample_fraction: float | None = None,
 ) -> dict:
     """Write ``df`` to ``path`` clustered by the Z-order of ``cols``.
 
@@ -119,10 +120,19 @@ def write_zordered(
     instead of drifting. Returns the layout metadata dict."""
     spark = df.sparkSession
     # ONE quantile job for every clustering column (approxQuantile
-    # takes a column list) — not a pass per dimension
+    # takes a column list) — not a pass per dimension. At 100 TB the
+    # exact Greenwald-Khanna pass is itself a full-table scan;
+    # sample_fraction trades it for a bounded one — bucket boundaries
+    # only steer LAYOUT (which rows co-locate), never correctness, so
+    # quantiles of a 1% sample cluster ~as well as exact ones.
     buckets = 1 << bits
     probs = [i / buckets for i in range(1, buckets)]
-    bounds = dict(zip(cols, df.stat.approxQuantile(cols, probs, 0.001)))
+    src = (
+        df.sample(fraction=sample_fraction, seed=7)
+        if sample_fraction
+        else df
+    )
+    bounds = dict(zip(cols, src.stat.approxQuantile(cols, probs, 0.001)))
     z = zorder_value([bucket_index(F.col(c), bounds[c]) for c in cols], bits)
     n = target_files or int(spark.conf.get("spark.sql.shuffle.partitions"))
     (
