@@ -1463,3 +1463,78 @@ def test_write_lsh_index_build_time_calibration(spark, tmp_path):
     status = SIM.lsh_index_dedup_status(spark, path, delta, threshold=0.98)
     dup_n = status.filter(F.col("status") != "unique").count()
     assert dup_n >= 27, f"calibrated store lost planted dups: {dup_n}/30"
+
+
+def test_calibrate_pairs_canonicalized_and_deterministic(spark):
+    """A symmetric harvest emits both (a,b) and (b,a): counting each
+    would double-weight those pairs in the recall mean, and an
+    unordered limit would make the truncated pair set (so the chosen
+    plane count) vary run to run. Pairs are canonicalized to
+    (min, max), self-pairs dropped, deduped and ordered before the
+    bound."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(30):
+        v = rng.normal(size=16)
+        rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # 3 unique unordered pairs, each also mirrored, plus a self-pair
+    pr = [(0, 1), (1, 0), (2, 3), (3, 2), (4, 5), (7, 7)]
+    pairs = spark.createDataFrame(pr, "new_id long, old_id long")
+    cal = SIM.calibrate_lsh_planes(spark, emb, n_rows=30, pairs=pairs)
+    assert cal["n_true_pairs"] == 3
+    again = SIM.calibrate_lsh_planes(spark, emb, n_rows=30, pairs=pairs)
+    assert again == cal  # deterministic end to end
+
+
+def test_calibrate_rebuild_preserves_requested_layout(
+    spark, tmp_path, monkeypatch
+):
+    """The calibrate-triggered rebuild must forward the caller's
+    explicit ``partitioned`` argument — a requested flat layout that
+    silently flips to bkt= directory partitions (or vice versa) on
+    rebuild would change the store's scan shape behind the caller's
+    back."""
+    import os
+
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(200):
+        v = rng.normal(size=16)
+        rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    forced = {
+        "n_planes": 5,
+        "floor": SIM.N_PLANES,
+        "achieved_on_sample": 1.0,
+        "n_true_pairs": 9,
+        "pairs_source": "provided",
+        "target_recall": 0.95,
+        "emit_radius": 2,
+        "est_mean_bucket": 1.0,
+        "probe_planes": None,
+        "per_candidate": {5: 1.0},
+    }
+    monkeypatch.setattr(
+        SIM, "calibrate_lsh_planes", lambda *a, **k: dict(forced)
+    )
+
+    def bkt_dirs(p):
+        return [e.name for e in os.scandir(p) if e.name.startswith("bkt=")]
+
+    flat = str(tmp_path / "flat")
+    SIM.write_lsh_index(emb, flat, partitioned=False, calibrate=True)
+    meta = __import__(
+        "tiki_data_pipeline_spark.sources.files", fromlist=["read_store_meta"]
+    ).read_store_meta(flat)
+    assert meta["n_planes"] == 5 and meta["calibrated_planes"] == 5
+    assert bkt_dirs(flat) == []  # rebuild kept the requested flat layout
+
+    part = str(tmp_path / "part")
+    SIM.write_lsh_index(emb, part, partitioned=True, calibrate=True)
+    assert len(bkt_dirs(part)) > 0  # and the requested partitioned one

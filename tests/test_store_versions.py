@@ -375,3 +375,24 @@ class TestExpiry:
         p = str(tmp_path / "nv")
         _docs(spark, CORPUS).write.parquet(p)
         assert expire_store_versions(p, keep_last=1) == []
+
+
+def test_snapshot_sweeps_crashed_expiry_residue(spark, store):
+    """A crashed expiry (renamed to .vN.expiring but not removed)
+    keeps pinning the old data files; the next snapshot_store call —
+    not only the next expiry — must sweep it, as the expiry docstring
+    promises."""
+    import shutil
+
+    from tiki_data_pipeline_spark.sources.files import snapshot_store
+
+    v1 = snapshot_store(store)
+    v2 = snapshot_store(store)
+    vroot = os.path.join(store, "_versions")
+    os.rename(
+        os.path.join(vroot, f"v{v1}"),
+        os.path.join(vroot, f".v{v1}.expiring"),
+    )
+    v3 = snapshot_store(store)
+    assert v3 == v2 + 1
+    assert not any(e.name.endswith(".expiring") for e in os.scandir(vroot))

@@ -143,7 +143,7 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
-    meta = {"cols": cols, "bits": bits, "bounds": bounds}
+    meta = {"cols": cols, "bits": bits, "bounds": bounds, "appends": 0}
     with open(os.path.join(path, LAYOUT_META), "w") as f:
         json.dump(meta, f)
     return meta
@@ -157,10 +157,13 @@ def append_zordered(
     (re-deriving quantiles from the batch would drift the grid and
     blur every future file's min/max windows). The live table stays
     globally skippable: old files keep their tight rectangles, the
-    appended files get their own. Periodic re-layout (re-running
-    :func:`write_zordered` over the accumulated table, which also
-    refreshes the boundaries against data drift) is the compaction
-    step — same regime as every store's fold/compact maintenance."""
+    appended files get their own. Periodic re-layout
+    (:func:`relayout_zordered` — a crash-safe staged swap that also
+    refreshes the boundaries against data drift; never re-run
+    :func:`write_zordered` onto the live path, its direct overwrite
+    would read and clobber the same dataset) is the compaction step —
+    same regime as every store's fold/compact maintenance;
+    :func:`layout_maintenance_check` decides WHEN it is due."""
     meta = read_layout_meta(path)
     if meta is None:
         raise ValueError(
@@ -182,7 +185,177 @@ def append_zordered(
         .write.mode("append")
         .parquet(path)
     )
+    # lifecycle bookkeeping: how many frozen-grid appends have landed
+    # since the last full layout — one input to the maintenance check
+    meta["appends"] = int(meta.get("appends", 0)) + 1
+    with open(os.path.join(path, LAYOUT_META), "w") as f:
+        json.dump(meta, f)
     return meta
+
+
+def relayout_zordered(
+    spark,
+    path: str,
+    bits: int | None = None,
+    target_files: int | None = None,
+    sample_fraction: float | None = None,
+) -> dict:
+    """Re-cluster a Z-ordered table in place: fresh quantile bounds
+    over the ACCUMULATED data (healing grid drift), one global
+    re-sort, small appended files compacted away. Crash-safe staged
+    swap (the repo's ``swap_parquet_rewrite`` idiom — a direct
+    ``write_zordered(path)`` over its own source would clobber the
+    dataset it is reading). Clustering columns and bit width default
+    to the recorded layout. Production twin: re-running ``OPTIMIZE
+    ZORDER`` on a lakehouse table."""
+    from tiki_data_pipeline_spark.sources.files import (
+        recover_interrupted_swap,
+        swap_parquet_rewrite,
+    )
+
+    recover_interrupted_swap(path)
+    meta = read_layout_meta(path)
+    if meta is None:
+        raise ValueError(
+            f"{path} has no _layout.json - not a Z-ordered table; "
+            "build it with write_zordered() first"
+        )
+    cols = meta["cols"]
+    use_bits = bits if bits is not None else int(meta["bits"])
+    new_meta: dict = {}
+
+    def _stage(staging: str) -> None:
+        new_meta.update(
+            write_zordered(
+                spark.read.parquet(path),
+                staging,
+                cols,
+                bits=use_bits,
+                target_files=target_files,
+                sample_fraction=sample_fraction,
+            )
+        )
+
+    swap_parquet_rewrite(path, _stage)
+    return new_meta
+
+
+def grid_drift(
+    df: DataFrame, meta: dict, n_checks: int = 16
+) -> dict[str, float]:
+    """How far the live data has drifted off the recorded bucket
+    grid, per clustering column: the recorded cut point at rank
+    ``i/buckets`` should still sit at empirical CDF ``i/buckets``;
+    drift = max |F̂(cut_i) − i/buckets| over ``n_checks`` evenly
+    spaced cuts. 0 = grid still equi-depth; 0.5 = half the mass moved
+    across a cut (appends concentrated in few buckets → blurred
+    min/max windows). ONE aggregation job for all columns and checks
+    (each probe is a SUM of a boolean cast — no sort, no quantile
+    re-estimation), driver gets n_cols × n_checks doubles."""
+    buckets = 1 << int(meta["bits"])
+    aggs = []
+    spec: list[tuple[str, int, float]] = []
+    for c in meta["cols"]:
+        bounds = meta["bounds"][c]
+        step = max(1, len(bounds) // n_checks)
+        for i in range(step - 1, len(bounds), step):
+            spec.append((c, len(spec), (i + 1) / buckets))
+            aggs.append(
+                F.avg(
+                    (F.col(c).cast("double") <= F.lit(float(bounds[i])))
+                    .cast("double")
+                ).alias(f"_p{len(spec) - 1}")
+            )
+    row = df.agg(*aggs).collect()[0]
+    out: dict[str, float] = {}
+    for c, k, want in spec:
+        got = row[f"_p{k}"]
+        if got is None:
+            continue
+        out[c] = max(out.get(c, 0.0), abs(float(got) - want))
+    return out
+
+
+def layout_maintenance_check(
+    spark,
+    path: str,
+    max_files: int = 256,
+    max_appends: int = 16,
+    max_drift: float = 0.10,
+    drift_sample_fraction: float | None = None,
+) -> dict:
+    """Decide whether a Z-ordered table is due for
+    :func:`relayout_zordered`: (a) small-file accumulation — appended
+    batches each add files, and scans pay per-file open costs; (b)
+    append count since the last layout; (c) grid drift — appends
+    bucketed on a frozen grid stop being equi-depth when the data
+    distribution moves, blurring min/max windows
+    (:func:`grid_drift`). Returns the measurements plus
+    ``recommend``/``reasons``; :func:`maintain_zordered` acts on it.
+    The drift probe is one aggregation job (optionally sampled); the
+    file count is a listing."""
+    meta = read_layout_meta(path)
+    if meta is None:
+        raise ValueError(f"{path} has no _layout.json - not a Z-ordered table")
+    n_files = sum(
+        1
+        for _dp, _dns, fns in os.walk(path)
+        for fn in fns
+        if fn.endswith(".parquet") and not fn.startswith((".", "_"))
+    )
+    df = spark.read.parquet(path)
+    if drift_sample_fraction:
+        df = df.sample(fraction=drift_sample_fraction, seed=7)
+    drift = grid_drift(df, meta)
+    worst = max(drift.values(), default=0.0)
+    reasons = []
+    if n_files > max_files:
+        reasons.append(f"files {n_files} > {max_files}")
+    if int(meta.get("appends", 0)) > max_appends:
+        reasons.append(f"appends {meta.get('appends')} > {max_appends}")
+    if worst > max_drift:
+        reasons.append(f"grid drift {worst:.3f} > {max_drift}")
+    return {
+        "files": n_files,
+        "appends": int(meta.get("appends", 0)),
+        "drift": drift,
+        "max_drift": worst,
+        "recommend": bool(reasons),
+        "reasons": reasons,
+    }
+
+
+def maintain_zordered(
+    spark,
+    path: str,
+    max_files: int = 256,
+    max_appends: int = 16,
+    max_drift: float = 0.10,
+    target_files: int | None = None,
+    sample_fraction: float | None = None,
+) -> dict:
+    """The lifecycle loop in one call: run
+    :func:`layout_maintenance_check` and, when it recommends,
+    :func:`relayout_zordered`. Returns the check dict plus
+    ``relayout_ran``. Safe to call every maintenance window — a
+    healthy table costs one listing + one aggregation job and no
+    rewrite."""
+    check = layout_maintenance_check(
+        spark,
+        path,
+        max_files=max_files,
+        max_appends=max_appends,
+        max_drift=max_drift,
+        drift_sample_fraction=sample_fraction,
+    )
+    if check["recommend"]:
+        relayout_zordered(
+            spark,
+            path,
+            target_files=target_files,
+            sample_fraction=sample_fraction,
+        )
+    return {**check, "relayout_ran": check["recommend"]}
 
 
 def read_layout_meta(path: str) -> dict | None:
@@ -191,6 +364,35 @@ def read_layout_meta(path: str) -> dict | None:
         return None
     with open(mf) as f:
         return json.load(f)
+
+
+def _comparable_min_max(mn, mx, lo, hi):
+    """Normalize raw pyarrow row-group statistics against box bounds
+    before comparing: physical-type stats for decimal/string/binary
+    columns can be bytes or Decimal while the box holds ints — a raw
+    ``st.min > hi`` would raise TypeError (or, worse, order
+    incorrectly). Numeric (int/float/Decimal) stats compare against
+    numeric bounds; str/bytes/date-like only against the SAME type.
+    Returns (min, max) when a valid comparison exists, else None —
+    and None means 'not prunable', never a wrong prune."""
+    import datetime
+    import decimal
+
+    num = (int, float, decimal.Decimal)
+
+    def _is_num(x):
+        return isinstance(x, num) and not isinstance(x, bool)
+
+    if all(_is_num(x) for x in (mn, mx, lo, hi)):
+        return mn, mx
+    for t in (str, bytes, datetime.datetime, datetime.date):
+        if all(isinstance(x, t) for x in (mn, mx, lo, hi)):
+            if t is datetime.date and any(
+                isinstance(x, datetime.datetime) for x in (mn, mx, lo, hi)
+            ):
+                return None  # mixed date/datetime does not order
+            return mn, mx
+    return None
 
 
 def scan_pruning_stats(path: str, box: dict[str, tuple]) -> dict:
@@ -235,7 +437,19 @@ def scan_pruning_stats(path: str, box: dict[str, tuple]) -> dict:
                 st = cc.statistics if cc is not None else None
                 if st is None or not st.has_min_max:
                     continue
-                if st.min > hi or st.max < lo:
+                try:
+                    # pyarrow refuses to logically cast stats for some
+                    # physical types (e.g. fixed-len-byte-array
+                    # decimals raise ArrowNotImplementedError on
+                    # .min) — unreadable stats mean no pruning
+                    raw_mn, raw_mx = st.min, st.max
+                except Exception:
+                    continue
+                norm = _comparable_min_max(raw_mn, raw_mx, lo, hi)
+                if norm is None:
+                    continue  # incomparable types: honest = no pruning
+                mn, mx = norm
+                if mn > hi or mx < lo:
                     prunable = True
                     break
             if prunable:

@@ -841,7 +841,24 @@ def calibrate_lsh_planes(
         # on them measures exactly the non-regression criterion
         # ("of the pairs the default scheme finds, what fraction does
         # a higher plane count keep reachable").
-        pr = [(r[0], r[1]) for r in pairs.limit(MAX_QUERY_SET).collect()]
+        # canonicalize (min, max), drop self-pairs, dedupe, and ORDER
+        # before the limit: a symmetric harvest emits both (a,b) and
+        # (b,a) — counting each would double-weight those pairs in
+        # reached.mean() — and an unordered limit would make the
+        # truncated pair set (so the chosen plane count) vary run to
+        # run. The sort is bounded: candidate pairs, not the corpus.
+        c0, c1 = pairs.columns[:2]
+        canon = (
+            pairs.select(
+                F.least(F.col(c0), F.col(c1)).alias("_a"),
+                F.greatest(F.col(c0), F.col(c1)).alias("_b"),
+            )
+            .filter(F.col("_a") != F.col("_b"))
+            .distinct()
+            .orderBy("_a", "_b")
+            .limit(MAX_QUERY_SET)
+        )
+        pr = [(r["_a"], r["_b"]) for r in canon.collect()]
         if not pr:
             return _floor_fallback()
         need = sorted({a for a, _ in pr} | {b for _, b in pr})
@@ -979,6 +996,11 @@ def write_lsh_index(
     row-group min/max on ``bkt``. ``lsh_index_topk`` reads either
     layout unchanged.
     """
+    # remember what the CALLER asked for before auto-resolution below
+    # overwrites it: a calibrate-triggered rebuild must honor the same
+    # explicit layout request (None = re-decide by size for the NEW
+    # plane count), not silently flip the on-disk layout
+    requested_partitioned = partitioned
     n_rows = None
     if n_planes == "auto" or partitioned is None:
         # count ADMITTED rows (non-null, non-zero-norm) — the raw
@@ -1083,6 +1105,12 @@ def write_lsh_index(
                 id_col=id_col,
                 vec_col=vec_col,
                 n_planes=cal["n_planes"],
+                # forward the caller's ORIGINAL layout request: an
+                # explicit True/False must survive the rebuild (True is
+                # re-validated against MAX_PARTITION_DIRS for the new
+                # plane count by the guard above — fails loudly rather
+                # than flipping layouts), None re-decides by size
+                partitioned=requested_partitioned,
                 partition_min_rows=partition_min_rows,
             )
         update_store_meta(

@@ -422,8 +422,11 @@ def snapshot_store(path: str, tag: str | None = None) -> int:
     os.makedirs(vroot, exist_ok=True)
     versions = [0]
     for e in os.scandir(vroot):
-        if e.name.startswith(".") and e.name.endswith(".staging"):
-            shutil.rmtree(e.path, ignore_errors=True)  # crashed attempt
+        if e.name.startswith(".") and e.name.endswith((".staging", ".expiring")):
+            # crashed snapshot attempt OR crashed expiry (renamed but
+            # not removed) — both invisible to readers, both swept
+            # here so the pinned data files are actually released
+            shutil.rmtree(e.path, ignore_errors=True)
         elif e.is_dir() and e.name.startswith("v") and e.name[1:].isdigit():
             versions.append(int(e.name[1:]))
     n = max(versions) + 1
@@ -488,7 +491,10 @@ def expire_store_versions(
     victim is renamed to a dot-prefixed ``.vN.expiring`` first (the
     atomic commit point — a crashed rmtree leaves an invisible dir
     that the next :func:`snapshot_store` / expiry call sweeps), then
-    deleted. Never touches the live tree or surviving snapshots."""
+    deleted STRICTLY: a failed rmtree raises after the rename, so the
+    caller learns the bytes are still pinned (the version is already
+    expired either way — invisible, swept on the next call) instead
+    of reading a success that freed nothing."""
     import os
     import shutil
 
@@ -508,7 +514,7 @@ def expire_store_versions(
         vdir = os.path.join(vroot, f"v{v}")
         staging = os.path.join(vroot, f".v{v}.expiring")
         os.rename(vdir, staging)  # commit point: invisible from here on
-        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(staging)  # strict: surface partial deletions
     return sorted(victims)
 
 
