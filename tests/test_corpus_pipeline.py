@@ -227,3 +227,34 @@ def test_corpus_pipeline_line_dedup_and_source_cap(spark, tmp_path):
     assert src.groupBy("source").count().agg(F.max("count")).collect()[0][0] <= 3
     assert report["after_source_cap"] <= report["after_repetition"]
     assert report["final_docs"] > 0
+
+
+def test_corpus_pipeline_dsir_stage_defaults_to_xxhash64(spark, tmp_path):
+    """The pipeline's DSIR stage runs in the production hash mode by
+    default (xxhash64 featurization — the 5.7x-cheaper path; registry
+    oracle queries keep md5): exactly dsir_take survivors ship, all
+    drawn from the pre-DSIR survivor set, and the report records the
+    mode. Selection quality itself is pinned by the md5-vs-xxhash64
+    distribution-parity test in test_curation."""
+    docs = load_table(spark, SF, "documents")
+    pipe = CorpusPipeline(spark, str(tmp_path))
+    report = pipe.run(
+        docs,
+        dsir_target_pred=F.col("doc_id") % 7 == 0,
+        dsir_take=20,
+        seq_len=512,
+        n_shards=2,
+    )
+    assert report["dsir_hash"] == "xxhash64"
+    assert report["after_dsir"] == 20
+    assert report["final_docs"] == 20
+    assert (tmp_path / "dsir_sampled").exists()
+    picked = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "dsir_sampled")).collect()
+    }
+    pre = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "repetition")).collect()
+    }
+    assert picked <= pre and len(picked) == 20

@@ -837,3 +837,67 @@ def test_fan_out_small_only_when_under_parallelism(spark):
     assert spread.count() == 100
     wide = spark.range(100).repartition(par + 4)
     assert fan_out_small(wide) is wide
+
+
+def test_span_family_xxhash64_mode_matches_md5_results(spark):
+    """The production hash opt-in (hash_mode="xxhash64", the DSIR
+    family's 18x-cheaper idiom brought to the span family): window
+    identity comes from a 30-bit token hash either way, so dup/keep
+    DECISIONS — and therefore every output row — must be identical to
+    the md5 oracle-parity mode on a real corpus (chance collisions
+    ~n^2/2^31 are negligible at test scale and conservative at any
+    scale)."""
+    footer = "all rights reserved contact us at support example dot com today"
+    rows = [
+        (i, f"document body {i} with its own distinct words " + footer)
+        for i in range(20)
+    ] + [(100, "entirely unique text with nothing shared at all right here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    stats_md5 = sorted(
+        map(tuple, DD.duplicate_span_stats(docs, span=8).collect())
+    )
+    stats_xx = sorted(
+        map(
+            tuple,
+            DD.duplicate_span_stats(docs, span=8, hash_mode="xxhash64").collect(),
+        )
+    )
+    assert stats_xx == stats_md5
+
+    rm_md5 = sorted(
+        map(tuple, DD.remove_duplicate_spans(docs, span=8, min_df=2).collect())
+    )
+    rm_xx = sorted(
+        map(
+            tuple,
+            DD.remove_duplicate_spans(
+                docs, span=8, min_df=2, hash_mode="xxhash64"
+            ).collect(),
+        )
+    )
+    assert rm_xx == rm_md5
+
+    # the variable-length (min_run) extension too
+    run_md5 = sorted(
+        map(
+            tuple,
+            DD.remove_duplicate_spans(
+                docs, span=8, min_df=2, min_run=11
+            ).collect(),
+        )
+    )
+    run_xx = sorted(
+        map(
+            tuple,
+            DD.remove_duplicate_spans(
+                docs, span=8, min_df=2, min_run=11, hash_mode="xxhash64"
+            ).collect(),
+        )
+    )
+    assert run_xx == run_md5
+
+    import pytest
+
+    with pytest.raises(ValueError, match="hash_mode"):
+        DD.duplicate_span_stats(docs, hash_mode="sha1").collect()

@@ -31,6 +31,25 @@ from tiki_data_pipeline_spark.sources.files import (
 )
 
 
+from tiki_data_pipeline_spark.sources.files import (
+    store_data,
+    store_put,
+    store_sub,
+    store_sub_exists,
+)
+
+
+@pytest.fixture(params=["posix", "manifest"])
+def backend(request, monkeypatch):
+    """Run the deletion lifecycle under both store backends (posix
+    hardlink/rename vs object-store-safe manifest). Tests that poke
+    posix physics (inodes, crafted directory trees, legacy flat
+    moves) skip under manifest and have twins in
+    test_manifest_store.py."""
+    monkeypatch.setenv("SPARK_GRAFT_STORE_BACKEND", request.param)
+    return request.param
+
+
 def _docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
@@ -49,7 +68,7 @@ CORPUS = [
 
 
 @pytest.fixture()
-def mh_store(spark, tmp_path):
+def mh_store(spark, tmp_path, backend):
     path = str(tmp_path / "mh")
     DD.write_minhash_index(_docs(spark, CORPUS), path)
     return path
@@ -84,17 +103,19 @@ class TestMinhashDelete:
 
         n = fold_tombstones(spark, mh_store)
         assert n == 1
-        assert not os.path.isdir(mh_store + "/_tombstones")
+        assert not store_sub_exists(mh_store, "_tombstones")
         # physically gone from band rows AND the fingerprint sidecar
-        raw_ids = {r["id"] for r in spark.read.parquet(mh_store).select("id").distinct().collect()}
+        raw_ids = {r["id"] for r in store_data(spark, mh_store).select("id").distinct().collect()}
         assert 2 not in raw_ids and 5 in raw_ids
         fp_ids = {
             r["id"]
-            for r in spark.read.parquet(mh_store + "/_fingerprints").select("id").collect()
+            for r in store_sub(spark, mh_store, "_fingerprints").select("id").collect()
         }
         assert 2 not in fp_ids
         # partitioned layout preserved (band=… dirs) and serve identical
-        assert any(e.startswith("band=") for e in os.listdir(mh_store))
+        from tiki_data_pipeline_spark.sources.files import store_layout
+
+        assert store_layout(mh_store) == ("band", True)
         assert _status(spark, mh_store, batch) == served
         # idempotent: nothing pending on a second fold
         assert fold_tombstones(spark, mh_store) == 0
@@ -112,8 +133,8 @@ class TestMinhashDelete:
     def test_compact_store_folds_deletes(self, spark, mh_store):
         delete_from_store(spark, mh_store, _ids(spark, [6]))
         compact_store(spark, mh_store)
-        assert not os.path.isdir(mh_store + "/_tombstones")
-        raw_ids = {r["id"] for r in spark.read.parquet(mh_store).select("id").distinct().collect()}
+        assert not store_sub_exists(mh_store, "_tombstones")
+        raw_ids = {r["id"] for r in store_data(spark, mh_store).select("id").distinct().collect()}
         assert 6 not in raw_ids
 
 
@@ -144,6 +165,7 @@ def _topk_ids(df):
     }
 
 
+@pytest.mark.usefixtures("backend")
 class TestEmbeddingIndexDelete:
     def test_lsh_topk_excludes_deleted_then_fold_parity(self, spark, tmp_path):
         path = str(tmp_path / "lsh")
@@ -177,7 +199,7 @@ class TestEmbeddingIndexDelete:
         matched = {r["matched_id"] for r in st.collect()}
         assert victim not in matched
         fold_tombstones(spark, path)
-        raw = {r["id"] for r in spark.read.parquet(path).select("id").collect()}
+        raw = {r["id"] for r in store_data(spark, path).select("id").collect()}
         assert victim not in raw
 
     def test_ivfpq_topk_excludes_deleted_then_fold_parity(self, spark, tmp_path):
@@ -199,7 +221,7 @@ class TestEmbeddingIndexDelete:
         }
         assert victim not in served
         fold_tombstones(spark, path)
-        raw = {r["id"] for r in spark.read.parquet(path).select("id").collect()}
+        raw = {r["id"] for r in store_data(spark, path).select("id").collect()}
         assert victim not in raw
         after = {
             r["neighbor_id"]
@@ -360,7 +382,7 @@ class TestPrunedFold:
         SIM.write_lsh_index(_emb(spark), path, partitioned=True)
         return path
 
-    def test_pruned_fold_parity_with_full_rewrite(self, spark, tmp_path):
+    def test_pruned_fold_parity_with_full_rewrite(self, spark, tmp_path, backend):
         pruned = self._store(spark, tmp_path, "p")
         full = self._store(spark, tmp_path, "f")
         victims = [0, 5]
@@ -372,7 +394,7 @@ class TestPrunedFold:
         def rows(p):
             return sorted(
                 (r["id"], r["bkt"])
-                for r in spark.read.parquet(p).select("id", "bkt").collect()
+                for r in store_data(spark, p).select("id", "bkt").collect()
             )
 
         assert rows(pruned) == rows(full)
@@ -387,10 +409,12 @@ class TestPrunedFold:
         ) == _topk_ids(SIM.lsh_index_topk(spark, full, q, k=5, emit_radius=2))
         # both folds are complete: no tombstones left, second fold no-op
         for p in (pruned, full):
-            assert not os.path.isdir(p + "/_tombstones")
+            assert not store_sub_exists(p, "_tombstones")
             assert fold_tombstones(spark, p) == 0
 
-    def test_untouched_partitions_carried_by_hardlink(self, spark, tmp_path):
+    def test_untouched_partitions_carried_by_hardlink(self, spark, tmp_path, backend):
+        if backend == "manifest":
+            pytest.skip("posix physics; manifest twin in test_manifest_store.py")
         path = self._store(spark, tmp_path, "hl")
         by_bkt = {}
         for r in spark.read.parquet(path).select("id", "bkt").collect():
@@ -423,8 +447,10 @@ class TestPrunedFold:
         assert survivors == set(by_bkt[victim_bkt]) - {victim}
 
     def test_fingerprints_sidecar_fold_is_bucket_pruned(
-        self, spark, tmp_path
+        self, spark, tmp_path, backend
     ):
+        if backend == "manifest":
+            pytest.skip("posix physics; manifest twin in test_manifest_store.py")
         # the _fingerprints sidecar is fpb=-bucketed; a fold must
         # rewrite ONLY the buckets the victims hash into and carry
         # every other bucket by hardlink — the last O(sidecar) write
@@ -470,7 +496,9 @@ class TestPrunedFold:
         st = _status(spark, path, batch)
         assert st[90] == ("exact_dup", 0)
 
-    def test_legacy_flat_fingerprints_append_and_fold(self, spark, tmp_path):
+    def test_legacy_flat_fingerprints_append_and_fold(self, spark, tmp_path, backend):
+        if backend == "manifest":
+            pytest.skip("posix physics; manifest twin in test_manifest_store.py")
         # a pre-bucketing store (flat _fingerprints) must keep working:
         # appends stay flat (a mixed tree would not read) and the fold
         # falls back to the full sidecar rewrite
@@ -497,8 +525,10 @@ class TestPrunedFold:
         assert fps == {i for i, _ in CORPUS} - {1, 7}
 
     def test_aliased_partition_dirs_force_full_rewrite(
-        self, spark, tmp_path
+        self, spark, tmp_path, backend
     ):
+        if backend == "manifest":
+            pytest.skip("crafts a raw posix directory tree")
         # two directory names that parse to the SAME partition value
         # (bkt=5 and bkt=05 both read as 5 under Spark's int
         # inference) would let a pruned fold merge both dirs into one
@@ -546,47 +576,49 @@ class TestPrunedFold:
         # no duplicated live rows either: one row per original id
         assert after == [i for i in before if i != 999]
 
-    def test_hot_sidecar_refreshed_pruned_and_carried(self, spark, tmp_path):
+    def test_hot_sidecar_refreshed_pruned_and_carried(self, spark, tmp_path, backend):
         path = self._store(spark, tmp_path, "hot")
         by_bkt = {}
-        for r in spark.read.parquet(path).select("id", "bkt").collect():
+        for r in store_data(spark, path).select("id", "bkt").collect():
             by_bkt.setdefault(r["bkt"], []).append(r["id"])
         bkts = sorted(by_bkt)
         affected, untouched = bkts[0], bkts[-1]
         # seed a stale hot sidecar naming one affected + one untouched
         # bucket (as if both once exceeded the cap)
-        spark.createDataFrame(
-            [(affected,), (untouched,)], "bkt int"
-        ).coalesce(1).write.mode("overwrite").parquet(path + "/_hot_buckets")
+        store_put(
+            spark.createDataFrame([(affected,), (untouched,)], "bkt int"),
+            path, "overwrite", sub="_hot_buckets", coalesce=1,
+        )
 
         delete_from_store(spark, path, _ids(spark, [by_bkt[affected][0]]))
         fold_tombstones(spark, path)  # prune="auto", refresh_hot=True
-        hot = {r["bkt"] for r in spark.read.parquet(path + "/_hot_buckets").collect()}
+        hot = {r["bkt"] for r in store_sub(spark, path, "_hot_buckets").collect()}
         # affected bucket recounted (now far below cap) → re-enters
         # candidate generation; untouched bucket's entry carried as-is
         assert affected not in hot
         assert untouched in hot
 
-    def test_hot_sidecar_full_rebuild_on_full_fold(self, spark, tmp_path):
+    def test_hot_sidecar_full_rebuild_on_full_fold(self, spark, tmp_path, backend):
         path = self._store(spark, tmp_path, "hotfull")
         bkts = sorted(
-            r["bkt"] for r in spark.read.parquet(path).select("bkt").distinct().collect()
+            r["bkt"] for r in store_data(spark, path).select("bkt").distinct().collect()
         )
-        spark.createDataFrame([(b,) for b in bkts], "bkt int").coalesce(
-            1
-        ).write.mode("overwrite").parquet(path + "/_hot_buckets")
+        store_put(
+            spark.createDataFrame([(b,) for b in bkts], "bkt int"),
+            path, "overwrite", sub="_hot_buckets", coalesce=1,
+        )
         delete_from_store(spark, path, _ids(spark, [1]))
         fold_tombstones(spark, path, prune=False)
         # full fold → full rebuild: nothing exceeds the 10k cap
-        assert spark.read.parquet(path + "/_hot_buckets").count() == 0
+        assert store_sub(spark, path, "_hot_buckets").count() == 0
 
-    def test_every_row_deleted_leaves_readable_empty_store(self, spark, tmp_path):
+    def test_every_row_deleted_leaves_readable_empty_store(self, spark, tmp_path, backend):
         path = self._store(spark, tmp_path, "empty")
         delete_from_store(spark, path, _ids(spark, [i for i in range(24)]))
         assert fold_tombstones(spark, path) == 24
         # zero-file partitionBy output would fail schema inference —
         # the guard leaves one schema-bearing file
-        left = spark.read.parquet(path)
+        left = store_data(spark, path)
         assert left.count() == 0 and "id" in left.columns
         assert read_store_meta(path)["n_rows"] == 0
 
@@ -597,9 +629,16 @@ class TestDecisionsRetire:
     record — its own ingest rows drop, and other docs' matched_id
     pointers at it are nulled. Untouched epoch leaves carry by
     hardlink (leaf identity from file paths, never re-rendered
-    partition values)."""
+    partition values). Posix-scope: the streaming sinks write their
+    decision lineage next to the (posix) checkpoint store; manifest
+    stores never carry one (their fold fails LOUDLY if handed one)."""
 
     RUN = "abcd1234run"  # non-numeric: the run-as-double parse trap
+
+    @pytest.fixture(autouse=True)
+    def _posix_only(self, backend):
+        if backend == "manifest":
+            pytest.skip("decisions lineage lives with the posix streaming store")
 
     def _with_decisions(self, spark, mh_store):
         rows = [

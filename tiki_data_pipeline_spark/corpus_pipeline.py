@@ -72,6 +72,9 @@ class CorpusPipeline:
         n_shards: int = 8,
         line_dedup_min_df: int | None = None,
         source_cap: int | None = None,
+        dsir_target_pred=None,
+        dsir_take: int | None = None,
+        dsir_hash: str = "xxhash64",
     ) -> dict:
         """``line_dedup_min_df`` inserts a corpus-level line-removal
         stage (C4/RefinedWeb line-wise filtering) between redaction
@@ -79,7 +82,20 @@ class CorpusPipeline:
         fingerprinting is what lets exact/near dedup see the real
         content; docs whose text empties out are dropped.
         ``source_cap`` inserts a per-source frequency cap (md5
-        lottery) after the repetition filter, before sampling."""
+        lottery) after the repetition filter, before sampling.
+
+        ``dsir_target_pred`` + ``dsir_take`` insert a DSIR
+        importance-sampling stage (Xie et al. 2023) after rebalancing:
+        Gumbel-top-k selection of ``dsir_take`` survivors whose
+        hashed-n-gram distribution matches the target slice
+        ``docs.filter(dsir_target_pred)``. The PIPELINE default is
+        ``dsir_hash="xxhash64"`` — the production mode (pure JVM
+        codegen, no md5 hex render/parse; measured 5.7× faster
+        featurize at 500k docs and 463→25.9 s at 5M) — while the
+        registry/oracle queries keep the cross-engine-checkable md5
+        family; the two modes' weight distributions agree
+        statistically (pinned by
+        test_dsir_xxhash64_mode_distribution_parity)."""
         report: dict = {"input_docs": docs.count()}
 
         # 1. quality: keep docs with enough real tokens
@@ -182,6 +198,20 @@ class CorpusPipeline:
             survivors = CU.stratified_sample(survivors, sample_tenths)
             survivors = self._write(survivors, "sampled")
         report["after_sampling"] = survivors.count()
+
+        # 7b. optional DSIR importance sampling toward a target slice
+        # (xxhash64 featurization by default — the production mode)
+        if dsir_target_pred is not None and dsir_take:
+            target = docs.filter(dsir_target_pred)
+            picked = CU.dsir_sample(
+                survivors, target, n=dsir_take, hash=dsir_hash
+            )
+            survivors = survivors.join(
+                picked.select("doc_id"), "doc_id", "left_semi"
+            )
+            survivors = self._write(survivors, "dsir_sampled")
+            report["after_dsir"] = survivors.count()
+            report["dsir_hash"] = dsir_hash
 
         # 8. pack into ordered training shards
         write_training_shards(

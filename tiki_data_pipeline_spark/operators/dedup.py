@@ -362,15 +362,16 @@ def _write_minhash_store(
         sig_arr.alias("sig"),
         *[F.col(f"mh{i}") for i in range(k)],
     ).selectExpr("id", "sig", _band_stack_expr(bands, k))
-    (
-        # co-locate each band before the partitioned write (tasks ×
-        # bands small files otherwise — same rationale as the LSH
-        # embedding index)
-        rows.repartition("band")
-        .write.mode(mode)
-        .partitionBy("band")
-        .parquet(path)
+    from tiki_data_pipeline_spark.sources.files import (
+        store_put,
+        store_sub_exists,
+        store_sub_partitioned,
     )
+
+    # co-locate each band before the partitioned write (tasks × bands
+    # small files otherwise — same rationale as the LSH embedding
+    # index); store_put routes posix/manifest per the store's backend
+    store_put(rows, path, mode, partition_by="band")
     # exact-fingerprint sidecar (underscore prefix = invisible to the
     # band-row reader, the _centroids pattern): lets a later batch do
     # exact-first staged dedup against the same store. Written AFTER
@@ -380,15 +381,10 @@ def _write_minhash_store(
     # same O(affected) maintenance discipline as the band/cid trees.
     # Appends sniff the existing layout: a legacy flat sidecar keeps
     # appending flat (a mixed flat+partitioned tree would not read).
-    import os
-
-    fdir = path + "/_fingerprints"
     legacy_flat = (
         mode == "append"
-        and os.path.isdir(fdir)
-        and not any(
-            e.name.startswith("fpb=") for e in os.scandir(fdir) if e.is_dir()
-        )
+        and store_sub_exists(path, "_fingerprints")
+        and not store_sub_partitioned(path, "_fingerprints", "fpb")
     )
     fps = docs.select(
         F.col(id_col).alias("id"), _content_fingerprint(text_col).alias("fp")
@@ -396,14 +392,14 @@ def _write_minhash_store(
     from tiki_data_pipeline_spark.sources.files import fp_bucket
 
     if legacy_flat:
-        fps.write.mode(mode).parquet(fdir)
+        store_put(fps, path, mode, sub="_fingerprints")
     else:
-        (
-            fps.withColumn("fpb", fp_bucket(F.col("id")))
-            .repartition("fpb")
-            .write.mode(mode)
-            .partitionBy("fpb")
-            .parquet(fdir)
+        store_put(
+            fps.withColumn("fpb", fp_bucket(F.col("id"))),
+            path,
+            mode,
+            partition_by="fpb",
+            sub="_fingerprints",
         )
     if mode == "overwrite":
         from tiki_data_pipeline_spark.sources.files import write_store_meta
@@ -428,10 +424,14 @@ def rebuild_hot_bands(spark, path: str, cap: int = HOT_BAND_CAP) -> int:
     Run at build (automatic) and periodically after appends (the
     sidecar goes stale as buckets grow — a maintenance companion to
     ``compact_store``). Returns the number of hot signatures."""
-    from tiki_data_pipeline_spark.sources.files import apply_tombstones
+    from tiki_data_pipeline_spark.sources.files import (
+        apply_tombstones,
+        store_data,
+        store_put,
+    )
 
     hot = (
-        apply_tombstones(spark.read.parquet(path), path)
+        apply_tombstones(store_data(spark, path), path)
         .groupBy("band", "band_sig")
         .agg(F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") > cap)
@@ -442,7 +442,7 @@ def rebuild_hot_bands(spark, path: str, cap: int = HOT_BAND_CAP) -> int:
     )
     # coalesce(1): an empty result must still write one schema-bearing
     # file, or the serve-side read of the sidecar fails inference
-    hot.coalesce(1).write.mode("overwrite").parquet(path + "/_hot_bands")
+    store_put(hot, path, "overwrite", sub="_hot_bands", coalesce=1)
     return hot.count()
 
 
@@ -487,24 +487,22 @@ def minhash_index_near_dups(
         sig_arr.alias("new_sig"),
         *[F.col(f"mh{i}") for i in range(k)],
     ).selectExpr("new_id", "new_sig", _band_stack_expr(bands, k))
-    import os
+    from tiki_data_pipeline_spark.sources.files import (
+        apply_tombstones,
+        store_data,
+        store_sub,
+    )
 
-    hot_path = index_path + "/_hot_bands"
-    if os.path.isdir(hot_path):
+    hot = store_sub(spark, index_path, "_hot_bands")
+    if hot is not None:
         # skip boilerplate buckets (quadratic fan-out; see
         # rebuild_hot_bands) — the hot set is tiny by construction,
         # broadcast is free
-        batch = batch.join(
-            F.broadcast(spark.read.parquet(hot_path)),
-            ["band", "band_sig"],
-            "anti",
-        )
-    from tiki_data_pipeline_spark.sources.files import apply_tombstones
-
+        batch = batch.join(F.broadcast(hot), ["band", "band_sig"], "anti")
     # retired ids (takedowns, re-crawl retractions) must stop matching
     # the moment they are deleted — anti-join the tombstone sidecar
     # (no-op plan when no deletes are pending)
-    index = apply_tombstones(spark.read.parquet(index_path), index_path)
+    index = apply_tombstones(store_data(spark, index_path), index_path)
     pairs = (
         index.join(batch, ["band", "band_sig"])
         .filter(F.col("id") != F.col("new_id"))  # re-crawled same doc
@@ -616,11 +614,18 @@ def incremental_dedup_status(
     batch = new_docs.select(
         F.col(id_col), F.col(text_col), _content_fingerprint(text_col).alias("fp")
     )
-    from tiki_data_pipeline_spark.sources.files import apply_tombstones
+    from tiki_data_pipeline_spark.sources.files import (
+        apply_tombstones,
+        store_sub,
+    )
 
-    store = apply_tombstones(
-        spark.read.parquet(index_path + "/_fingerprints"), index_path
-    ).select(
+    fps = store_sub(spark, index_path, "_fingerprints")
+    if fps is None:
+        raise ValueError(
+            f"store at {index_path} has no _fingerprints sidecar - not a "
+            "minhash index store"
+        )
+    store = apply_tombstones(fps, index_path).select(
         # alias: the caller's id_col may itself be named "id"
         F.col("id").alias("_store_id"), "fp"
     )
@@ -831,8 +836,25 @@ def simhash_near_dups(
     )
 
 
+def _span_token_hash(t: Column, hash_mode: str) -> Column:
+    """Masked 30-bit token hash for the span family. ``md5`` is the
+    oracle-parity default (DuckDB computes the identical value, so
+    every registry query stays hash-checked end to end); ``xxhash64``
+    is the production opt-in — same dup/keep decisions (any uniform
+    30-bit hash yields the same window identities modulo ~n²/2³¹
+    chance collisions), a fraction of the per-token CPU (the measured
+    md5 constant is the span family's remaining headroom; the DSIR
+    family's xxhash64 mode bought 18× there). Pinned by a
+    md5-vs-xxhash64 result-parity test instead of a SQL oracle."""
+    if hash_mode == "md5":
+        return _md5_long(t).bitwiseAND(F.lit(_TOKEN_MASK))
+    if hash_mode == "xxhash64":
+        return F.pmod(F.xxhash64(t), F.lit(_TOKEN_MASK + 1))
+    raise ValueError(f"unknown span hash_mode {hash_mode!r}")
+
+
 def _with_span_inputs(
-    docs: DataFrame, id_col: str, text_col: str
+    docs: DataFrame, id_col: str, text_col: str, hash_mode: str = "md5"
 ) -> DataFrame:
     """``(id, _toks, _hs)`` per document — whitespace tokens of the
     lower/trim-normalized text and their masked md5 hashes —
@@ -859,7 +881,7 @@ def _with_span_inputs(
         F.col(id_col),
         toks.alias("_toks"),
         F.transform(
-            toks, lambda t: _md5_long(t).bitwiseAND(F.lit(_TOKEN_MASK))
+            toks, lambda t: _span_token_hash(t, hash_mode)
         ).alias("_hs"),
     )
 
@@ -888,6 +910,7 @@ def duplicate_span_stats(
     span: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """Corpus-wide exact-substring duplication signal (the span-level
     dedup of Lee et al. 2022, "Deduplicating Training Data Makes
@@ -918,7 +941,7 @@ def duplicate_span_stats(
     # below the fan-out repartition — the entire corpus then hashes
     # on ONE core before fanning out (measured 28.5 s vs 0.6 s at
     # sf0.1; explode over an expression gets no inferred filter).
-    base = _with_span_inputs(docs, id_col, text_col)
+    base = _with_span_inputs(docs, id_col, text_col, hash_mode)
     arr = _span_hash_array(F.col("_hs"), span)
     # ONE explode, ONE evaluation of the md5+rolling-fold pipeline:
     # every downstream statistic derives from the same per-doc hash
@@ -996,6 +1019,7 @@ def remove_duplicate_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_run: int | None = None,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """Span-level dedup, the REMOVAL half (Lee et al. 2022 §4 — the
     half training pipelines actually apply; :func:`duplicate_span_stats`
@@ -1037,7 +1061,7 @@ def remove_duplicate_spans(
     (src/pipelines/transform/transformer.py:600-753); this operator
     learns the boilerplate corpus-wide from span document frequency.
     """
-    inputs = _with_span_inputs(docs, id_col, text_col)
+    inputs = _with_span_inputs(docs, id_col, text_col, hash_mode)
     # TWO evaluations of the md5+rolling-fold pipeline — deliberately.
     # The stats half (duplicate_span_stats) shares one inventory
     # exchange between its consumers and wins; here it LOSES, because

@@ -19,7 +19,23 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from tiki_data_pipeline_spark.sources.files import (
+    store_data,
+    store_put,
+    store_sub,
+)
+
 N_PLANES = 8
+
+
+def _require_sub(spark, path: str, name: str) -> DataFrame:
+    """A sidecar the store contract REQUIRES (``_centroids``,
+    ``_codebook``): absence means the path is not that kind of store
+    — fail with the store question, not a parquet path error."""
+    df = store_sub(spark, path, name)
+    if df is None:
+        raise ValueError(f"store at {path} has no {name} sidecar")
+    return df
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -1046,7 +1062,7 @@ def write_lsh_index(
     # mass has no mega-cluster for the exact stage to defuse)
     spark = embeddings.sparkSession
     stats = (
-        spark.read.parquet(path)
+        store_data(spark, path)
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.count_distinct(F.xxhash64(F.col("v"))).alias("d"),
@@ -1218,28 +1234,17 @@ def _write_index_rows(
     scales with the corpus when the caller knows it, so a 2M-vector
     flat store is not four giant sort tasks)."""
     if partitioned:
-        (
-            rows.repartition(F.col(key))
-            .write.mode(mode)
-            .partitionBy(key)
-            .parquet(path)
-        )
+        store_put(rows, path, mode, partition_by=key)
     else:
         n_files = max(4, min(64, (n_rows or 0) // 100_000))
-        (
-            rows.repartitionByRange(n_files, key)
-            .sortWithinPartitions(key)
-            .write.mode(mode)
-            .parquet(path)
-        )
+        store_put(rows, path, mode, range_key=key, n_range_files=n_files)
 
 
 def _detect_partitioned(path: str, key: str) -> bool:
-    import os
+    from tiki_data_pipeline_spark.sources.files import store_layout
 
-    return any(
-        e.name.startswith(f"{key}=") for e in os.scandir(path) if e.is_dir()
-    )
+    k, partitioned = store_layout(path)
+    return partitioned and k == key
 
 
 def lsh_index_near_dups(
@@ -1379,22 +1384,18 @@ def lsh_index_near_dups(
         emit_probes, schema="new_id long, bkt long"
     )
     if skip_hot_buckets:
-        import os
-
-        hot_path = index_path + "/_hot_buckets"
-        if os.path.isdir(hot_path):
+        hot = store_sub(spark, index_path, "_hot_buckets")
+        if hot is not None:
             # explicit opt-in (see rebuild_hot_buckets: unlike the
             # MinHash store there is no exact-first stage to catch a
             # skipped mega-cluster) — the hot set is tiny, broadcast
-            probes = probes.join(
-                F.broadcast(spark.read.parquet(hot_path)), ["bkt"], "anti"
-            )
+            probes = probes.join(F.broadcast(hot), ["bkt"], "anti")
     from tiki_data_pipeline_spark.sources.files import apply_tombstones
 
     # retired vectors must stop matching on delete — anti-join the
     # tombstone sidecar (no-op when no deletes are pending)
     index = _with_nrm(
-        apply_tombstones(spark.read.parquet(index_path), index_path)
+        apply_tombstones(store_data(spark, index_path), index_path)
     ).withColumn("bkt", F.col("bkt").cast("long"))
     # each (new, old) pair meets in EXACTLY one probe bucket (the mask
     # is forced to b_new XOR b_old), so a CLEAN index yields each pair
@@ -1506,7 +1507,7 @@ def lsh_index_dedup_status(
         from tiki_data_pipeline_spark.sources.files import apply_tombstones
 
         store = apply_tombstones(
-            spark.read.parquet(index_path), index_path
+            store_data(spark, index_path), index_path
         ).select(
             F.col("id").alias("_store_id"),
             F.col("v").alias("_sv"),
@@ -1626,7 +1627,7 @@ def lsh_bucket_stats(spark, path: str, cap: int = HOT_BUCKET_CAP) -> dict:
     from tiki_data_pipeline_spark.sources.files import apply_tombstones
 
     occ = (
-        apply_tombstones(spark.read.parquet(path), path)
+        apply_tombstones(store_data(spark, path), path)
         .groupBy("bkt")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -1662,7 +1663,7 @@ def rebuild_hot_buckets(
     )
 
     hot = (
-        apply_tombstones(spark.read.parquet(path), path)
+        apply_tombstones(store_data(spark, path), path)
         .groupBy("bkt")
         .agg(F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") > cap)
@@ -1671,7 +1672,7 @@ def rebuild_hot_buckets(
     )
     # coalesce(1): an empty result must still write one schema-bearing
     # file or the serve-side sidecar read fails schema inference
-    hot.coalesce(1).write.mode("overwrite").parquet(path + "/_hot_buckets")
+    store_put(hot, path, "overwrite", sub="_hot_buckets", coalesce=1)
     update_store_meta(path, {"hot_buckets_serve_skip": bool(serve_default)})
     return hot.count()
 
@@ -1837,7 +1838,7 @@ def lsh_index_topk(
     )
     from tiki_data_pipeline_spark.sources.files import apply_tombstones
 
-    index = spark.read.parquet(index_path).filter(
+    index = store_data(spark, index_path).filter(
         F.col("bkt").isin(probe_buckets)  # partition pruning, not a scan
     )
     index = _with_nrm(apply_tombstones(index, index_path))
@@ -1949,7 +1950,7 @@ def write_ivf_index(
     if partitioned is None:
         partitioned = n_rows >= partition_min_rows
     _write_index_rows(assigned, path, "overwrite", "cid", partitioned)
-    centroids.write.mode("overwrite").parquet(path.rstrip("/") + "/_centroids")
+    store_put(centroids, path, "overwrite", sub="_centroids")
     from tiki_data_pipeline_spark.sources.files import write_store_meta
 
     # kind pins the signature family; n_rows feeds nprobe="auto"
@@ -2013,7 +2014,7 @@ def append_ivf_index(
     from tiki_data_pipeline_spark.sources.files import reject_tombstoned
 
     reject_tombstoned(spark, path, embeddings, id_col)
-    centroids = spark.read.parquet(path.rstrip("/") + "/_centroids")
+    centroids = _require_sub(spark, path, "_centroids")
     base = _ivf_index_rows(embeddings, id_col, vec_col)
     n_delta = base.count()  # delta-sized; keeps nprobe="auto" honest
     assigned = assign_to_centroids(base, centroids).join(base, "id")
@@ -2062,7 +2063,7 @@ def ivf_semantic_dedup_status(
     from tiki_data_pipeline_spark.sources.files import check_store_meta
 
     check_store_meta(index_path, {"kind": "ivf"})
-    centroids = spark.read.parquet(index_path.rstrip("/") + "/_centroids")
+    centroids = _require_sub(spark, index_path, "_centroids")
     valid = _ivf_index_rows(new_embeddings, id_col, vec_col)
     assigned = assign_to_centroids(valid.select("id", "v"), centroids).join(
         valid, "id"
@@ -2070,7 +2071,7 @@ def ivf_semantic_dedup_status(
     from tiki_data_pipeline_spark.sources.files import apply_tombstones
 
     index = _with_nrm(
-        apply_tombstones(spark.read.parquet(index_path), index_path)
+        apply_tombstones(store_data(spark, index_path), index_path)
     )
     batch = assigned.select(
         F.col("id").alias("new_id"),
@@ -2180,7 +2181,7 @@ def ivf_drift_report(
     from tiki_data_pipeline_spark.sources.files import apply_tombstones
 
     stored = _stats(
-        apply_tombstones(spark.read.parquet(index_path), index_path).select(
+        apply_tombstones(store_data(spark, index_path), index_path).select(
             "cid", "v"
         ),
         "stored",
@@ -2259,9 +2260,7 @@ def ivf_retrain_recommendation(
     # TRAINED list count, not the report's nonzero-mass row count —
     # empty lists are exactly what mass skew starves, so dropping
     # them from the mean would hide the skew being measured
-    n_lists = spark.read.parquet(
-        index_path.rstrip("/") + "/_centroids"
-    ).count()
+    n_lists = _require_sub(spark, index_path, "_centroids").count()
     n_stored = sum(r["n_stored"] for r in rows)
     n_new = sum(r["n_new"] for r in rows)
     meta = read_store_meta(index_path) or {}
@@ -2334,7 +2333,7 @@ def ivf_index_topk(
         else:
             n_rows = meta.get("n_rows")
             if n_rows is None:
-                n_rows = spark.read.parquet(index_path).count()
+                n_rows = store_data(spark, index_path).count()
             nprobe = auto_nprobe(int(n_rows), len(cids), k)
 
     q_rows = (
@@ -2363,7 +2362,7 @@ def ivf_index_topk(
     )
     from tiki_data_pipeline_spark.sources.files import apply_tombstones
 
-    index = spark.read.parquet(index_path).filter(
+    index = store_data(spark, index_path).filter(
         F.col("cid").isin(probe_cids)  # partition pruning, not a scan
     )
     index = _with_nrm(apply_tombstones(index, index_path))
@@ -2411,7 +2410,7 @@ def _read_centroid_mat(spark, index_path: str):
     import numpy as np
 
     rows = sorted(
-        spark.read.parquet(index_path.rstrip("/") + "/_centroids").collect(),
+        _require_sub(spark, index_path, "_centroids").collect(),
         key=lambda r: r["cid"],
     )
     cids = np.array([r["cid"] for r in rows], dtype=np.int64)
@@ -2524,7 +2523,7 @@ def _pq_codebook_df(spark, codebook) -> DataFrame:
 def _pq_codebook_mat(spark, path: str):
     import numpy as np
 
-    rows = spark.read.parquet(path.rstrip("/") + "/_codebook").collect()
+    rows = _require_sub(spark, path, "_codebook").collect()
     m = max(r["sub"] for r in rows) + 1
     k = max(r["cid"] for r in rows) + 1
     dsub = len(rows[0]["cv"])
@@ -2598,10 +2597,8 @@ def write_pq_index(
             embeddings, m=m, k=k, id_col=id_col, vec_col=vec_col
         )
     codes = pq_encode(embeddings, codebook, id_col=id_col, vec_col=vec_col)
-    codes.write.mode("overwrite").parquet(path)
-    _pq_codebook_df(spark, codebook).write.mode("overwrite").parquet(
-        path.rstrip("/") + "/_codebook"
-    )
+    store_put(codes, path, "overwrite")
+    store_put(_pq_codebook_df(spark, codebook), path, "overwrite", sub="_codebook")
     write_store_meta(
         path,
         {
@@ -2609,7 +2606,7 @@ def write_pq_index(
             "m": int(codebook.shape[0]),
             "k": int(codebook.shape[1]),
             "n_rows": int(
-                spark.read.parquet(path).count()
+                store_data(spark, path).count()
             ),  # footer-metadata count, no data scan
         },
     )
@@ -2669,7 +2666,7 @@ def pq_index_topk(
         # pre-meta store the auto depth needs a full index count,
         # which pure-ADC serving should never pay
         meta = read_store_meta(index_path) or {}
-        n_rows = meta.get("n_rows") or spark.read.parquet(index_path).count()
+        n_rows = meta.get("n_rows") or store_data(spark, index_path).count()
         shortlist = _auto_shortlist(n_rows)
     cb = _pq_codebook_mat(spark, index_path)
     m, _, dsub = cb.shape
@@ -2715,7 +2712,7 @@ def pq_index_topk(
 
     from tiki_data_pipeline_spark.sources.files import apply_tombstones
 
-    codes = apply_tombstones(spark.read.parquet(index_path), index_path)
+    codes = apply_tombstones(store_data(spark, index_path), index_path)
     scored = (
         codes.mapInPandas(score, schema="query_id long, neighbor_id long, d2 double")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -2752,15 +2749,15 @@ def append_pq_index(
     check_store_meta(path, {"kind": "pq"})
     reject_tombstoned(spark, path, embeddings, id_col)
     cb = _pq_codebook_mat(spark, path)
-    stored = spark.read.parquet(path).select("id")
+    stored = store_data(spark, path).select("id")
     fresh = embeddings.join(
         stored.withColumnRenamed("id", id_col), id_col, "anti"
     )
     codes = pq_encode(fresh, cb, id_col=id_col, vec_col=vec_col)
-    codes.write.mode("append").parquet(path)
+    store_put(codes, path, "append")
     if "n_rows" in (read_store_meta(path) or {}):
         update_store_meta(
-            path, {"n_rows": int(spark.read.parquet(path).count())}
+            path, {"n_rows": int(store_data(spark, path).count())}
         )
 
 
@@ -2812,10 +2809,8 @@ def write_ivfpq_index(
     if partitioned is None:
         partitioned = n_rows >= partition_min_rows
     _write_index_rows(rows, path, "overwrite", "cid", partitioned)
-    centroids.write.mode("overwrite").parquet(path.rstrip("/") + "/_centroids")
-    _pq_codebook_df(spark, codebook).write.mode("overwrite").parquet(
-        path.rstrip("/") + "/_codebook"
-    )
+    store_put(centroids, path, "overwrite", sub="_centroids")
+    store_put(_pq_codebook_df(spark, codebook), path, "overwrite", sub="_codebook")
     write_store_meta(
         path,
         {
@@ -2878,7 +2873,7 @@ def ivfpq_index_topk(
         # so pure-ADC serving skips the (possibly full-count) resolve
         meta = read_store_meta(index_path) or {}
         shortlist = _auto_shortlist(
-            meta.get("n_rows") or spark.read.parquet(index_path).count()
+            meta.get("n_rows") or store_data(spark, index_path).count()
         )
     if nprobe == "auto":
         # Prefer the store's measured calibration (written by
@@ -2891,7 +2886,7 @@ def ivfpq_index_topk(
         if meta.get("calibrated_nprobe"):
             nprobe = int(meta["calibrated_nprobe"])
         else:
-            n_rows = meta.get("n_rows") or spark.read.parquet(index_path).count()
+            n_rows = meta.get("n_rows") or store_data(spark, index_path).count()
             nprobe = auto_nprobe(int(n_rows), len(cids), k)
 
     q_rows = (
@@ -2923,7 +2918,7 @@ def ivfpq_index_topk(
     from tiki_data_pipeline_spark.sources.files import apply_tombstones
 
     index = apply_tombstones(
-        spark.read.parquet(index_path).filter(
+        store_data(spark, index_path).filter(
             F.col("cid").isin(probe_cids)  # partition pruning, not a scan
         ),
         index_path,
@@ -3034,7 +3029,7 @@ def calibrate_index_nprobe(
     neighbor_ids = sorted({r["neighbor_id"] for r in pairs})
     cid_of = {
         r["id"]: r["cid"]
-        for r in spark.read.parquet(index_path)
+        for r in store_data(spark, index_path)
         .filter(F.col("id").isin(neighbor_ids))
         .select("id", "cid")
         .collect()
@@ -3114,8 +3109,8 @@ def append_ivfpq_index(
 
     reject_tombstoned(spark, path, embeddings, id_col)
     cb = _pq_codebook_mat(spark, path)
-    centroids = spark.read.parquet(path.rstrip("/") + "/_centroids")
-    stored = spark.read.parquet(path).select("id")
+    centroids = _require_sub(spark, path, "_centroids")
+    stored = store_data(spark, path).select("id")
     fresh = embeddings.join(
         stored.withColumnRenamed("id", id_col), id_col, "anti"
     )

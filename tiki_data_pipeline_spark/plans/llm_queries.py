@@ -768,13 +768,13 @@ def doc_dedup_status_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     analogue: point-in-time recovery on the OLTP store
     (src/pipelines/crawl/storage/postgres_storage.py) — on immutable
     parquet, explicit snapshots."""
-    import os
+    from tiki_data_pipeline_spark.sources.files import version_path
 
     docs = load_table(spark, sf_dir, "documents")
     batch = docs.filter(F.col("doc_id") % 2 == 1)
     store = _mh_tt_index_cached(spark, sf_dir)
     asof = DD.incremental_dedup_status(
-        spark, os.path.join(store, "_versions", "v1"), batch, threshold=0.5
+        spark, version_path(store, 1), batch, threshold=0.5
     )
     now = DD.incremental_dedup_status(spark, store, batch, threshold=0.5)
     return (

@@ -19,6 +19,144 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from tiki_data_pipeline_spark.sources import store_backend as MB
+from tiki_data_pipeline_spark.sources.store_backend import (  # noqa: F401
+    is_manifest_store,
+    resolve_backend,
+    split_pin,
+)
+
+
+# ---------------------------------------------------------------------------
+# Store access helpers (backend dispatch)
+# ---------------------------------------------------------------------------
+# Persisted stores come in two physical backends behind one API: the
+# POSIX layout (directory tree + hardlink snapshots + rename swaps —
+# right on a real filesystem) and the MANIFEST layout (immutable
+# generation files + JSON manifests + one atomic pointer — the
+# object-store/lakehouse shape; see sources/store_backend.py). A
+# store is self-describing (`_mf/CURRENT.json` marks manifest), so
+# every helper below dispatches per store; serve and build code is
+# backend-agnostic. POSIX implementations are exact passthroughs of
+# the pre-backend code paths — zero plan or layout change.
+
+
+def store_data(spark: SparkSession, path: str) -> DataFrame:
+    """Scan a store's data tree (partition columns parsed either
+    way); raises when the store has no data files."""
+    if is_manifest_store(path):
+        df = MB.store_read(spark, path, None)
+        if df is None:
+            raise ValueError(f"manifest store at {path} has no data files")
+        return df
+    return spark.read.parquet(path)
+
+
+def store_sub(spark: SparkSession, path: str, name: str) -> DataFrame | None:
+    """Scan one sidecar (``_fingerprints``, ``_hot_bands``, …);
+    None when the store has no such sidecar."""
+    if is_manifest_store(path):
+        return MB.store_read(spark, path, name)
+    import os
+
+    sp = os.path.join(split_pin(path)[0], name)
+    return spark.read.parquet(sp) if os.path.isdir(sp) else None
+
+
+def store_sub_exists(path: str, name: str) -> bool:
+    if is_manifest_store(path):
+        return MB.store_sub_exists(path, name)
+    import os
+
+    return os.path.isdir(os.path.join(split_pin(path)[0], name))
+
+
+def store_sub_partitioned(path: str, name: str, key: str) -> bool:
+    """Is a sidecar Hive-partitioned on ``key`` (vs legacy flat)?"""
+    if is_manifest_store(path):
+        root, pin = split_pin(path)
+        pref = f"{name}/{key}="
+        return any(
+            MB._lp(f).startswith(pref)
+            for f in MB.manifest_files(root, name, MB._resolve_gen(root, pin))
+        )
+    import os
+
+    sdir = os.path.join(path, name)
+    return os.path.isdir(sdir) and any(
+        e.name.startswith(f"{key}=") for e in os.scandir(sdir) if e.is_dir()
+    )
+
+
+def store_put(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: str | None = None,
+    sub: str | None = None,
+    coalesce: int | None = None,
+    range_key: str | None = None,
+    n_range_files: int | None = None,
+    backend: str | None = None,
+) -> None:
+    """Write a store's data tree (``sub=None``) or one sidecar, in
+    either backend. An EXISTING store keeps its backend regardless of
+    ``backend``/env (mixed trees would not read); a store being BORN
+    follows ``backend``, else the ``SPARK_GRAFT_STORE_BACKEND`` env
+    default, else posix. The posix shapes are byte-identical to the
+    pre-backend writers (co-locate-then-partition, range-sorted flat,
+    coalesced sidecar)."""
+    import os
+
+    root, pin = split_pin(path)
+    if pin is not None:
+        raise ValueError(f"cannot write to a pinned snapshot handle {path}")
+    if is_manifest_store(root) or (
+        not os.path.isdir(root) and resolve_backend(backend) == "manifest"
+    ):
+        MB.store_put(
+            df,
+            root,
+            mode=mode,
+            partition_by=partition_by,
+            sub=sub,
+            coalesce=coalesce,
+            range_key=range_key,
+            n_range_files=n_range_files,
+        )
+        return
+    target = os.path.join(root, sub) if sub else root
+    if partition_by is not None:
+        (
+            df.repartition(F.col(partition_by))
+            .write.mode(mode)
+            .partitionBy(partition_by)
+            .parquet(target)
+        )
+    elif range_key is not None:
+        (
+            df.repartitionByRange(n_range_files or 4, range_key)
+            .sortWithinPartitions(range_key)
+            .write.mode(mode)
+            .parquet(target)
+        )
+    elif coalesce:
+        df.coalesce(coalesce).write.mode(mode).parquet(target)
+    else:
+        df.write.mode(mode).parquet(target)
+
+
+def version_path(path: str, version: int) -> str:
+    """The read-only handle of snapshot ``version`` — a COMPLETE store
+    (data + sidecars + meta as of the pin) accepted by every read
+    helper and serve function: the posix ``_versions/vN`` tree, or
+    the manifest ``root@vN`` pinned handle."""
+    import os
+
+    if is_manifest_store(path):
+        return f"{path}@v{version}"
+    return os.path.join(path, VERSIONS_DIR, f"v{version}")
+
 
 def read_product_envelope(
     spark: SparkSession, path: str, product_schema: T.StructType | str | None = None
@@ -86,9 +224,14 @@ def recover_interrupted_swap(path: str) -> None:
     case). Called automatically by the swap itself; callers that READ
     ``path`` before staging a rewrite (e.g. the pruned fold's
     affected-partition scan) run it first so the read never lands in
-    the between-renames window of a previous crash."""
+    the between-renames window of a previous crash. Manifest stores
+    need no recovery — their commit is one atomic pointer put — so
+    this is a no-op there."""
     import os
     import shutil
+
+    if is_manifest_store(path):
+        return
 
     old = path + ".old"
     if os.path.isdir(old):
@@ -150,10 +293,16 @@ def compact_parquet(spark: SparkSession, path: str, target_files: int) -> None:
 def write_store_meta(path: str, meta: dict) -> None:
     """Record a persisted store's build parameters in
     ``<path>/_meta.json`` (underscore prefix = invisible to parquet
-    readers). Local-filesystem write; production = object-store put."""
+    readers). In a manifest store the meta is itself a versioned
+    manifest entry, so snapshots pin the build parameters AS OF the
+    pin; posix writes it at the store root (a snapshot hardlinks
+    it)."""
     import json
     import os
 
+    if is_manifest_store(path):
+        MB.put_json_entry(split_pin(path)[0], "_meta.json", meta)
+        return
     with open(os.path.join(path, "_meta.json"), "w") as f:
         json.dump(meta, f)
 
@@ -167,6 +316,8 @@ def read_store_meta(path: str) -> dict | None:
     import json
     import os
 
+    if is_manifest_store(path):
+        return MB.get_json_entry(path, "_meta.json")
     meta_path = os.path.join(path, "_meta.json")
     if not os.path.exists(meta_path):
         return None
@@ -193,14 +344,9 @@ def check_store_meta(path: str, expected: dict) -> None:
     policy) that are not signature parameters. A store without meta
     (pre-meta build) skips validation; the caller owns consistency
     there."""
-    import json
-    import os
-
-    meta_path = os.path.join(path, "_meta.json")
-    if not os.path.exists(meta_path):
+    meta = read_store_meta(path)
+    if meta is None:
         return
-    with open(meta_path) as f:
-        meta = json.load(f)
     mismatched = {k: v for k, v in expected.items() if meta.get(k) != v}
     if mismatched:
         stored = {k: meta.get(k) for k in mismatched}
@@ -235,6 +381,13 @@ def compact_store(
     where deletions stop costing an anti-join."""
     import os
 
+    if is_manifest_store(path):
+        return MB.compact_store_manifest(
+            spark,
+            path,
+            target_files_per_partition=target_files_per_partition,
+            fold_deletes=fold_deletes,
+        )
     if fold_deletes:
         fold_tombstones(spark, path)
 
@@ -332,18 +485,26 @@ def delete_from_store(
     if n:
         # coalesce(1): a delete batch is driver-small (takedown lists,
         # not corpora) — one file per delete keeps the sidecar scannable
-        tomb.coalesce(1).write.mode("append").parquet(
-            os.path.join(path, TOMBSTONE_DIR)
-        )
+        if is_manifest_store(path):
+            # manifest append: new file + manifest commit, so snapshots
+            # pin the tombstone set as of the pin
+            MB.store_put(tomb, path, mode="append", sub=TOMBSTONE_DIR, coalesce=1)
+        else:
+            tomb.coalesce(1).write.mode("append").parquet(
+                os.path.join(path, TOMBSTONE_DIR)
+            )
     return n
 
 
 def store_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
     """The store's live tombstone set as a distinct-id DataFrame, or
     None when no deletes are pending (the common case — checked with
-    one directory stat, no Spark job)."""
+    one directory stat / manifest lookup, no Spark job)."""
     import os
 
+    if is_manifest_store(path):
+        t = MB.store_read(spark, path, TOMBSTONE_DIR)
+        return None if t is None else t.select("id").distinct()
     tdir = os.path.join(path, TOMBSTONE_DIR)
     if not os.path.isdir(tdir):
         return None
@@ -411,12 +572,18 @@ def snapshot_store(path: str, tag: str | None = None) -> int:
     any snapshot read-only without touching the live store. Returns
     the new version number (monotonic from 1). Crash-safe: the
     snapshot is staged under a dot-prefixed temp dir and renamed into
-    place; a crashed attempt is swept on the next call."""
+    place; a crashed attempt is swept on the next call.
+
+    On a manifest store a snapshot is ONE small JSON write pinning the
+    current generation — no per-file work, the honest 100 TB cost
+    model (see ``store_backend.snapshot``)."""
     import json
     import os
     import shutil
     import time
 
+    if is_manifest_store(path):
+        return MB.snapshot(split_pin(path)[0], tag=tag)
     recover_interrupted_swap(path)
     vroot = os.path.join(path, VERSIONS_DIR)
     os.makedirs(vroot, exist_ok=True)
@@ -463,6 +630,8 @@ def list_store_versions(path: str) -> list[dict]:
     import json
     import os
 
+    if is_manifest_store(path):
+        return MB.list_versions(split_pin(path)[0])
     vroot = os.path.join(path, VERSIONS_DIR)
     if not os.path.isdir(vroot):
         return []
@@ -476,7 +645,10 @@ def list_store_versions(path: str) -> list[dict]:
 
 
 def expire_store_versions(
-    path: str, keep_last: int | None = None, before: int | None = None
+    path: str,
+    keep_last: int | None = None,
+    before: int | None = None,
+    keep_tags: tuple[str, ...] | bool = (),
 ) -> list[int]:
     """Drop old snapshots — the VACUUM half of versioning. Hardlinked
     trees are free to RECORD but pin every data file they reference:
@@ -484,8 +656,12 @@ def expire_store_versions(
     the old partition files alive on disk until it is expired, so a
     store under takedown pressure grows by one store-image per
     retained snapshot generation. ``keep_last=N`` keeps the N newest;
-    ``before=V`` drops versions < V; both may combine. Returns the
-    expired version numbers.
+    ``before=V`` drops versions < V; both may combine; ``keep_tags``
+    PINS snapshots against every expiry rule — a tuple of tag names,
+    or ``True`` to pin every tagged snapshot (the retention idiom:
+    automatic snapshots are untagged and age out, operator-named
+    snapshots like "pre-takedown-2026-08" survive until untagged or
+    expired explicitly). Returns the expired version numbers.
 
     Crash-safe in the same idiom as every destructive step here: a
     victim is renamed to a dot-prefixed ``.vN.expiring`` first (the
@@ -494,22 +670,35 @@ def expire_store_versions(
     deleted STRICTLY: a failed rmtree raises after the rename, so the
     caller learns the bytes are still pinned (the version is already
     expired either way — invisible, swept on the next call) instead
-    of reading a success that freed nothing."""
+    of reading a success that freed nothing.
+
+    Manifest stores expire by manifest-diff GC: drop the version
+    entries, then delete exactly the files no retained generation
+    references (``store_backend.expire_versions``)."""
     import os
     import shutil
 
+    if is_manifest_store(path):
+        return MB.expire_versions(
+            split_pin(path)[0],
+            keep_last=keep_last,
+            before=before,
+            keep_tags=keep_tags,
+        )
     vroot = os.path.join(path, VERSIONS_DIR)
     if not os.path.isdir(vroot):
         return []
     for e in os.scandir(vroot):  # sweep prior crashed expiries
         if e.name.startswith(".") and e.name.endswith(".expiring"):
             shutil.rmtree(e.path, ignore_errors=True)
-    versions = sorted(m["version"] for m in list_store_versions(path))
+    manifests = list_store_versions(path)
+    versions = sorted(m["version"] for m in manifests)
     victims = set()
     if before is not None:
         victims |= {v for v in versions if v < before}
     if keep_last is not None:
         victims |= set(versions[: max(len(versions) - keep_last, 0)])
+    victims -= _pinned_versions(manifests, keep_tags)
     for v in sorted(victims):
         vdir = os.path.join(vroot, f"v{v}")
         staging = os.path.join(vroot, f".v{v}.expiring")
@@ -518,9 +707,84 @@ def expire_store_versions(
     return sorted(victims)
 
 
-def _version_dir(path: str, version: int) -> str:
+def _pinned_versions(
+    manifests: list[dict], keep_tags: tuple[str, ...] | bool
+) -> set[int]:
+    """Version numbers protected from expiry by tag pinning."""
+    if keep_tags is True:
+        return {m["version"] for m in manifests if m.get("tag")}
+    if not keep_tags:
+        return set()
+    tags = set(keep_tags)
+    return {m["version"] for m in manifests if m.get("tag") in tags}
+
+
+def store_maintenance(
+    spark: SparkSession,
+    path: str,
+    snapshot_tag: str | None = None,
+    keep_last: int = 2,
+    keep_tags: tuple[str, ...] | bool = True,
+    compact: bool = True,
+    target_files_per_partition: int = 1,
+) -> dict:
+    """One store maintenance window, policy included: snapshot the
+    pre-maintenance state (the undo point — tagged if
+    ``snapshot_tag``), fold pending deletions + compact, then expire
+    history down to ``keep_last`` automatic snapshots with
+    ``keep_tags`` pinning (default: every TAGGED snapshot survives —
+    operator-named pins like "pre-takedown" age out only when
+    explicitly untagged/expired, while the automatic per-window
+    snapshots rotate). Returns the report incl. bytes actually
+    reclaimed on disk — hardlinked/referenced trees PIN bytes until
+    expiry, so a pipeline that snapshots every window without this
+    rotation grows by one store-image per window. This is the
+    function a scheduled maintenance job calls; production twin:
+    lakehouse ``OPTIMIZE`` + ``VACUUM`` with retention."""
     import os
 
+    def _bytes() -> int:
+        root = split_pin(path)[0]
+        return sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _dns, fns in os.walk(root)
+            for f in fns
+        )
+
+    before = _bytes()
+    version = snapshot_store(path, tag=snapshot_tag)
+    folded = (
+        compact_store(
+            spark,
+            path,
+            target_files_per_partition=target_files_per_partition,
+        )
+        if compact
+        else fold_tombstones(spark, path)
+    )
+    expired = expire_store_versions(
+        path, keep_last=keep_last, keep_tags=keep_tags
+    )
+    after = _bytes()
+    return {
+        "version": version,
+        "maintained": folded,
+        "expired": expired,
+        "bytes_before": before,
+        "bytes_after": after,
+        "bytes_reclaimed": max(0, before - after),
+    }
+
+
+def _version_dir(path: str, version: int) -> str:
+    """The snapshot's read handle, existence-checked (posix: the
+    hardlink tree; manifest: the ``@vN`` pinned handle)."""
+    import os
+
+    if is_manifest_store(path):
+        root = split_pin(path)[0]
+        MB.version_gen(root, version)  # raises for unknown versions
+        return f"{root}@v{version}"
     vdir = os.path.join(path, VERSIONS_DIR, f"v{version}")
     if not os.path.isdir(vdir):
         known = [m["version"] for m in list_store_versions(path)]
@@ -540,7 +804,7 @@ def read_store_version(
     taken. ``with_tombstones=False`` exposes the raw pre-anti-join
     rows (forensics)."""
     vdir = _version_dir(path, version)
-    df = spark.read.parquet(vdir)
+    df = store_data(spark, vdir)
     return apply_tombstones(df, vdir) if with_tombstones else df
 
 
@@ -551,10 +815,14 @@ def rollback_store(path: str, version: int) -> None:
     a rollback is an event, not history rewriting — roll forward
     again if the rollback itself was the mistake). Same crash-safe
     swap as every other store rewrite; hardlinks, zero data bytes
-    moved."""
+    moved. Manifest stores roll back with ONE commit whose file list
+    is the pinned generation's — no data movement either."""
     import os
     import shutil
 
+    if is_manifest_store(path):
+        MB.rollback(split_pin(path)[0], version)
+        return
     vdir = _version_dir(path, version)
 
     def _stage(staging: str) -> None:
@@ -587,14 +855,14 @@ def _store_live_ids(
     column-pruned scan of (id) — O(docs), never O(rows) — the same
     sidecar the deletion serve reads), else a distinct over the data
     tree; either way anti-joined with THAT tree's own pending
-    tombstones so the set matches what a serve would see."""
-    import os
-
-    fdir = os.path.join(tree, "_fingerprints")
-    if os.path.isdir(fdir):
-        ids = spark.read.parquet(fdir).select("id")
+    tombstones so the set matches what a serve would see. ``tree`` is
+    any store read handle — live root, posix version dir, or manifest
+    ``@vN`` pin."""
+    fps = store_sub(spark, tree, "_fingerprints")
+    if fps is not None:
+        ids = fps.select("id")
     else:
-        ids = spark.read.parquet(tree).select(F.col(id_col).alias("id"))
+        ids = store_data(spark, tree).select(F.col(id_col).alias("id"))
     return apply_tombstones(ids.distinct(), tree)
 
 
@@ -883,6 +1151,16 @@ def fold_tombstones(
     import os
     import shutil
 
+    if is_manifest_store(path):
+        # object-store path: new files + manifest commit; untouched
+        # partitions carried by REFERENCE instead of hardlink
+        return MB.fold_tombstones_manifest(
+            spark,
+            path,
+            fold_sidecars=fold_sidecars,
+            prune=prune,
+            refresh_hot=refresh_hot,
+        )
     # the pruned path reads `path` EAGERLY (affected-partition scan)
     # before swap_parquet_rewrite gets a chance to recover a prior
     # crashed swap — recover first so that scan never lands in the
@@ -1058,8 +1336,7 @@ def _refresh_hot_sidecars(
     import os
 
     for sidecar, keys in (("_hot_bands", ["band", "band_sig"]), ("_hot_buckets", ["bkt"])):
-        hot_path = os.path.join(path, sidecar)
-        if not os.path.isdir(hot_path):
+        if not store_sub_exists(path, sidecar):
             continue
         if affected_vals is None or part_key is None:
             # full fold → full rebuild (same O(store-scan) window)
@@ -1089,12 +1366,12 @@ def _refresh_hot_sidecars(
             from tiki_data_pipeline_spark.operators.similarity import (
                 HOT_BUCKET_CAP as cap,
             )
-        old = spark.read.parquet(hot_path)
-        if part_key not in old.columns:
+        old = store_sub(spark, path, sidecar)
+        if old is None or part_key not in old.columns:
             continue  # foreign schema — leave untouched
         kept = old.filter(~F.col(part_key).isin(affected_vals))
         recount = (
-            spark.read.parquet(path)
+            store_data(spark, path)
             .filter(F.col(part_key).isin(affected_vals))
             .groupBy(*keys)
             .agg(F.count(F.lit(1)).alias("_n"))
@@ -1104,7 +1381,7 @@ def _refresh_hot_sidecars(
         refreshed = kept.select(*keys).unionByName(recount).localCheckpoint()
         # coalesce(1): an empty result must still write one
         # schema-bearing file (serve-side read does inference)
-        refreshed.coalesce(1).write.mode("overwrite").parquet(hot_path)
+        store_put(refreshed, path, "overwrite", sub=sidecar, coalesce=1)
 
 
 def store_layout(path: str) -> tuple[str | None, bool]:
@@ -1116,6 +1393,8 @@ def store_layout(path: str) -> tuple[str | None, bool]:
     (False). ``(None, False)`` for a store with no recognized key."""
     import os
 
+    if is_manifest_store(path):
+        return MB.store_layout(path)
     for k in ("band", "bkt", "cid"):
         if any(
             e.name.startswith(f"{k}=") for e in os.scandir(path) if e.is_dir()
@@ -1166,6 +1445,8 @@ def migrate_store_layout(
     import os
     import shutil
 
+    if is_manifest_store(path):
+        return MB.migrate_store_layout_manifest(spark, path, partitioned)
     key, is_part = store_layout(path)
     if key is None:
         raise ValueError(

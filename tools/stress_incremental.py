@@ -156,6 +156,9 @@ def deletion_stage(spark, store, docs, delta, doc_is_delta, out) -> None:
         fold_tombstones,
     )
 
+    from tiki_data_pipeline_spark.sources.files import is_manifest_store
+
+    manifest = is_manifest_store(store)
     victim_pred = (
         ((F.col("doc_id") % 10_000 % 100 == 8) & (F.col("doc_id") < 10_000))
         | (F.col("doc_id") % 97 == 0)
@@ -175,14 +178,17 @@ def deletion_stage(spark, store, docs, delta, doc_is_delta, out) -> None:
     # persist the pre-delete decisions as a lineage epoch (the layout
     # the streaming sinks write) so the fold's decisions scrub runs at
     # every level — the pointer invariant must hold for the PERSISTED
-    # log, not just freshly computed serves
-    (
-        pre.withColumn("run", F.lit("stressrun"))
-        .withColumn("epoch", F.lit(0))
-        .write.mode("overwrite")
-        .partitionBy("run", "epoch")
-        .parquet(store + "/_decisions")
-    )
+    # log, not just freshly computed serves. Manifest stores do not
+    # carry streaming _decisions logs (they live with the posix
+    # streaming checkpoint store), so that leg is posix-only.
+    if not manifest:
+        (
+            pre.withColumn("run", F.lit("stressrun"))
+            .withColumn("epoch", F.lit(0))
+            .write.mode("overwrite")
+            .partitionBy("run", "epoch")
+            .parquet(store + "/_decisions")
+        )
     t0 = time.perf_counter()
     out["del_ids"] = delete_from_store(spark, store, victims)
     out["delete_s"] = round(time.perf_counter() - t0, 2)
@@ -214,17 +220,18 @@ def deletion_stage(spark, store, docs, delta, doc_is_delta, out) -> None:
     # the lineage half of the invariant: post-fold, ZERO persisted
     # decision rows reference a retired id — neither as subject
     # (doc_id) nor through a matched_id pointer
-    dec_refs = (
-        spark.read.parquet(store + "/_decisions")
-        .select(F.explode(F.array("doc_id", "matched_id")).alias("id"))
-        .join(victims, "id", "semi")
-        .count()
-    )
-    assert dec_refs == 0, (
-        f"{dec_refs} persisted decision rows still reference retired ids "
-        f"(expected 0; {out['matched_victims']} pointed at them pre-delete)"
-    )
-    out["decision_victim_refs_post_fold"] = dec_refs
+    if not manifest:
+        dec_refs = (
+            spark.read.parquet(store + "/_decisions")
+            .select(F.explode(F.array("doc_id", "matched_id")).alias("id"))
+            .join(victims, "id", "semi")
+            .count()
+        )
+        assert dec_refs == 0, (
+            f"{dec_refs} persisted decision rows still reference retired ids "
+            f"(expected 0; {out['matched_victims']} pointed at them pre-delete)"
+        )
+        out["decision_victim_refs_post_fold"] = dec_refs
     t0 = time.perf_counter()
     DD.incremental_dedup_status(spark, store, delta.limit(out["delta_docs"])).count()
     out["decide_post_fold_s"] = round(time.perf_counter() - t0, 2)
@@ -247,6 +254,7 @@ def pruned_fold_stage(spark, dst: str, out: dict) -> None:
     from tiki_data_pipeline_spark.sources.files import (
         delete_from_store,
         fold_tombstones,
+        store_data,
     )
 
     emb = load_table(spark, dst, "embeddings")
@@ -255,7 +263,7 @@ def pruned_fold_stage(spark, dst: str, out: dict) -> None:
     t0 = time.perf_counter()
     SIM.write_ivf_index(emb, base, n_centroids="auto", partitioned=True)
     out["emb_store_build_s"] = round(time.perf_counter() - t0, 2)
-    scan = spark.read.parquet(base)
+    scan = store_data(spark, base)
     out["emb_total_parts"] = scan.select("cid").distinct().count()
     # a concentrated takedown: every vector in ONE centroid's list
     victim_cid = scan.groupBy("cid").count().orderBy("cid").first()["cid"]
@@ -266,14 +274,16 @@ def pruned_fold_stage(spark, dst: str, out: dict) -> None:
     for mode in ("pruned", "full"):
         cp = f"{base}_{mode}"
         sh.rmtree(cp, ignore_errors=True)
+        # manifests carry RELATIVE paths, so a hardlink clone of the
+        # whole tree is a valid independent store in either backend
         sh.copytree(base, cp, copy_function=os.link)
         delete_from_store(spark, cp, victims)
         t0 = time.perf_counter()
         fold_tombstones(spark, cp, prune=(mode == "pruned"))
         out[f"emb_fold_{mode}_s"] = round(time.perf_counter() - t0, 2)
         copies[mode] = cp
-    n_p = spark.read.parquet(copies["pruned"]).count()
-    n_f = spark.read.parquet(copies["full"]).count()
+    n_p = store_data(spark, copies["pruned"]).count()
+    n_f = store_data(spark, copies["full"]).count()
     assert n_p == n_f, f"pruned/full fold row mismatch: {n_p} != {n_f}"
     out["emb_rows_post_fold"] = n_p
     for cp in copies.values():
@@ -312,6 +322,23 @@ def run_deletion_level(spark, n: int) -> dict:
     t0 = time.perf_counter()
     DD.write_minhash_index(docs.filter(~doc_is_delta), store)
     out["store_build_s"] = round(time.perf_counter() - t0, 2)
+    from tiki_data_pipeline_spark.sources.files import (
+        expire_store_versions,
+        rollback_store,
+        snapshot_store,
+    )
+
+    out["backend"] = (
+        "manifest"
+        if os.environ.get("SPARK_GRAFT_STORE_BACKEND") == "manifest"
+        else "posix"
+    )
+    # versioning cost at scale: posix = a hardlink tree over every
+    # store file; manifest = ONE small JSON put. Rollback: posix =
+    # staged hardlink swap; manifest = one manifest commit.
+    t0 = time.perf_counter()
+    v1 = snapshot_store(store, tag="pre-takedown")
+    out["snapshot_s"] = round(time.perf_counter() - t0, 3)
     delta = docs.filter(doc_is_delta)
     t0 = time.perf_counter()
     decided = DD.incremental_dedup_status(spark, store, delta)
@@ -319,6 +346,18 @@ def run_deletion_level(spark, n: int) -> dict:
     out["decide_before_s"] = round(time.perf_counter() - t0, 2)
     out["dups_before"] = decided.filter(F.col("status") != "unique").count()
     deletion_stage(spark, store, docs, delta, doc_is_delta, out)
+    t0 = time.perf_counter()
+    v2 = snapshot_store(store)
+    out["snapshot_post_fold_s"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    rollback_store(store, v1)
+    out["rollback_s"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    rollback_store(store, v2)  # roll forward to the post-fold state
+    out["roll_forward_s"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    out["expired"] = expire_store_versions(store, keep_last=1)
+    out["expire_s"] = round(time.perf_counter() - t0, 3)
     shutil.rmtree(store, ignore_errors=True)
     pruned_fold_stage(spark, dst, out)
     return out
@@ -786,6 +825,10 @@ def main() -> None:
         args = [a for a in args if a != "--compare-exhaustive"]
     deletion_only = "--deletion-only" in args
     args = [a for a in args if a != "--deletion-only"]
+    if "--backend" in args:
+        i = args.index("--backend")
+        os.environ["SPARK_GRAFT_STORE_BACKEND"] = args[i + 1]
+        args = args[:i] + args[i + 2:]
     levels = [int(a) for a in args] or [1, 10, 100, 1000]
     spark = get_spark(app_name="stress_incremental")
     for n in levels:
