@@ -679,9 +679,13 @@ def _mh_tt_index_cached(spark: SparkSession, sf_dir: str) -> str:
     return _session_index(spark, sf_dir, "mhtt", build)
 
 
-@query(
-    "doc_dedup_status_timetravel",
-    oracle=f"""
+# The staged-status SQL evaluated under both store predicates (with
+# and without the retired ids) — shared verbatim by the posix
+# (doc_dedup_status_timetravel) and manifest-backend
+# (doc_dedup_status_manifest_backend) lifecycle queries: both
+# backends MUST serve byte-identical results for the same corpus and
+# takedown batch, so both pin against the same oracle.
+_TT_STATUS_ORACLE = f"""
     WITH {_SHINGLES_SQL},
     eras AS (SELECT * FROM (VALUES (TRUE), (FALSE)) e(pre_del)),
     fpall AS (
@@ -751,28 +755,18 @@ def _mh_tt_index_cached(spark: SparkSession, sf_dir: str) -> str:
     LEFT JOIN exact e0 ON NOT e0.pre_del AND e0.new_id = d.doc_id
     LEFT JOIN near n0 ON NOT n0.pre_del AND n0.new_id = d.doc_id
     WHERE d.doc_id % 2 = 1
-    """,
-)
-def doc_dedup_status_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-travel dedup audit: status every odd-id batch doc against
-    the corpus store BEFORE a takedown batch (snapshot ``v1``) and
-    AFTER it (live tree, tombstones folded), side by side — the
-    question a takedown/GDPR review actually asks ("which decisions
-    did this removal flip?"). A doc whose only duplicate was retired
-    reads (exact_dup → unique); survivors keep their match. The
-    snapshot is a hardlinked full store tree under ``_versions/v1``
-    (O(metadata) to record), so BOTH serves run the identical staged
-    exact-first path — time travel is a path choice, not a code
-    path. Oracle: the same staged-status SQL evaluated under both
-    store predicates (with and without the retired ids). Reference
-    analogue: point-in-time recovery on the OLTP store
-    (src/pipelines/crawl/storage/postgres_storage.py) — on immutable
-    parquet, explicit snapshots."""
+    """
+
+
+def _tt_status_serve(spark: SparkSession, sf_dir: str, store: str) -> DataFrame:
+    """Both ends of a takedown lifecycle served from ONE store's
+    history: as-of (snapshot v1, pre-takedown) joined with now (live,
+    folded) — the shared body of the posix and manifest lifecycle
+    queries."""
     from tiki_data_pipeline_spark.sources.files import version_path
 
     docs = load_table(spark, sf_dir, "documents")
     batch = docs.filter(F.col("doc_id") % 2 == 1)
-    store = _mh_tt_index_cached(spark, sf_dir)
     asof = DD.incremental_dedup_status(
         spark, version_path(store, 1), batch, threshold=0.5
     )
@@ -791,6 +785,89 @@ def doc_dedup_status_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "doc_id",
         )
+    )
+
+
+@query("doc_dedup_status_timetravel", oracle=_TT_STATUS_ORACLE)
+def doc_dedup_status_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel dedup audit: status every odd-id batch doc against
+    the corpus store BEFORE a takedown batch (snapshot ``v1``) and
+    AFTER it (live tree, tombstones folded), side by side — the
+    question a takedown/GDPR review actually asks ("which decisions
+    did this removal flip?"). A doc whose only duplicate was retired
+    reads (exact_dup → unique); survivors keep their match. The
+    snapshot is a hardlinked full store tree under ``_versions/v1``
+    (O(metadata) to record), so BOTH serves run the identical staged
+    exact-first path — time travel is a path choice, not a code
+    path. Oracle: the same staged-status SQL evaluated under both
+    store predicates (with and without the retired ids). Reference
+    analogue: point-in-time recovery on the OLTP store
+    (src/pipelines/crawl/storage/postgres_storage.py) — on immutable
+    parquet, explicit snapshots."""
+    return _tt_status_serve(spark, sf_dir, _mh_tt_index_cached(spark, sf_dir))
+
+
+def _mh_manifest_tt_index_cached(spark: SparkSession, sf_dir: str) -> str:
+    """Manifest-backend twin of :func:`_mh_tt_index_cached`: the SAME
+    takedown lifecycle — build the even-id MinHash store, tagged
+    snapshot v1, tombstone ids divisible by 10, physical fold — but
+    executed on the object-store-safe manifest backend
+    (sources/store_backend.py): the build commits via manifest
+    pointer flips, the snapshot is one JSON write pinning a
+    generation, the fold rewrites victim partitions as new files and
+    carries the rest by reference, and the as-of serve reads the
+    ``@v1`` pinned handle. Same corpus, same lifecycle, same oracle —
+    the driver-checked proof the two backends are interchangeable."""
+    import os
+
+    from tiki_data_pipeline_spark.sources.files import (
+        delete_from_store,
+        fold_tombstones,
+        snapshot_store,
+    )
+    from tiki_data_pipeline_spark.sources.store_backend import BACKEND_ENV
+
+    def build(p: str) -> None:
+        docs = load_table(spark, sf_dir, "documents")
+        prev = os.environ.get(BACKEND_ENV)
+        os.environ[BACKEND_ENV] = "manifest"
+        try:
+            DD.write_minhash_index(docs.filter(F.col("doc_id") % 2 == 0), p)
+        finally:
+            if prev is None:
+                os.environ.pop(BACKEND_ENV, None)
+            else:
+                os.environ[BACKEND_ENV] = prev
+        snapshot_store(p, tag="pre-takedown")
+        delete_from_store(
+            spark,
+            p,
+            docs.filter(F.col("doc_id") % 10 == 0).select(
+                F.col("doc_id").alias("id")
+            ),
+        )
+        fold_tombstones(spark, p)
+
+    return _session_index(spark, sf_dir, "mhmf", build)
+
+
+@query("doc_dedup_status_manifest_backend", oracle=_TT_STATUS_ORACLE)
+def doc_dedup_status_manifest_backend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The full takedown lifecycle (build → tagged snapshot →
+    tombstone → physical fold → as-of + live serve) executed on the
+    MANIFEST store backend — immutable generation files, JSON
+    manifests, one atomic pointer; the layout that works on an object
+    store where the posix hardlink/rename machinery cannot
+    (sources/store_backend.py). Pinned against the IDENTICAL oracle
+    as ``doc_dedup_status_timetravel``: backend choice must be
+    invisible in results. Reference analogue: the reference's
+    point-in-time recovery lives in the database engine
+    (src/pipelines/crawl/storage/postgres_storage.py); at 100 TB on
+    immutable parquet the equivalent is manifest commits."""
+    return _tt_status_serve(
+        spark, sf_dir, _mh_manifest_tt_index_cached(spark, sf_dir)
     )
 
 
@@ -1810,6 +1887,9 @@ SESSION_BUILDS: dict = {
     "minhash_index": lambda spark, sf_dir: _mh_index_cached(spark, sf_dir),
     "minhash_del_index": lambda spark, sf_dir: _mh_del_index_cached(spark, sf_dir),
     "minhash_tt_index": lambda spark, sf_dir: _mh_tt_index_cached(spark, sf_dir),
+    "minhash_mf_index": lambda spark, sf_dir: _mh_manifest_tt_index_cached(
+        spark, sf_dir
+    ),
     "line_df_store": lambda spark, sf_dir: _line_df_store_cached(spark, sf_dir),
     "line_df_del_store": lambda spark, sf_dir: _line_df_del_store_cached(
         spark, sf_dir
