@@ -282,3 +282,64 @@ class TestMaintenance:
             ).collect()
         }
         assert st2[93] == "exact_dup"
+
+
+class TestInternalRewritesKeepSidecars:
+    """compact/migrate are INTERNAL data rewrites: they must carry
+    every sidecar + meta reference (the posix staged swaps copy
+    sidecars into staging verbatim) — only a caller-facing full
+    rebuild drops them. Regression: the first manifest compact
+    implementation dropped _fingerprints/_meta references."""
+
+    def test_compact_preserves_fingerprints_meta_and_serve(
+        self, spark, tmp_path
+    ):
+        from tiki_data_pipeline_spark.operators import dedup as DD
+        from tiki_data_pipeline_spark.sources.files import read_store_meta
+
+        corpus = [
+            (i, " ".join(f"w{i}x{j}" for j in range(12))) for i in range(10)
+        ]
+        p = str(tmp_path / "mh")
+        DD.write_minhash_index(
+            spark.createDataFrame(corpus, "doc_id long, text string"), p
+        )
+        DD.append_minhash_index(
+            spark.createDataFrame(
+                [(20, "fresh body " * 4)], "doc_id long, text string"
+            ),
+            p,
+        )
+        compact_store(spark, p)
+        assert read_store_meta(p)["kind"] == "minhash"
+        fps = store_sub(spark, p, "_fingerprints")
+        assert fps is not None and fps.count() == 11
+        batch = spark.createDataFrame(
+            [(91, corpus[4][1])], "doc_id long, text string"
+        )
+        st = DD.incremental_dedup_status(spark, p, batch).collect()[0]
+        assert (st["status"], st["matched_id"]) == ("exact_dup", 4)
+
+    def test_migrate_layout_preserves_sidecars(self, spark, tmp_path):
+        from tiki_data_pipeline_spark.sources.files import (
+            migrate_store_layout,
+            read_store_meta,
+            store_layout,
+            write_store_meta,
+        )
+
+        p = _bkt_store(spark, str(tmp_path / "s"))
+        write_store_meta(p, {"kind": "bare", "n_rows": 400})
+        delete_from_store(spark, p, _ids(spark, [1]))
+        assert store_layout(p) == ("bkt", True)
+        assert migrate_store_layout(spark, p, partitioned=False)
+        assert store_layout(p) == ("bkt", False)
+        assert read_store_meta(p)["kind"] == "bare"
+        # pending tombstones survived the migration: serve still hides
+        from tiki_data_pipeline_spark.sources.files import apply_tombstones
+
+        live = apply_tombstones(store_data(spark, p), p)
+        assert live.count() == 399
+        assert migrate_store_layout(spark, p, partitioned=True)
+        assert store_layout(p) == ("bkt", True)
+        assert apply_tombstones(store_data(spark, p), p).count() == 399

@@ -288,6 +288,7 @@ def store_put(
     coalesce: int | None = None,
     range_key: str | None = None,
     n_range_files: int | None = None,
+    keep_sidecars: bool = False,
 ) -> int:
     """Write a batch into a manifest store: new parquet files under a
     fresh generation prefix, then one manifest commit. ``mode``
@@ -327,12 +328,18 @@ def store_put(
     parent_files = read_manifest(root, cur)["files"]
     if mode == "append":
         keep = parent_files
-    elif sub is None:
+    elif sub is None and not keep_sidecars:
         # full-data overwrite = full rebuild: drop EVERY reference,
         # sidecars included — posix parity (Spark's overwrite clears
         # the whole tree there). A rebuilt store that silently kept
         # its old _tombstones would hide ids the new corpus contains.
         keep = []
+    elif sub is None:
+        # keep_sidecars=True: an INTERNAL data-only rewrite (compact /
+        # layout migration) — replace the data tree, carry every
+        # sidecar + meta reference, exactly like the posix staged
+        # swaps that copy sidecars into staging verbatim
+        keep = [f for f in parent_files if _lp(f).split("/", 1)[0].startswith("_")]
     else:
         keep = [f for f in parent_files if not _covered(_lp(f), sub)]
     return _commit(root, keep + new_files, f"{mode}:{sub or 'data'}")
@@ -764,7 +771,13 @@ def compact_store_manifest(
     count = 0
     if partitioned and key is not None:
         n_dirs = len(data_partition_dirs(root))
-        store_put(store_read(spark, root, None), root, "overwrite", partition_by=key)
+        store_put(
+            store_read(spark, root, None),
+            root,
+            "overwrite",
+            partition_by=key,
+            keep_sidecars=True,
+        )
         count += n_dirs
     elif key is not None:
         store_put(
@@ -773,6 +786,7 @@ def compact_store_manifest(
             "overwrite",
             range_key=key,
             n_range_files=max(1, target_files_per_partition),
+            keep_sidecars=True,
         )
         count += 1
     if FL.store_sub_partitioned(root, "_fingerprints", "fpb"):
@@ -817,8 +831,11 @@ def migrate_store_layout_manifest(
         return False
     rows = store_read(spark, root, None)
     if partitioned:
-        store_put(rows, root, "overwrite", partition_by=key)
+        store_put(rows, root, "overwrite", partition_by=key, keep_sidecars=True)
     else:
-        store_put(rows, root, "overwrite", range_key=key, n_range_files=4)
+        store_put(
+            rows, root, "overwrite", range_key=key, n_range_files=4,
+            keep_sidecars=True,
+        )
     gc_store(root)
     return True
