@@ -1313,15 +1313,18 @@ def write_line_df_store(
     the MinHash/LSH indexes). ~16 bytes per distinct line vs the
     line text itself: the store scan is orders of magnitude cheaper
     than a corpus re-read at 100 TB, and it never contains text."""
-    from tiki_data_pipeline_spark.sources.files import write_store_meta
+    from tiki_data_pipeline_spark.sources.files import (
+        store_put,
+        write_store_meta,
+    )
 
     lines = _doc_lines(docs, id_col, text_col)
-    (
+    store_put(
         lines.filter(F.col("lh").isNotNull())
         .groupBy("lh")
-        .agg(F.count_distinct(F.col(id_col)).alias("df"))
-        .write.mode("overwrite")
-        .parquet(path)
+        .agg(F.count_distinct(F.col(id_col)).alias("df")),
+        path,
+        "overwrite",
     )
     write_store_meta(path, {"kind": "line_df"})
 
@@ -1357,37 +1360,62 @@ def append_line_df_store(
         swap_parquet_rewrite,
     )
 
+    from tiki_data_pipeline_spark.sources.files import (
+        is_manifest_store,
+        store_put,
+        store_sub,
+    )
+
     check_store_meta(path, {"kind": "line_df"})
     # a re-ingested id leaves the deletion ledger (delete → re-ingest
     # → delete must decrement again; the ledger only guards REPLAYS).
-    # Recover a crashed ledger swap BEFORE the isdir probe: after a
-    # crash between the swap's two renames only `_deleted_ids.old`
-    # exists, and a bare isdir would silently skip the scrub AND the
-    # next delete's replay guard.
-    ldir = os.path.join(path, LINE_DF_LEDGER_DIR)
-    recover_interrupted_swap(ldir)
-    if os.path.isdir(ldir):
-        spark = docs.sparkSession
+    spark = docs.sparkSession
+    if is_manifest_store(path):
+        # manifest ledger scrub: a sub overwrite is one atomic commit
+        # — no rename dance, no crash window to recover
+        ledger = store_sub(spark, path, LINE_DF_LEDGER_DIR)
         batch_ids = docs.select(F.col(id_col).alias("id")).distinct()
-        ledger = spark.read.parquet(ldir).select("id").distinct()
-        if ledger.join(batch_ids, "id", "semi").limit(1).count():
-            swap_parquet_rewrite(
-                ldir,
-                lambda staging: spark.read.parquet(ldir)
-                .select("id")
+        if ledger is not None and (
+            ledger.join(batch_ids, "id", "semi").limit(1).count()
+        ):
+            scrubbed = (
+                ledger.select("id")
                 .distinct()
                 .join(batch_ids, "id", "anti")
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(staging),
+                .localCheckpoint()
             )
+            store_put(
+                scrubbed, path, "overwrite",
+                sub=LINE_DF_LEDGER_DIR, coalesce=1,
+            )
+    else:
+        # posix: recover a crashed ledger swap BEFORE the isdir probe
+        # — after a crash between the swap's two renames only
+        # `_deleted_ids.old` exists, and a bare isdir would silently
+        # skip the scrub AND the next delete's replay guard.
+        ldir = os.path.join(path, LINE_DF_LEDGER_DIR)
+        recover_interrupted_swap(ldir)
+        if os.path.isdir(ldir):
+            batch_ids = docs.select(F.col(id_col).alias("id")).distinct()
+            ledger = spark.read.parquet(ldir).select("id").distinct()
+            if ledger.join(batch_ids, "id", "semi").limit(1).count():
+                swap_parquet_rewrite(
+                    ldir,
+                    lambda staging: spark.read.parquet(ldir)
+                    .select("id")
+                    .distinct()
+                    .join(batch_ids, "id", "anti")
+                    .coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(staging),
+                )
     lines = _doc_lines(docs, id_col, text_col)
-    (
+    store_put(
         lines.filter(F.col("lh").isNotNull())
         .groupBy("lh")
-        .agg(F.count_distinct(F.col(id_col)).alias("df"))
-        .write.mode("append")
-        .parquet(path)
+        .agg(F.count_distinct(F.col(id_col)).alias("df")),
+        path,
+        "append",
     )
 
 
@@ -1427,22 +1455,34 @@ def delete_line_df_store(
         recover_interrupted_swap,
     )
 
+    from tiki_data_pipeline_spark.sources.files import (
+        is_manifest_store,
+        store_put,
+        store_sub,
+    )
+
     check_store_meta(path, {"kind": "line_df"})
     spark = docs.sparkSession
-    ldir = os.path.join(path, LINE_DF_LEDGER_DIR)
-    # recover a crashed ledger swap before the isdir probe — after a
-    # crash between the swap's renames only `_deleted_ids.old` exists
-    # and a bare isdir would drop replay protection for every past
-    # delete (a replayed batch would then double-decrement)
-    recover_interrupted_swap(ldir)
     fresh = docs
-    if os.path.isdir(ldir):
-        seen = (
-            spark.read.parquet(ldir)
-            .select(F.col("id").alias(id_col))
-            .distinct()
-        )
-        fresh = docs.join(F.broadcast(seen), id_col, "anti")
+    if is_manifest_store(path):
+        ledger = store_sub(spark, path, LINE_DF_LEDGER_DIR)
+        if ledger is not None:
+            seen = ledger.select(F.col("id").alias(id_col)).distinct()
+            fresh = docs.join(F.broadcast(seen), id_col, "anti")
+    else:
+        ldir = os.path.join(path, LINE_DF_LEDGER_DIR)
+        # recover a crashed ledger swap before the isdir probe — after
+        # a crash between the swap's renames only `_deleted_ids.old`
+        # exists and a bare isdir would drop replay protection for
+        # every past delete (a replayed batch would double-decrement)
+        recover_interrupted_swap(ldir)
+        if os.path.isdir(ldir):
+            seen = (
+                spark.read.parquet(ldir)
+                .select(F.col("id").alias(id_col))
+                .distinct()
+            )
+            fresh = docs.join(F.broadcast(seen), id_col, "anti")
     # pin the batch once: count, decrement write and ledger append all
     # re-execute `fresh` otherwise, and a non-deterministic input
     # (sample/limit upstream) would decrement one id set and ledger a
@@ -1453,17 +1493,17 @@ def delete_line_df_store(
     if n == 0:
         return 0
     lines = _doc_lines(fresh, id_col, text_col)
-    (
+    store_put(
         lines.filter(F.col("lh").isNotNull())
         .groupBy("lh")
-        .agg((-F.count_distinct(F.col(id_col))).alias("df"))
-        .write.mode("append")
-        .parquet(path)
+        .agg((-F.count_distinct(F.col(id_col))).alias("df")),
+        path,
+        "append",
     )
     # ledger lands AFTER the decrement: a crash in between replays as
     # a double decrement (the narrow at-least-once window every
     # additive sink shares); the reverse order would drop deletes
-    ids.coalesce(1).write.mode("append").parquet(ldir)
+    store_put(ids, path, "append", sub=LINE_DF_LEDGER_DIR, coalesce=1)
     return n
 
 
@@ -1483,8 +1523,26 @@ def compact_line_df_store(spark, path: str) -> None:
     from tiki_data_pipeline_spark.sources.files import (
         VERSIONS_DIR,
         _link_tree,
+        is_manifest_store,
+        store_data,
+        store_put,
         swap_parquet_rewrite,
     )
+
+    if is_manifest_store(path):
+        # one data-only commit carrying ledger + meta by reference,
+        # then GC of the folded-away delta files
+        from tiki_data_pipeline_spark.sources import store_backend as MB
+
+        folded = (
+            store_data(spark, path)
+            .groupBy("lh")
+            .agg(F.sum("df").alias("df"))
+            .filter(F.col("df") > 0)
+        )
+        store_put(folded, path, "overwrite", keep_sidecars=True)
+        MB.gc_store(path)
+        return
 
     def _stage(staging: str) -> None:
         (
@@ -1538,8 +1596,10 @@ def incremental_line_removal(
     batch_df = keyed.groupBy("lh").agg(
         F.count_distinct(F.col(id_col)).alias("_df_b")
     )
+    from tiki_data_pipeline_spark.sources.files import store_data
+
     store_df = (
-        spark.read.parquet(path)
+        store_data(spark, path)
         .join(batch_df.select("lh"), "lh", "left_semi")
         .groupBy("lh")
         # clamp at 0: delete_line_df_store appends negative deltas; a

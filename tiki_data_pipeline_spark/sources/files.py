@@ -98,6 +98,7 @@ def store_put(
     range_key: str | None = None,
     n_range_files: int | None = None,
     backend: str | None = None,
+    keep_sidecars: bool = False,
 ) -> None:
     """Write a store's data tree (``sub=None``) or one sidecar, in
     either backend. An EXISTING store keeps its backend regardless of
@@ -112,7 +113,10 @@ def store_put(
     if pin is not None:
         raise ValueError(f"cannot write to a pinned snapshot handle {path}")
     if is_manifest_store(root) or (
-        not os.path.isdir(root) and resolve_backend(backend) == "manifest"
+        # a store is BORN manifest when the path holds no data yet —
+        # an empty pre-created directory is not an existing store
+        (not os.path.isdir(root) or not os.listdir(root))
+        and resolve_backend(backend) == "manifest"
     ):
         MB.store_put(
             df,
@@ -123,8 +127,15 @@ def store_put(
             coalesce=coalesce,
             range_key=range_key,
             n_range_files=n_range_files,
+            keep_sidecars=keep_sidecars,
         )
         return
+    if keep_sidecars and mode != "append" and sub is None:
+        raise ValueError(
+            "keep_sidecars is a manifest-commit scope; posix data-only "
+            "rewrites go through the staged swap helpers "
+            "(swap_parquet_rewrite / compact_*) which carry sidecars"
+        )
     target = os.path.join(root, sub) if sub else root
     if partition_by is not None:
         (
