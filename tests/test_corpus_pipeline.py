@@ -258,3 +258,35 @@ def test_corpus_pipeline_dsir_stage_defaults_to_xxhash64(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "repetition")).collect()
     }
     assert picked <= pre and len(picked) == 20
+
+
+def test_corpus_pipeline_maintain_window(spark, tmp_path):
+    """The pipeline-level maintenance hook: after an embedding-store
+    build + a takedown, one maintain() call snapshots (tagged = pinned
+    against rotation), folds the deletion physically, and rotates old
+    automatic snapshots — the schedule a deployed pipeline runs
+    between ingest epochs."""
+    from tiki_data_pipeline_spark.sources.files import (
+        delete_from_store,
+        list_store_versions,
+        snapshot_store,
+        store_data,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    pipe = CorpusPipeline(spark, str(tmp_path))
+    rep = pipe.run_embeddings(emb, threshold=0.99)
+    index = rep["index_dir"]
+    snapshot_store(index)  # an old automatic snapshot to rotate out
+    victims = store_data(spark, index).select("id").limit(5)
+    delete_from_store(spark, index, victims)
+    out = pipe.maintain(index, snapshot_tag="pre-takedown-window")
+    assert out["folded"] == 5  # the takedown folded in-window
+    versions = list_store_versions(index)
+    tags = {m["version"]: m.get("tag") for m in versions}
+    assert "pre-takedown-window" in tags.values()
+    assert len(versions) == 2  # pinned tag + newest; v1 rotated out
+    # the takedown is physically folded: live rows shrank by 5
+    from tiki_data_pipeline_spark.sources.files import store_tombstones
+
+    assert store_tombstones(spark, index) is None

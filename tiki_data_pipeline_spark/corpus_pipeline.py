@@ -304,7 +304,9 @@ class CorpusPipeline:
                 .agg(F.min(id_col).alias(id_col))
                 .select(id_col, vec_col)
             )
-            stored = self.spark.read.parquet(index).select(
+            from tiki_data_pipeline_spark.sources.files import store_data
+
+            stored = store_data(self.spark, index).select(
                 F.col("id").alias(id_col)
             )
             to_add = survivors.join(stored, id_col, "anti")
@@ -384,3 +386,30 @@ class CorpusPipeline:
             out["retrain"] = rec["retrain"]
         out["index_dir"] = ivf
         return out
+
+    def maintain(
+        self,
+        store_path: str,
+        snapshot_tag: str | None = None,
+        keep_last: int = 2,
+        keep_tags: tuple[str, ...] | bool = True,
+    ) -> dict:
+        """The pipeline's scheduled store-maintenance window
+        (``files.store_maintenance``): snapshot the pre-maintenance
+        state (the undo point; tag it to PIN it against rotation),
+        fold pending deletions + compact, then expire history down to
+        ``keep_last`` automatic snapshots — tagged snapshots survive
+        by default. Hardlinked/referenced snapshots pin bytes until
+        expired, so a pipeline that snapshots every window WITHOUT
+        this rotation grows by one store-image per window; the report
+        includes the bytes actually reclaimed. Run it between ingest
+        epochs, same single-writer discipline as appends/takedowns."""
+        from tiki_data_pipeline_spark.sources.files import store_maintenance
+
+        return store_maintenance(
+            self.spark,
+            store_path,
+            snapshot_tag=snapshot_tag,
+            keep_last=keep_last,
+            keep_tags=keep_tags,
+        )

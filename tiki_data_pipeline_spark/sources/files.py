@@ -764,14 +764,16 @@ def store_maintenance(
 
     before = _bytes()
     version = snapshot_store(path, tag=snapshot_tag)
-    folded = (
+    folded = fold_tombstones(spark, path)
+    compacted = (
         compact_store(
             spark,
             path,
             target_files_per_partition=target_files_per_partition,
+            fold_deletes=False,  # just folded above; report separately
         )
         if compact
-        else fold_tombstones(spark, path)
+        else 0
     )
     expired = expire_store_versions(
         path, keep_last=keep_last, keep_tags=keep_tags
@@ -779,7 +781,8 @@ def store_maintenance(
     after = _bytes()
     return {
         "version": version,
-        "maintained": folded,
+        "folded": folded,
+        "compacted": compacted,
         "expired": expired,
         "bytes_before": before,
         "bytes_after": after,
