@@ -343,3 +343,86 @@ class TestInternalRewritesKeepSidecars:
         assert migrate_store_layout(spark, p, partitioned=True)
         assert store_layout(p) == ("bkt", True)
         assert apply_tombstones(store_data(spark, p), p).count() == 399
+
+
+class TestConcurrentCommit:
+    """Single-writer contract violations must fail LOUDLY, not
+    last-write-win the pointer (r13): a commit records the generation
+    it was based on and refuses when CURRENT moved; the generation
+    manifest itself is claimed with an exclusive create (the
+    object-store CAS), so two racers that both pass the check cannot
+    both land."""
+
+    def test_commit_refuses_when_current_moved(self, spark, tmp_path):
+        p = _bkt_store(spark, str(tmp_path / "s"))
+        cur = MB.current_gen(p)
+        # a second writer commits between our base read and our commit
+        MB._commit(p, MB.read_manifest(p, cur)["files"], "racer")
+        with pytest.raises(MB.ConcurrentCommitError, match="CURRENT moved"):
+            MB._commit(p, [], "loser", based_on=cur)
+
+    def test_generation_manifest_claim_is_exclusive(self, spark, tmp_path):
+        p = _bkt_store(spark, str(tmp_path / "s"))
+        cur = MB.current_gen(p)
+        # simulate the racer having claimed gen cur+1 but not yet
+        # flipped CURRENT (the in-flight window)
+        assert MB.FS.put_if_absent(
+            MB._gen_manifest_path(p, cur + 1), "{}"
+        )
+        with pytest.raises(MB.ConcurrentCommitError, match="already"):
+            MB._commit(p, [], "loser", based_on=cur)
+        # recovery path: gc sweeps the orphan claim, commit succeeds
+        os.remove(MB._gen_manifest_path(p, cur + 1))
+        assert MB._commit(
+            p, MB.read_manifest(p, cur)["files"], "retry", based_on=cur
+        ) == cur + 1
+
+    def test_store_put_race_raises_not_lost_update(self, spark, tmp_path):
+        """End-to-end: two store_put writers based on the same CURRENT
+        — the second to commit must raise, and the store must still
+        read back as exactly the winner's rows."""
+        p = _bkt_store(spark, str(tmp_path / "s"), n=16, buckets=2)
+        winner = spark.range(100, 108).select(
+            F.col("id"), (F.col("id") % 2).cast("int").alias("bkt")
+        )
+        loser = spark.range(200, 204).select(
+            F.col("id"), (F.col("id") % 2).cast("int").alias("bkt")
+        )
+        real_commit = MB._commit
+        raced = {"done": False}
+
+        def racing_commit(root, files, op, parent=None, based_on=None):
+            if not raced["done"]:
+                raced["done"] = True
+                real_commit(
+                    root,
+                    files=MB.read_manifest(root, MB.current_gen(root))["files"],
+                    op="append:data",
+                )
+            return real_commit(root, files, op, parent=parent, based_on=based_on)
+
+        import unittest.mock as mock
+
+        with mock.patch.object(MB, "_commit", side_effect=racing_commit):
+            with pytest.raises(MB.ConcurrentCommitError):
+                store_put(loser, p, "append")
+        MB.gc_store(p)
+        ids = {r["id"] for r in store_data(spark, p).collect()}
+        assert not ids & set(range(200, 204)), "loser's rows leaked in"
+
+
+class TestCompactFilesPerPartition:
+    def test_partitioned_compact_honors_target(self, spark, tmp_path):
+        p = _bkt_store(spark, str(tmp_path / "s"), n=400, buckets=4)
+        MB.compact_store_manifest(spark, p, target_files_per_partition=2)
+        per_dir: dict = {}
+        for f in MB.manifest_files(p, None):
+            lp = MB._lp(f)
+            if lp.endswith(".parquet") and "=" in lp:
+                per_dir.setdefault(lp.split("/", 1)[0], set()).add(lp)
+        assert per_dir, "no partitioned data files after compact"
+        assert all(1 <= len(v) <= 2 for v in per_dir.values())
+        assert any(len(v) == 2 for v in per_dir.values()), (
+            "target_files_per_partition=2 produced single-file dirs only"
+        )
+        assert store_data(spark, p).count() == 400

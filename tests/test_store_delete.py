@@ -628,28 +628,40 @@ class TestDecisionsRetire:
     """The fold scrubs the streaming ``_decisions`` lineage log too:
     a retired id must vanish from the store AND from every decision
     record — its own ingest rows drop, and other docs' matched_id
-    pointers at it are nulled. Untouched epoch leaves carry by
-    hardlink (leaf identity from file paths, never re-rendered
-    partition values). Posix-scope: the streaming sinks write their
-    decision lineage next to the (posix) checkpoint store; manifest
-    stores never carry one (their fold fails LOUDLY if handed one)."""
+    pointers at it are nulled. Untouched epoch leaves carry without
+    data I/O: by hardlink on posix (leaf identity from file paths,
+    never re-rendered partition values), by verbatim manifest
+    reference on the manifest backend. Runs under BOTH backends —
+    r13 gave the lineage log a manifest home (sub-scoped commits per
+    epoch, ``store_backend._scrub_decisions_manifest`` at fold)."""
 
     RUN = "abcd1234run"  # non-numeric: the run-as-double parse trap
 
-    @pytest.fixture(autouse=True)
-    def _posix_only(self, backend):
-        if backend == "manifest":
-            pytest.skip("decisions lineage lives with the posix streaming store")
-
-    def _with_decisions(self, spark, mh_store):
-        rows = [
+    def _with_decisions(self, spark, mh_store, backend):
+        epochs = {
             # epoch 0: one row naming victim 2 as subject, one
             # pointing at it, one clean
-            (2, "unique", None, self.RUN, 0),
-            (100, "exact_dup", 2, self.RUN, 0),
-            (101, "unique", None, self.RUN, 0),
-            # epoch 1: no victim references — must carry by hardlink
-            (102, "near_dup", 5, self.RUN, 1),
+            0: [(2, "unique", None), (100, "exact_dup", 2), (101, "unique", None)],
+            # epoch 1: no victim references — must carry untouched
+            1: [(102, "near_dup", 5)],
+        }
+        if backend == "manifest":
+            from tiki_data_pipeline_spark.sources import store_backend as MB
+
+            for e, rows in epochs.items():
+                MB.store_put(
+                    spark.createDataFrame(
+                        rows, "doc_id long, status string, matched_id long"
+                    ).coalesce(1),
+                    mh_store,
+                    mode="overwrite",
+                    sub=f"_decisions/run={self.RUN}/epoch={e}",
+                )
+            return
+        rows = [
+            (d, s, m, self.RUN, e)
+            for e, rs in epochs.items()
+            for d, s, m in rs
         ]
         spark.createDataFrame(
             rows, "doc_id long, status string, matched_id long, run string, epoch int"
@@ -662,6 +674,26 @@ class TestDecisionsRetire:
             mh_store, "_decisions", f"run={self.RUN}", f"epoch={epoch}"
         )
 
+    def _leaf_identity(self, backend, mh_store, epoch):
+        """What 'carried untouched' means per backend: same inodes
+        (posix hardlink carry) / same physical refs (manifest
+        carry-by-reference)."""
+        if backend == "manifest":
+            from tiki_data_pipeline_spark.sources import store_backend as MB
+
+            leaf = f"_decisions/run={self.RUN}/epoch={epoch}"
+            return {
+                f
+                for f in MB.manifest_files(mh_store, "_decisions")
+                if os.path.dirname(MB._lp(f)) == leaf
+            }
+        d = self._leaf(mh_store, epoch)
+        return {
+            os.stat(os.path.join(d, f)).st_ino
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
     def _inodes(self, d):
         return {
             os.stat(os.path.join(d, f)).st_ino
@@ -669,13 +701,13 @@ class TestDecisionsRetire:
             if f.endswith(".parquet")
         }
 
-    def test_fold_scrubs_decisions_log(self, spark, mh_store):
-        self._with_decisions(spark, mh_store)
-        clean_before = self._inodes(self._leaf(mh_store, 1))
+    def test_fold_scrubs_decisions_log(self, spark, mh_store, backend):
+        self._with_decisions(spark, mh_store, backend)
+        clean_before = self._leaf_identity(backend, mh_store, 1)
         delete_from_store(spark, mh_store, _ids(spark, [2]))
         fold_tombstones(spark, mh_store)
 
-        dec = spark.read.parquet(mh_store + "/_decisions")
+        dec = store_sub(spark, mh_store, "_decisions")
         rows = {
             r["doc_id"]: (r["status"], r["matched_id"], r["run"], r["epoch"])
             for r in dec.collect()
@@ -686,7 +718,7 @@ class TestDecisionsRetire:
         assert rows[101] == ("unique", None, self.RUN, 0)
         # untouched epoch leaf: same physical files, values intact
         assert rows[102] == ("near_dup", 5, self.RUN, 1)
-        assert self._inodes(self._leaf(mh_store, 1)) == clean_before
+        assert self._leaf_identity(backend, mh_store, 1) == clean_before
         # zero references to the retired id anywhere in the log
         assert (
             dec.filter(
@@ -695,16 +727,20 @@ class TestDecisionsRetire:
             == 0
         )
 
-    def test_fold_without_victim_references_links_all(self, spark, mh_store):
-        self._with_decisions(spark, mh_store)
-        before = {e: self._inodes(self._leaf(mh_store, e)) for e in (0, 1)}
+    def test_fold_without_victim_references_links_all(self, spark, mh_store, backend):
+        self._with_decisions(spark, mh_store, backend)
+        before = {
+            e: self._leaf_identity(backend, mh_store, e) for e in (0, 1)
+        }
         # victim 7 appears nowhere in the log → every leaf carries
         delete_from_store(spark, mh_store, _ids(spark, [7]))
         fold_tombstones(spark, mh_store)
-        assert {e: self._inodes(self._leaf(mh_store, e)) for e in (0, 1)} == before
-        assert spark.read.parquet(mh_store + "/_decisions").count() == 4
+        assert {
+            e: self._leaf_identity(backend, mh_store, e) for e in (0, 1)
+        } == before
+        assert store_sub(spark, mh_store, "_decisions").count() == 4
 
-    def test_flat_legacy_decisions_layout_scrubbed(self, spark, mh_store):
+    def test_flat_legacy_decisions_layout_scrubbed(self, spark, mh_store, backend):
         # pre-(run,epoch) logs are a single flat parquet dir; the
         # scrub must handle leaf == root (rewrite in place, or link
         # when untouched) without inventing partition dirs
@@ -713,17 +749,47 @@ class TestDecisionsRetire:
             (100, "exact_dup", 2),
             (101, "near_dup", 5),
         ]
-        spark.createDataFrame(
+        fdf = spark.createDataFrame(
             flat, "doc_id long, status string, matched_id long"
-        ).coalesce(1).write.parquet(mh_store + "/_decisions")
+        ).coalesce(1)
+        if backend == "manifest":
+            from tiki_data_pipeline_spark.sources import store_backend as MB
+
+            MB.store_put(fdf, mh_store, mode="overwrite", sub="_decisions")
+        else:
+            fdf.write.parquet(mh_store + "/_decisions")
         delete_from_store(spark, mh_store, _ids(spark, [2]))
         fold_tombstones(spark, mh_store)
-        dec = spark.read.parquet(mh_store + "/_decisions")
+        dec = store_sub(spark, mh_store, "_decisions")
         rows = {r["doc_id"]: r["matched_id"] for r in dec.collect()}
         assert set(rows) == {100, 101}
         assert rows[100] is None and rows[101] == 5
         # no partition dirs appeared
-        assert not any(
-            e.startswith("run=")
-            for e in os.listdir(mh_store + "/_decisions")
-        )
+        if backend == "manifest":
+            from tiki_data_pipeline_spark.sources import store_backend as MB
+
+            assert not any(
+                "run=" in MB._lp(f)
+                for f in MB.manifest_files(mh_store, "_decisions")
+            )
+        else:
+            assert not any(
+                e.startswith("run=")
+                for e in os.listdir(mh_store + "/_decisions")
+            )
+
+    def test_manifest_fold_rejects_rogue_physical_decisions(
+        self, spark, mh_store, backend
+    ):
+        """A physical ``_decisions`` directory the manifest never
+        listed (written by a pre-dispatch streaming path) must fail
+        the fold LOUDLY — silently folding would skip the lineage
+        scrub, a takedown/GDPR leak."""
+        if backend != "manifest":
+            pytest.skip("rogue-dir guard is manifest-specific")
+        spark.createDataFrame(
+            [(2, "unique", None)], "doc_id long, status string, matched_id long"
+        ).coalesce(1).write.parquet(mh_store + "/_decisions")
+        delete_from_store(spark, mh_store, _ids(spark, [2]))
+        with pytest.raises(ValueError, match="rogue physical _decisions"):
+            fold_tombstones(spark, mh_store)

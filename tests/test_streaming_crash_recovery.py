@@ -25,7 +25,19 @@ import pyarrow.parquet as pq
 import pytest
 
 from tiki_data_pipeline_spark.operators import dedup as DD
+from tiki_data_pipeline_spark.sources.files import store_data, store_sub
 from tiki_data_pipeline_spark.streaming import jobs
+
+
+@pytest.fixture(params=["posix", "manifest"])
+def backend(request, monkeypatch):
+    """Run the continuous-ingest lifecycle on BOTH store backends:
+    the posix store (decisions = run/epoch-partitioned parquet
+    sidecar) and the manifest store (decisions = manifest entries
+    under the _decisions/run=…/epoch=… logical scope, each epoch one
+    atomic sub-scoped commit)."""
+    monkeypatch.setenv("SPARK_GRAFT_STORE_BACKEND", request.param)
+    return request.param
 
 BASE = (
     "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo "
@@ -86,7 +98,7 @@ def _run(spark, src, store, ckpt, beats):
 
 
 def _assert_recovered(spark, store):
-    dec = spark.read.parquet(store + "/_decisions")
+    dec = store_sub(spark, store, "_decisions")
     rows = dec.collect()
     # exactly-once: one decision row per doc, each in exactly one epoch
     assert sorted(r["doc_id"] for r in rows) == [11, 13, 21, 25, 27]
@@ -101,18 +113,20 @@ def _assert_recovered(spark, store):
     assert by_doc[25][:2] == ("unique", None)
     assert by_doc[27][:2] == ("unique", None)
 
-    fp = spark.read.parquet(store + "/_fingerprints").collect()
+    fp = store_sub(spark, store, "_fingerprints").collect()
     ids = sorted(r["id"] for r in fp)
     assert ids == [2, 11, 25], f"store not canonical after replay: {ids}"
     assert len(ids) == len(set(ids)), "duplicate fingerprint rows after replay"
     # band rows: one per (band, id) — a double append would duplicate
-    band = spark.read.parquet(store)
+    band = store_data(spark, store)
     per = band.groupBy("id", "band").count().filter("count > 1").count()
     assert per == 0, "duplicate band rows after replay"
 
 
 @pytest.mark.parametrize("crash_point", ["before_append", "after_append"])
-def test_incremental_dedup_sink_crash_replay(spark, tmp_path, crash_point, monkeypatch):
+def test_incremental_dedup_sink_crash_replay(
+    spark, tmp_path, crash_point, monkeypatch, backend
+):
     src = _mk_source(tmp_path)
     store = str(tmp_path / "store")
     ckpt = str(tmp_path / "ckpt")
@@ -142,10 +156,10 @@ def test_incremental_dedup_sink_crash_replay(spark, tmp_path, crash_point, monke
         # not yet hold epoch 1's survivors
         assert 21 in {
             r["doc_id"]
-            for r in spark.read.parquet(store + "/_decisions").collect()
+            for r in store_sub(spark, store, "_decisions").collect()
         }
         assert 25 not in {
-            r["id"] for r in spark.read.parquet(store + "/_fingerprints").collect()
+            r["id"] for r in store_sub(spark, store, "_fingerprints").collect()
         }
     else:
         # kill epoch 1 after the store append, before the epoch commit
@@ -162,7 +176,7 @@ def test_incremental_dedup_sink_crash_replay(spark, tmp_path, crash_point, monke
             q.awaitTermination(120)
         # mid-epoch state on disk: epoch 1's survivors already appended
         assert 25 in {
-            r["id"] for r in spark.read.parquet(store + "/_fingerprints").collect()
+            r["id"] for r in store_sub(spark, store, "_fingerprints").collect()
         }
 
     # restart from the same checkpoint: the failed epoch replays
@@ -225,7 +239,9 @@ def _run_vec(spark, src, store, ckpt, beats):
     return jobs.incremental_embedding_sink(stream, store, beats, ckpt, threshold=0.99)
 
 
-def test_incremental_embedding_sink_cross_batch_and_replay(spark, tmp_path, monkeypatch):
+def test_incremental_embedding_sink_cross_batch_and_replay(
+    spark, tmp_path, monkeypatch, backend
+):
     from tiki_data_pipeline_spark.operators import similarity as SIM
 
     store = str(tmp_path / "vstore")
@@ -248,7 +264,7 @@ def test_incremental_embedding_sink_cross_batch_and_replay(spark, tmp_path, monk
     q = _run_vec(spark, src, store, ckpt, beats)
     with pytest.raises(Exception):
         q.awaitTermination(120)
-    assert 25 in {r["id"] for r in spark.read.parquet(store).collect()}
+    assert 25 in {r["id"] for r in store_data(spark, store).collect()}
 
     beats2: list = []
     q2 = _run_vec(spark, src, store, ckpt, beats2)
@@ -257,14 +273,14 @@ def test_incremental_embedding_sink_cross_batch_and_replay(spark, tmp_path, monk
 
     dec = {
         r["vec_id"]: (r["status"], r["matched_id"])
-        for r in spark.read.parquet(store + "/_decisions").collect()
+        for r in store_sub(spark, store, "_decisions").collect()
     }
     assert dec[13] == ("exact_dup", 2)
     assert dec[11] == ("unique", None), "replayed epoch flipped its own vector"
     assert dec[21] == ("near_dup", 11), "store did not grow between batches"
     assert dec[25] == ("unique", None)
     assert dec[27] == ("unique", None)
-    ids = sorted(r["id"] for r in spark.read.parquet(store).collect())
+    ids = sorted(r["id"] for r in store_data(spark, store).collect())
     assert ids == [2, 11, 25], f"index not canonical after replay: {ids}"
 
 
@@ -428,7 +444,7 @@ def _run_sem(spark, src, store, ckpt, beats):
     return jobs.incremental_semantic_sink(stream, store, beats, ckpt, threshold=0.99)
 
 
-def test_incremental_semantic_sink_cross_batch_and_replay(spark, tmp_path):
+def test_incremental_semantic_sink_cross_batch_and_replay(spark, tmp_path, backend):
     """SemDeDup ingest sink: cross-batch detection against the frozen
     quantizer's inverted lists, exactly-once decisions on a
     post-append crash replay, canonical store afterwards."""
@@ -453,7 +469,7 @@ def test_incremental_semantic_sink_cross_batch_and_replay(spark, tmp_path):
     q = _run_sem(spark, src, store, ckpt, beats)
     with pytest.raises(Exception):
         q.awaitTermination(120)
-    assert 25 in {r["id"] for r in spark.read.parquet(store).collect()}
+    assert 25 in {r["id"] for r in store_data(spark, store).collect()}
 
     beats2: list = []
     q2 = _run_sem(spark, src, store, ckpt, beats2)
@@ -462,7 +478,7 @@ def test_incremental_semantic_sink_cross_batch_and_replay(spark, tmp_path):
 
     dec = {
         r["vec_id"]: (r["status"], r["matched_id"])
-        for r in spark.read.parquet(store + "/_decisions").collect()
+        for r in store_sub(spark, store, "_decisions").collect()
     }
     # identical vector = cosine 1.0 → semantic_dup (no separate exact
     # stage in the cluster-structured family)
@@ -471,7 +487,7 @@ def test_incremental_semantic_sink_cross_batch_and_replay(spark, tmp_path):
     assert dec[21] == ("semantic_dup", 11), "store did not grow between batches"
     assert dec[25] == ("unique", None)
     assert dec[27] == ("unique", None)
-    ids = sorted(r["id"] for r in spark.read.parquet(store).collect())
+    ids = sorted(r["id"] for r in store_data(spark, store).collect())
     assert ids == [2, 11, 25], f"store not canonical after replay: {ids}"
 
 
@@ -520,13 +536,13 @@ def _assert_line_recovered(spark, store, out):
         11: ("novel body eleven", 1),
         21: ("fresh line only once", 1),
     }, f"replay flipped a committed line decision: {cleaned}"
-    dec = spark.read.parquet(store + "/_decisions").collect()
+    dec = store_sub(spark, store, "_decisions").collect()
     assert sorted(r["doc_id"] for r in dec) == [11, 21]
     # counts appended exactly once per epoch: footer 1(base)+1(e0),
     # 'novel body eleven' 1(e0)+1(e1), 'fresh line only once' 1(e1)
     dfs = sorted(
         r["s"]
-        for r in spark.read.parquet(store)
+        for r in store_data(spark, store)
         .groupBy("lh")
         .agg(F.sum("df").alias("s"))
         .collect()
@@ -536,7 +552,7 @@ def _assert_line_recovered(spark, store, out):
 
 @pytest.mark.parametrize("crash_point", ["before_append", "after_append"])
 def test_incremental_line_sink_crash_replay(
-    spark, tmp_path, crash_point, monkeypatch
+    spark, tmp_path, crash_point, monkeypatch, backend
 ):
     src = _mk_line_source(tmp_path)
     store = str(tmp_path / "linestore")
@@ -660,3 +676,93 @@ def test_epoch_decisions_reuses_pre_prefix_lineage(spark, tmp_path):
         fallback_runs=jobs._lineage_fallbacks(ckpt),
     ).collect()
     assert [(r["doc_id"], r["status"]) for r in got] == [(11, "unique")]
+
+
+# ---------------------------------------------------------------------------
+# Full streaming lifecycle: ingest → takedown → scheduled retention
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_takedown_with_scheduled_maintenance(
+    spark, tmp_path, backend
+):
+    """The continuous-operation story end-to-end, on BOTH backends:
+    an ingest stream populates the store and its ``_decisions``
+    lineage, then a takedown stream retires ids with
+    ``maintenance_every=1`` — each epoch's delete is followed by the
+    full maintenance window (snapshot → fold+compact → expire), so
+    the streaming path gets physical removal, GDPR lineage scrub,
+    AND snapshot retention without a separate batch job."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from tiki_data_pipeline_spark.sources.files import (
+        list_store_versions,
+        store_tombstones,
+    )
+
+    store = str(tmp_path / "store")
+    DD.write_minhash_index(
+        spark.createDataFrame([(2, BASE)], "doc_id long, text string"), store
+    )
+    # ingest: two epochs → decisions lineage + grown store
+    src = _mk_source(tmp_path)
+    beats: list = []
+    q = _run(spark, src, store, str(tmp_path / "ckpt"), beats)
+    q.awaitTermination(120)
+    assert q.exception() is None
+    assert sorted(r["id"] for r in store_sub(spark, store, "_fingerprints").collect()) == [2, 11, 25]
+
+    # takedown: two single-id epochs, maintenance after each
+    td = tmp_path / "td"
+    td.mkdir()
+    for i, (name, victim, mtime) in enumerate(
+        [("a.parquet", 11, 1_000_000_000), ("b.parquet", 25, 1_000_000_100)]
+    ):
+        p = str(td / name)
+        pq.write_table(pa.table({"doc_id": pa.array([victim], pa.int64())}), p)
+        os.utime(p, (mtime, mtime))
+    reader = (
+        spark.readStream.schema("doc_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(td))
+    )
+    acks: list = []
+    mlog: list = []
+    q2 = jobs.takedown_sink(
+        reader,
+        store,
+        acks,
+        str(tmp_path / "tdckpt"),
+        maintenance_every=1,
+        maintenance_log=mlog,
+        keep_last=1,
+    )
+    q2.awaitTermination(180)
+    assert q2.exception() is None
+    assert [a[1] for a in acks] == [1, 1]
+    assert len(mlog) == 2
+    for _epoch, report in mlog:
+        assert report["folded"] == 1  # each window folded its epoch's id
+        # the report carries real byte accounting (inode-deduped on
+        # posix); compaction/snapshot churn can go either direction
+        assert isinstance(report["bytes_before"], int)
+        assert isinstance(report["bytes_after"], int)
+        assert report["bytes_reclaimed"] >= 0
+
+    # physical removal: no tombstones pending, ids gone from the data
+    assert store_tombstones(spark, store) is None
+    assert sorted(
+        r["id"] for r in store_sub(spark, store, "_fingerprints").collect()
+    ) == [2]
+    # GDPR lineage scrub: retired ids gone from the decisions log
+    dec = store_sub(spark, store, "_decisions")
+    assert dec.filter(
+        (F.col("doc_id").isin(11, 25)) | (F.col("matched_id").isin(11, 25))
+    ).count() == 0
+    # the survivor's own lineage row still stands
+    assert dec.filter(F.col("doc_id") == 13).count() == 1
+    # retention: automatic snapshots rotated down to keep_last=1
+    autos = [v for v in list_store_versions(store) if not v.get("tag")]
+    assert len(autos) == 1

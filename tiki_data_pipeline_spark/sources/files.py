@@ -755,12 +755,20 @@ def store_maintenance(
     import os
 
     def _bytes() -> int:
+        # dedup by inode: posix snapshots are hardlink trees, so the
+        # same disk blocks appear under the live tree AND every
+        # snapshot — counting each link would report positive
+        # "reclaimed" bytes for an expiry that freed nothing
         root = split_pin(path)[0]
-        return sum(
-            os.path.getsize(os.path.join(dp, f))
-            for dp, _dns, fns in os.walk(root)
-            for f in fns
-        )
+        seen: set[tuple[int, int]] = set()
+        total = 0
+        for dp, _dns, fns in os.walk(root):
+            for f in fns:
+                st = os.stat(os.path.join(dp, f))
+                if (st.st_dev, st.st_ino) not in seen:
+                    seen.add((st.st_dev, st.st_ino))
+                    total += st.st_size
+        return total
 
     before = _bytes()
     version = snapshot_store(path, tag=snapshot_tag)

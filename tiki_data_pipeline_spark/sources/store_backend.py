@@ -93,6 +93,19 @@ class LocalObjectFS:
             f.write(text)
         os.replace(tmp, path)  # local model of an atomic object PUT
 
+    def put_if_absent(self, path: str, text: str) -> bool:
+        """Exclusive create — the CAS primitive real object stores
+        offer (S3 ``If-None-Match: *``, GCS ``if-generation-match: 0``).
+        Returns False when the key already exists."""
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as f:
+            f.write(text)
+        return True
+
     def get_text(self, path: str) -> str | None:
         if not os.path.isfile(path):
             return None
@@ -113,10 +126,17 @@ class LocalObjectFS:
             os.remove(path)
         except FileNotFoundError:
             pass
-        # local nicety only: object stores have no directories to prune
+        # local nicety only: object stores have no directories to prune.
+        # Every key lives under the store's _g/ or _mf/ tree; pruning
+        # STOPS after removing one of those roots — their parent is the
+        # store root, and ascending further could rmdir directories
+        # above the store (e.g. a temp parent holding only this store).
         d = os.path.dirname(path)
         while d and os.path.isdir(d) and not os.listdir(d):
+            at_store_top = os.path.basename(d) in (GEN_DIR, MF_DIR)
             os.rmdir(d)
+            if at_store_top:
+                break
             d = os.path.dirname(d)
 
     def exists(self, path: str) -> bool:
@@ -255,17 +275,40 @@ def _list_new_parquet(root: str, target: str) -> list[str]:
     ]
 
 
+class ConcurrentCommitError(RuntimeError):
+    """The single-writer contract was violated: another writer
+    committed a generation between this mutation's base read and its
+    commit. The losing mutation's files are orphans the next
+    :func:`gc_store` sweeps; re-run the mutation against the new
+    CURRENT."""
+
+
 def _commit(
     root: str,
     files: list[str],
     op: str,
     parent: int | None = None,
+    based_on: int | None = None,
 ) -> int:
     """Write the next generation's manifest and flip CURRENT — THE
     commit point of every manifest-store mutation. A crash before the
     flip leaves an orphan manifest/generation that the next
-    :func:`gc_store` sweeps; the flip itself is one atomic put."""
+    :func:`gc_store` sweeps; the flip itself is one atomic put.
+
+    Contract guard: ``based_on`` is the generation the mutation READ
+    as its parent. The commit refuses (raises
+    :class:`ConcurrentCommitError`) if CURRENT has moved since — and
+    the generation manifest itself is claimed with an exclusive
+    create, so two racing committers that both pass the check cannot
+    both land (the object-store CAS; last-write-wins would silently
+    drop the loser's generation)."""
     cur = current_gen(root)
+    if based_on is not None and cur != based_on:
+        raise ConcurrentCommitError(
+            f"store {root}: CURRENT moved from gen {based_on} to {cur} "
+            f"during this mutation ({op}) — concurrent writer detected; "
+            "re-run against the new CURRENT"
+        )
     gen = cur + 1
     manifest = {
         "gen": gen,
@@ -274,7 +317,13 @@ def _commit(
         "created_unix": int(time.time()),
         "files": sorted(set(files)),
     }
-    FS.put_atomic(_gen_manifest_path(root, gen), json.dumps(manifest))
+    if not FS.put_if_absent(_gen_manifest_path(root, gen), json.dumps(manifest)):
+        raise ConcurrentCommitError(
+            f"store {root}: a manifest for generation {gen} already "
+            f"exists (racing {op}) — either a concurrent writer, or the "
+            "orphan of a commit that crashed before its CURRENT flip; "
+            "run gc_store() to sweep orphans, then retry the mutation"
+        )
     FS.put_atomic(_mf(root, CURRENT), json.dumps({"gen": gen}))
     return gen
 
@@ -289,6 +338,7 @@ def store_put(
     range_key: str | None = None,
     n_range_files: int | None = None,
     keep_sidecars: bool = False,
+    files_per_partition: int | None = None,
 ) -> int:
     """Write a batch into a manifest store: new parquet files under a
     fresh generation prefix, then one manifest commit. ``mode``
@@ -297,7 +347,10 @@ def store_put(
     (``sub``, or the whole data tree) — so the physical write below
     is always into an empty prefix. Shapes mirror the posix writers
     1:1 (partitioned / range-sorted flat / coalesced sidecar), so
-    plans and row-group layouts are identical across backends."""
+    plans and row-group layouts are identical across backends.
+    ``files_per_partition`` > 1 salts the partitioned repartition so
+    each Hive dir comes out with up to that many files (the posix
+    ``compact_store`` honors its target the same way)."""
     root, pin = split_pin(path)
     if pin is not None:
         raise ValueError(f"cannot write to a pinned snapshot handle {path}")
@@ -306,9 +359,18 @@ def store_put(
     target = os.path.join(gen_dir, sub) if sub else gen_dir
     w = df
     if partition_by is not None:
+        if files_per_partition and files_per_partition > 1:
+            # exactly N tasks, rows row-hash-spread across them: each
+            # task writes one file per key it holds → up to N files
+            # per Hive dir (the posix compact_parquet target honored)
+            w = w.repartition(
+                files_per_partition, F.xxhash64(*[F.col(c) for c in df.columns])
+            )
+        else:
+            # one task per key: each Hive dir comes out as one file
+            w = w.repartition(F.col(partition_by))
         (
-            w.repartition(F.col(partition_by))
-            .write.mode("overwrite")
+            w.write.mode("overwrite")
             .partitionBy(partition_by)
             .parquet(target)
         )
@@ -342,7 +404,7 @@ def store_put(
         keep = [f for f in parent_files if _lp(f).split("/", 1)[0].startswith("_")]
     else:
         keep = [f for f in parent_files if not _covered(_lp(f), sub)]
-    return _commit(root, keep + new_files, f"{mode}:{sub or 'data'}")
+    return _commit(root, keep + new_files, f"{mode}:{sub or 'data'}", based_on=cur)
 
 
 def put_json_entry(root: str, name: str, payload: dict) -> int:
@@ -357,7 +419,7 @@ def put_json_entry(root: str, name: str, payload: dict) -> int:
     parent_files = read_manifest(root, cur)["files"]
     keep = [f for f in parent_files if _lp(f) != name]
     rel = os.path.relpath(os.path.join(gen_dir, name), root)
-    return _commit(root, keep + [rel], f"meta:{name}")
+    return _commit(root, keep + [rel], f"meta:{name}", based_on=cur)
 
 
 def get_json_entry(path: str, name: str) -> dict | None:
@@ -553,6 +615,94 @@ def store_layout(path: str) -> tuple[str | None, bool]:
 # ---------------------------------------------------------------------------
 
 
+def _scrub_decisions_manifest(
+    spark: SparkSession,
+    root: str,
+    gen_dir: str,
+    refs: list[str],
+    tomb: DataFrame,
+) -> tuple[list[str], list[str]]:
+    """Manifest twin of ``files._fold_decisions_sidecar``: retire
+    tombstoned ids from the streaming sinks' ``_decisions`` lineage
+    log. Leaf-pruned — one column-pruned scan tagged with
+    ``input_file_name`` finds the ``run=/epoch=`` leaves that actually
+    reference a victim (as subject id or ``matched_id`` pointer); only
+    those are rewritten as NEW files under the fold's generation,
+    every untouched leaf's references carry verbatim (zero data I/O).
+    Subject rows DROP, ``matched_id`` pointers NULL — same GDPR
+    contract as the posix scrub. Returns (kept refs, new refs)."""
+    leaves: dict[str, list[str]] = {}
+    for f in refs:
+        leaves.setdefault(os.path.dirname(_lp(f)), []).append(f)
+    df = store_read(spark, root, "_decisions")
+    idc = (
+        next((c for c in ("doc_id", "vec_id", "id") if c in df.columns), None)
+        if df is not None
+        else None
+    )
+    ref_cols = [
+        c
+        for c in (idc, "matched_id")
+        if c and c in (df.columns if df is not None else [])
+    ]
+    if not ref_cols:
+        return refs, []
+
+    from urllib.parse import unquote, urlparse
+
+    hits = (
+        df.select(
+            F.input_file_name().alias("_f"),
+            F.explode(F.array(*[F.col(c) for c in ref_cols])).alias("id"),
+        )
+        .join(F.broadcast(tomb), "id", "semi")
+        .select("_f")
+        .distinct()
+        .collect()
+    )
+    affected: set[str] = set()
+    for r in hits:
+        p = r["_f"]
+        if p.startswith("file:"):
+            p = unquote(urlparse(p).path)
+        affected.add(os.path.dirname(_lp(os.path.relpath(p, root))))
+
+    keep: list[str] = []
+    new_files: list[str] = []
+    for leaf, leaf_refs in sorted(leaves.items()):
+        if leaf not in affected:
+            keep += leaf_refs
+            continue
+        # leaf read (explicit files, inferred basePath = the leaf dir):
+        # no partition columns, matching the posix leaf-file read
+        ldf = spark.read.parquet(*[os.path.join(root, f) for f in leaf_refs])
+        out = ldf
+        if idc in ldf.columns:
+            out = out.join(
+                F.broadcast(tomb.withColumnRenamed("id", idc)), idc, "anti"
+            )
+        if "matched_id" in ldf.columns:
+            vt = tomb.select(
+                F.col("id").alias("matched_id"), F.lit(True).alias("_v")
+            )
+            out = (
+                out.join(F.broadcast(vt), "matched_id", "left")
+                .withColumn(
+                    "matched_id",
+                    F.when(F.col("_v").isNull(), F.col("matched_id")),
+                )
+                .drop("_v")
+            )
+        target = os.path.join(gen_dir, leaf)
+        # coalesce(1): an emptied epoch leaf still holds one
+        # schema-bearing file for later reads of the log
+        out.select(*ldf.columns).coalesce(1).write.mode("overwrite").parquet(
+            target
+        )
+        new_files += _list_new_parquet(root, target)
+    return keep, new_files
+
+
 def fold_tombstones_manifest(
     spark: SparkSession,
     path: str,
@@ -578,6 +728,16 @@ def fold_tombstones_manifest(
     root, pin = split_pin(path)
     if pin is not None:
         raise ValueError(f"cannot fold a pinned snapshot handle {path}")
+    if os.path.isdir(os.path.join(root, "_decisions")):
+        # a physical _decisions dir the manifest never listed (written
+        # by a pre-dispatch streaming path): folding would succeed
+        # WITHOUT scrubbing it — a silent takedown-lineage leak
+        raise ValueError(
+            f"manifest store {root} carries a rogue physical _decisions "
+            "directory outside the manifest; migrate it into manifest "
+            "entries (re-run the stream on the fixed sink, or commit the "
+            "files) before folding tombstones"
+        )
     tomb_raw = store_read(spark, root, FL.TOMBSTONE_DIR)
     if tomb_raw is None:
         return 0
@@ -671,13 +831,13 @@ def fold_tombstones_manifest(
     for name in sorted(tops):
         if name == FL.TOMBSTONE_DIR:
             continue  # folded: simply not listed — atomic with the commit
-        if name == "_decisions":
-            raise NotImplementedError(
-                "manifest stores do not carry streaming _decisions logs; "
-                "decision lineage lives with the (posix) streaming "
-                "checkpoint store"
-            )
         refs = [f for f in parent_files if _covered(_lp(f), name)]
+        if name == "_decisions":
+            # lineage records must stop naming retired ids too
+            k, nf = _scrub_decisions_manifest(spark, root, gen_dir, refs, tomb)
+            keep += k
+            new_files += nf
+            continue
         if name in fold_sidecars and refs:
             bucketed = any(
                 _lp(f).startswith(f"{name}/fpb=") for f in refs
@@ -731,7 +891,7 @@ def fold_tombstones_manifest(
         else:
             keep += refs  # hot sidecars / meta / layout: carried by ref
 
-    _commit(root, keep + new_files, "fold")
+    _commit(root, keep + new_files, "fold", based_on=cur)
     gc_store(root)
 
     meta = FL.read_store_meta(root) or {}
@@ -777,6 +937,7 @@ def compact_store_manifest(
             "overwrite",
             partition_by=key,
             keep_sidecars=True,
+            files_per_partition=target_files_per_partition,
         )
         count += n_dirs
     elif key is not None:
@@ -798,7 +959,14 @@ def compact_store_manifest(
                 if "/" in _lp(f)
             }
         )
-        store_put(fps, root, "overwrite", partition_by="fpb", sub="_fingerprints")
+        store_put(
+            fps,
+            root,
+            "overwrite",
+            partition_by="fpb",
+            sub="_fingerprints",
+            files_per_partition=target_files_per_partition,
+        )
         count += n_dirs
     elif FL.store_sub_exists(root, "_fingerprints"):
         fps = store_read(spark, root, "_fingerprints")

@@ -301,10 +301,64 @@ def _epoch_decisions(
     a genuine post-append retry into dup-of-self decisions).
     ``compute`` is called only when no reusable partition exists; its
     result is localCheckpointed and written via partitioned dynamic
-    overwrite."""
+    overwrite.
+
+    Backend-aware: on a MANIFEST store the log lives as manifest
+    entries under the logical ``_decisions/run=<run>/epoch=<N>``
+    scope — each epoch's write is a sub-scoped manifest overwrite
+    (one atomic pointer commit replaces the epoch's own prior
+    attempt, the object-store twin of the posix dynamic partition
+    overwrite), reads resolve through the manifest, and the takedown
+    fold scrubs the log leaf-pruned like the posix sidecar
+    (``store_backend._scrub_decisions_manifest``). A rogue PHYSICAL
+    ``_decisions`` directory under a manifest root (written by a
+    pre-dispatch code path) fails loudly: the manifest never lists
+    it, so folds would silently skip the lineage scrub."""
     import os
 
+    from tiki_data_pipeline_spark.sources import files as FL
+    from tiki_data_pipeline_spark.sources import store_backend as MB
+
+    manifest = FL.is_manifest_store(index_path)
     dec_path = index_path + "/_decisions"
+    if manifest:
+        if os.path.isdir(dec_path):
+            raise ValueError(
+                f"manifest store {index_path} carries a rogue physical "
+                "_decisions directory the manifest does not list — a "
+                "takedown fold would skip its lineage scrub. Migrate it "
+                "into the manifest (re-ingest, or commit the files as "
+                "_decisions entries) before streaming into this store."
+            )
+        committed = FL.store_sub(spark, index_path, "_decisions")
+        if committed is not None:
+            for run_key in (run, *fallback_runs):
+                prior = committed.filter(
+                    (F.col("run") == run_key) & (F.col("epoch") == epoch_id)
+                ).select(id_col, *value_cols)
+                if prior.limit(1).count() == 0:
+                    continue
+                p_ids = prior.select(id_col).distinct()
+                b_ids = batch_df.select(id_col).distinct()
+                if (
+                    p_ids.exceptAll(b_ids).unionAll(
+                        b_ids.exceptAll(p_ids)
+                    ).limit(1).count() == 0
+                ):
+                    return prior.localCheckpoint()
+                break  # nonempty but mismatched = stale: recompute
+        status = compute().localCheckpoint()
+        # sub-scoped manifest overwrite: run/epoch become Hive dirs of
+        # the logical path (read back as partition columns); the commit
+        # atomically replaces this epoch's own prior attempt only
+        MB.store_put(
+            status,
+            FL.split_pin(index_path)[0],
+            mode="overwrite",
+            sub=f"_decisions/run={run}/epoch={epoch_id}",
+        )
+        return status
+
     if os.path.isdir(dec_path):  # no try/except: real errors must fail
         committed = spark.read.parquet(dec_path)
         if "run" not in committed.columns:
@@ -439,7 +493,9 @@ def incremental_dedup_sink(
         survivors = DD.exact_dedup(uniq).select(
             F.col("survivor_id").alias("doc_id")
         )
-        stored_ids = spark.read.parquet(index_path + "/_fingerprints").select(
+        from tiki_data_pipeline_spark.sources.files import store_sub
+
+        stored_ids = store_sub(spark, index_path, "_fingerprints").select(
             F.col("id").alias("doc_id")
         )
         to_add = (
@@ -546,7 +602,9 @@ def incremental_embedding_sink(
             .agg(F.min("vec_id").alias("vec_id"))
             .select("vec_id")
         )
-        stored_ids = spark.read.parquet(index_path).select(
+        from tiki_data_pipeline_spark.sources.files import store_data
+
+        stored_ids = store_data(spark, index_path).select(
             F.col("id").alias("vec_id")
         )
         to_add = (
@@ -620,7 +678,9 @@ def incremental_semantic_sink(
             .agg(F.min("vec_id").alias("vec_id"))
             .select("vec_id")
         )
-        stored_ids = spark.read.parquet(index_path).select(
+        from tiki_data_pipeline_spark.sources.files import store_data
+
+        stored_ids = store_data(spark, index_path).select(
             F.col("id").alias("vec_id")
         )
         to_add = (
@@ -650,16 +710,45 @@ def _idempotent_line_count_append(
     Local-filesystem move; production = object-store put, which is
     idempotent the same way. NOTE: run ``compact_line_df_store`` only
     when the stream is stopped with its checkpoint committed — the
-    fold erases the epoch-named files a replay would overwrite."""
+    fold erases the epoch-named files a replay would overwrite.
+
+    On a MANIFEST store the same idempotency is one sub-scoped
+    manifest overwrite: the epoch's counts live under the logical
+    ``epoch-<run>-<N>/`` data-tree scope, so a retry's commit
+    atomically drops its own prior attempt's references and adds the
+    new files — no file deletion dance at all. The scope is part of
+    the DATA tree (no underscore prefix): ``store_data`` sums it with
+    the base counts, and ``compact_line_df_store``'s fold rewrites it
+    away like any delta rows."""
     import glob
     import os
     import shutil
     import tempfile
 
     from tiki_data_pipeline_spark.operators import dedup as DD
-    from tiki_data_pipeline_spark.sources.files import check_store_meta
+    from tiki_data_pipeline_spark.sources import store_backend as MB
+    from tiki_data_pipeline_spark.sources.files import (
+        check_store_meta,
+        is_manifest_store,
+        split_pin,
+    )
 
     check_store_meta(path, {"kind": "line_df"})
+    if is_manifest_store(path):
+        counts = (
+            DD._doc_lines(batch_df, "doc_id", "text")
+            .filter(F.col("lh").isNotNull())
+            .groupBy("lh")
+            .agg(F.count_distinct(F.col("doc_id")).alias("df"))
+        )
+        MB.store_put(
+            counts,
+            split_pin(path)[0],
+            mode="overwrite",
+            sub=f"epoch-{run}-{epoch_id}",
+            coalesce=1,
+        )
+        return
     staging = tempfile.mkdtemp(prefix="linedf_epoch_")
     try:
         (
@@ -756,6 +845,9 @@ def takedown_sink(
     acks: list,
     checkpoint_dir: str,
     id_col: str = "doc_id",
+    maintenance_every: int | None = None,
+    maintenance_log: list | None = None,
+    keep_last: int = 2,
 ):
     """Continuous takedown stream: each micro-batch of retirement
     requests (one id per row — legal takedowns, re-crawl retractions,
@@ -781,14 +873,35 @@ def takedown_sink(
     Single-writer discipline per store, same as appends: a takedown
     for an id racing an ingest append of that id would trip the
     append's tombstone guard — serialize the two streams on one
-    store (run the takedown sink in the ingest windows' gaps)."""
-    from tiki_data_pipeline_spark.sources.files import delete_from_store
+    store (run the takedown sink in the ingest windows' gaps).
+
+    Retention rides the stream (``maintenance_every=N``): every N
+    epochs the full :func:`files.store_maintenance` window runs right
+    after the delete — snapshot (the undo point), fold pending
+    tombstones (physical removal + ``_decisions`` lineage scrub),
+    compact, expire history down to ``keep_last`` automatic
+    snapshots. This is safe exactly where the takedown sink already
+    is: the store's single-writer window. Reports append to
+    ``maintenance_log`` (the ``acks`` heartbeat shape stays
+    ``(epoch, n)``). Replay of a crashed epoch re-runs the window —
+    every step is idempotent, and the extra automatic snapshot
+    rotates out at the next expiry."""
+    from tiki_data_pipeline_spark.sources.files import (
+        delete_from_store,
+        store_maintenance,
+    )
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         n = delete_from_store(
             batch_df.sparkSession, index_path, batch_df, id_col=id_col
         )
         acks.append((epoch_id, n))
+        if maintenance_every and (len(acks) % maintenance_every == 0):
+            report = store_maintenance(
+                batch_df.sparkSession, index_path, keep_last=keep_last
+            )
+            if maintenance_log is not None:
+                maintenance_log.append((epoch_id, report))
 
     return (
         requests.writeStream.foreachBatch(process)
