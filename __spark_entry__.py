@@ -33,56 +33,45 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS sweep samples a bounded window of queries
-# in iteration order (50 per round). Round 12's window: the 1 query
-# NEW this round (doc_dedup_status_manifest_backend — the full
-# takedown lifecycle on the object-store-safe manifest backend,
-# pinned against the SAME oracle as its posix twin), the 4 queries
-# whose serve path is most load-bearing on THIS round's store-layer
-# refactor (every store read/write now routes through the
-# backend-dispatching helpers; these exercise versioning, pinned
-# reads, fingerprint sidecars and band serves end to end), plus ALL
-# 45 queries whose latest driver record is r8/r9 (the judge-r11
-# rotation ask: post-r12, no query's record should be older than
-# r10). Union r9-r12 covers all 143 registry queries.
+# in iteration order (50 per round). Round 13's window: the 3
+# queries most load-bearing on THIS round's changes (the span family
+# now computes its rolling window hashes in the Arrow/numpy kernel —
+# value-identical by construction, parity-pinned — and the manifest
+# store grew the streaming _decisions home, the commit CAS guard and
+# the lineage scrub), plus ALL 47 queries whose latest driver record
+# is r10 (the judge-r12 rotation ask: post-r13, no record older than
+# r11). Union r11-r13 then covers all 143 registry queries.
 _SENTINELS = [
-    # -- NEW r12 query --
+    # -- r13-changed serve paths (span Arrow kernel; manifest store
+    #    CAS + decisions lifecycle) --
+    "doc_duplicate_span_stats",
     "doc_dedup_status_manifest_backend",
-    # -- r12-changed serve paths (store-backend dispatch) --
     "doc_dedup_status_timetravel",
-    "doc_dedup_store_version_diff",
-    "doc_deleted_dedup_status",
-    "doc_minhash_lsh_near_dup",
 ]
 _FRESHNESS_ROTATION = [
-    # -- the 45 queries with no driver record newer than r9 --
-    "price_segment_join", "event_value_changes", "transform_products",
-    "history_latest_per_key", "history_change_detection",
-    "history_cdc_append", "history_retention_buckets",
-    "incremental_crawl_priority", "history_sales_velocity",
-    "upsert_preserve_nonnull", "doc_text_stats", "doc_token_counts",
-    "doc_chunking", "doc_exact_dedup", "doc_ngram_jaccard_pairs",
-    "doc_simhash_signatures", "doc_simhash_near_dup",
-    "embedding_topk_cosine", "embedding_near_dup_pairs",
-    "embedding_label_stats", "embedding_ann_lsh_topk",
-    "doc_rolling_fingerprints", "events_windowed_topk",
-    "embedding_near_dup_lsh", "embedding_ann_ivf_topk",
-    "embedding_knn_classify", "events_tumbling_windows",
-    "events_sliding_windows", "events_sessionization",
-    "events_asof_purchase_click", "events_purchase_click_interval_join",
-    "events_dedup_first_per_key", "warehouse_kpi_block",
-    "vw_price_segment_analysis", "events_props_json",
-    "upsert_overwrite", "insert_if_absent", "lineitem_rollup_revenue",
-    "orders_grouping_sets", "lineitem_cube_quantity",
-    "embedding_label_centroids", "category_image_filter",
-    "embedding_incremental_near_dup", "doc_dsir_weights",
-    "doc_dsir_sample",
-    # -- past the 50-slot window from here: everything below has an
-    #    r10 or r11 driver record and is re-swept via mini_driver on
-    #    final code --
-    "doc_duplicate_span_stats", "doc_span_removal",
-    "doc_span_removal_variable", "doc_deleted_line_removal",
-    "doc_incremental_dedup_status", "embedding_deleted_ann_topk",
-    "lineitem_zorder_box_scan",
+    # -- the 47 queries with no driver record newer than r10; the two
+    #    span-removal queries lead (also r13-changed) --
+    "doc_span_removal", "doc_span_removal_variable",
+    "approx_distinct_stats", "brand_stats_having",
+    "category_bfs_descendants", "category_dedup_keep_best",
+    "category_leaf_detection", "category_level_distribution",
+    "category_level_pivot", "category_missing_parents",
+    "category_orphan_cleanup", "category_path_closure",
+    "category_path_repair", "category_product_count_refresh",
+    "customers_with_orders", "customers_without_orders",
+    "dedup_keep_best_part", "deep_discount_report", "dim_brand_build",
+    "dim_category_build", "dim_price_segment_build", "dim_product_build",
+    "dim_seller_build", "discount_histogram",
+    "distinct_suppliers_per_flag", "embedding_deleted_ann_topk",
+    "embedding_ivfpq_refined_topk", "fact_sales_build",
+    "groupby_computed_key", "latest_order_per_customer",
+    "lineitem_stats_block", "or_join_part_lineitem",
+    "order_status_breakdown", "orders_overlapping_bands",
+    "orders_pivot_status", "orders_top_by_price", "parts_never_shipped",
+    "product_quality_scores", "products_quality_gate",
+    "q1_pricing_summary", "q5_region_revenue", "scalar_parse_functions",
+    "status_counts", "text_udf_functions", "topk_brands",
+    "union_dedup_keys", "vw_category_performance",
 ]
 
 

@@ -901,3 +901,54 @@ def test_span_family_xxhash64_mode_matches_md5_results(spark):
 
     with pytest.raises(ValueError, match="hash_mode"):
         DD.duplicate_span_stats(docs, hash_mode="sha1").collect()
+
+
+def test_span_fold_arrow_kernel_matches_sql_fold(spark):
+    """The Arrow/numpy rolling-hash kernel (fold="arrow", the default
+    hot path since r13) must produce WINDOW HASHES identical to the
+    interpreted SQL fold (fold="sql", the oracle-translation
+    reference) — not merely the same decisions: both folds compute
+    the exact same polynomial in exact integer arithmetic, so every
+    span-family oracle stays value-hash-checked end to end with the
+    kernel on the Spark side. Covers the batch-concatenation edges:
+    docs shorter than the span (zero windows), exactly span long
+    (one window), empty text, and adjacent docs whose flat-array
+    windows must never leak across the boundary."""
+    from pyspark.sql import functions as F
+
+    footer = "all rights reserved contact us at support example dot com today"
+    rows = (
+        [
+            (i, f"document body {i} with its own distinct words " + footer)
+            for i in range(12)
+        ]
+        + [
+            (100, "short doc"),                      # < span: no windows
+            (101, "exactly eight tokens sit in this tiny doc"),  # == span
+            (102, ""),                               # empty text
+            (103, "entirely unique text with nothing shared at all here"),
+        ]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # window-hash-level parity: the raw per-doc hash arrays agree
+    base = DD._with_span_inputs(docs, "doc_id", "text")
+    both = base.select(
+        "doc_id",
+        DD._span_windows(F.col("_hs"), 8, "sql").alias("a"),
+        DD._span_windows(F.col("_hs"), 8, "arrow").alias("b"),
+    ).collect()
+    for r in both:
+        assert list(r["a"]) == list(r["b"]), f"doc {r['doc_id']} diverged"
+    assert any(len(r["a"]) == 0 for r in both)   # sub-span docs exercised
+    assert any(len(r["a"]) == 1 for r in both)   # exactly-span doc
+
+    # operator-level parity on both public consumers
+    for fn, kw in (
+        (DD.duplicate_span_stats, {}),
+        (DD.remove_duplicate_spans, {"min_df": 2}),
+        (DD.remove_duplicate_spans, {"min_df": 2, "min_run": 12}),
+    ):
+        a = sorted(map(tuple, fn(docs, span=8, fold="sql", **kw).collect()))
+        b = sorted(map(tuple, fn(docs, span=8, fold="arrow", **kw).collect()))
+        assert a == b

@@ -25,6 +25,8 @@ the DuckDB oracle reproduces them bit-for-bit.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -891,7 +893,16 @@ def _span_hash_array(hs: Column, span: int) -> Column:
     array column (see :func:`_with_span_inputs` for why it must be an
     attribute): 1-based starts, the cross-engine polynomial family of
     :func:`rolling_fingerprint` — exact in BIGINT and doubles, hence
-    identical in Spark and DuckDB."""
+    identical in Spark and DuckDB.
+
+    This is the SQL-expression form — a higher-order fold per window
+    start (CodegenFallback, interpreted), O(tokens × span)
+    interpreted ops per document. It remains the oracle-translation
+    reference and the parity baseline; the hot path is
+    :func:`_span_hash_kernel` (same polynomial, exact same values,
+    vectorized) — r12 measured the interpreted fold, not the token
+    hashing, as the span family's wall (xxhash64 bought only 1.56×
+    at 5M docs)."""
     return F.when(
         F.size(hs) >= span,
         F.transform(
@@ -905,12 +916,75 @@ def _span_hash_array(hs: Column, span: int) -> Column:
     ).otherwise(F.array().cast("array<bigint>"))
 
 
+def _span_hash_kernel(span: int):
+    """Arrow-vectorized twin of :func:`_span_hash_array`: the same
+    polynomial rolling hash (base ``ROLLING_BASE`` mod
+    ``ROLLING_MOD``, exact integer arithmetic — H < 2³¹ so
+    H·B + h < 2⁵² fits int64 with headroom), computed as ``span``
+    numpy passes over the batch's CONCATENATED token hashes instead
+    of one interpreted fold per window position. Cross-document
+    windows are never formed: each document slices exactly its own
+    ``len − span + 1`` window hashes back out of the flat result.
+
+    Value-identical to the SQL form by construction (pinned by
+    test_operators' parity test), so every span-family oracle stays
+    hash-checked end to end with the kernel on the Spark side. The
+    vectorization precedent is the DSIR bincount⊙lw kernel
+    (curation.py); like there, Python is entered once per Arrow
+    batch, not once per window."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<bigint>")
+    def roll(hs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        arrs = [
+            np.asarray(a, dtype=np.int64)
+            if a is not None
+            else np.empty(0, dtype=np.int64)
+            for a in hs
+        ]
+        lens = [a.size for a in arrs]
+        flat = (
+            np.concatenate(arrs) if sum(lens) else np.empty(0, np.int64)
+        )
+        if flat.size >= span:
+            wtot = flat.size - span + 1
+            h = np.zeros(wtot, dtype=np.int64)
+            for j in range(span):
+                h = (h * ROLLING_BASE + flat[j : j + wtot]) % ROLLING_MOD
+        else:
+            h = np.empty(0, np.int64)
+        out = []
+        off = 0
+        for n in lens:
+            w = n - span + 1
+            out.append(h[off : off + w] if w > 0 else np.empty(0, np.int64))
+            off += n
+        return pd.Series(out)
+
+    return roll
+
+
+def _span_windows(hs: Column, span: int, fold: str) -> Column:
+    """The window-hash array under either fold implementation —
+    identical values (pinned by parity test), different engines:
+    ``arrow`` = the numpy kernel (the hot path), ``sql`` = the
+    interpreted higher-order fold (oracle-translation reference)."""
+    if fold == "arrow":
+        return _span_hash_kernel(span)(hs)
+    if fold == "sql":
+        return _span_hash_array(hs, span)
+    raise ValueError(f"unknown span fold implementation {fold!r}")
+
+
 def duplicate_span_stats(
     docs: DataFrame,
     span: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_mode: str = "md5",
+    fold: str = "arrow",
 ) -> DataFrame:
     """Corpus-wide exact-substring duplication signal (the span-level
     dedup of Lee et al. 2022, "Deduplicating Training Data Makes
@@ -942,7 +1016,7 @@ def duplicate_span_stats(
     # on ONE core before fanning out (measured 28.5 s vs 0.6 s at
     # sf0.1; explode over an expression gets no inferred filter).
     base = _with_span_inputs(docs, id_col, text_col, hash_mode)
-    arr = _span_hash_array(F.col("_hs"), span)
+    arr = _span_windows(F.col("_hs"), span, fold)
     # ONE explode, ONE evaluation of the md5+rolling-fold pipeline:
     # every downstream statistic derives from the same per-doc hash
     # inventory g = (doc, span_hash, n_occ). The partial aggregate
@@ -1020,6 +1094,7 @@ def remove_duplicate_spans(
     text_col: str = "text",
     min_run: int | None = None,
     hash_mode: str = "md5",
+    fold: str = "arrow",
 ) -> DataFrame:
     """Span-level dedup, the REMOVAL half (Lee et al. 2022 §4 — the
     half training pipelines actually apply; :func:`duplicate_span_stats`
@@ -1074,7 +1149,7 @@ def remove_duplicate_spans(
     wins = (
         inputs.select(
             F.col(id_col),
-            F.posexplode(_span_hash_array(F.col("_hs"), span)).alias(
+            F.posexplode(_span_windows(F.col("_hs"), span, fold)).alias(
                 "_p0", "span_hash"
             ),
         )
@@ -1088,7 +1163,7 @@ def remove_duplicate_spans(
     dup_hashes = (
         inputs.select(
             F.explode(
-                F.array_distinct(_span_hash_array(F.col("_hs"), span))
+                F.array_distinct(_span_windows(F.col("_hs"), span, fold))
             ).alias("span_hash")
         )
         .groupBy("span_hash")

@@ -313,7 +313,13 @@ def _epoch_decisions(
     (``store_backend._scrub_decisions_manifest``). A rogue PHYSICAL
     ``_decisions`` directory under a manifest root (written by a
     pre-dispatch code path) fails loudly: the manifest never lists
-    it, so folds would silently skip the lineage scrub."""
+    it, so folds would silently skip the lineage scrub.
+
+    Probe cost (r13): the reuse check is ONE partition-pruned job —
+    all candidate run keys probed in a single ``isin`` aggregation —
+    instead of one filter+count job per key; the common (non-replay)
+    epoch previously paid 3-4 scheduling round-trips here for
+    nothing, a measurable slice of the sink's fixed per-epoch cost."""
     import os
 
     from tiki_data_pipeline_spark.sources import files as FL
@@ -331,22 +337,65 @@ def _epoch_decisions(
                 "_decisions entries) before streaming into this store."
             )
         committed = FL.store_sub(spark, index_path, "_decisions")
-        if committed is not None:
-            for run_key in (run, *fallback_runs):
-                prior = committed.filter(
-                    (F.col("run") == run_key) & (F.col("epoch") == epoch_id)
-                ).select(id_col, *value_cols)
-                if prior.limit(1).count() == 0:
-                    continue
-                p_ids = prior.select(id_col).distinct()
-                b_ids = batch_df.select(id_col).distinct()
-                if (
-                    p_ids.exceptAll(b_ids).unionAll(
-                        b_ids.exceptAll(p_ids)
-                    ).limit(1).count() == 0
-                ):
-                    return prior.localCheckpoint()
-                break  # nonempty but mismatched = stale: recompute
+        run_keys = (run, *fallback_runs)
+    else:
+        committed = None
+        run_keys = (run, *fallback_runs, LEGACY_RUN)
+        if os.path.isdir(dec_path):  # no try/except: real errors must fail
+            committed = spark.read.parquet(dec_path)
+            if "run" not in committed.columns:
+                # pre-``run`` log (epoch-partitioned only): migrate the
+                # layout once instead of failing UNRESOLVED_COLUMN on
+                # every epoch of the resumed stream
+                _migrate_legacy_decisions(spark, dec_path)
+                committed = spark.read.parquet(dec_path)
+            if dict(committed.dtypes).get("run") != "string":
+                # a pre-prefix store whose EVERY run hash happened to
+                # parse as a number (e.g. 33312574e463) reads back as a
+                # DOUBLE partition column; the original hex is
+                # unrecoverable from the parsed value, so cast to string
+                # to keep the filters valid — nothing matches and the
+                # epoch recomputes, the pre-log behavior, instead of
+                # crashing CAST_INVALID_INPUT on every epoch
+                committed = committed.withColumn(
+                    "run", F.col("run").cast("string")
+                )
+    if committed is not None:
+        # consult this lineage's partition first; a pre-upgrade
+        # lineage's committed epochs live under its old run spelling
+        # (``fallback_runs`` — e.g. the pre-canonicalization raw-path
+        # hash) or under run=legacy (pre-``run`` layout), and
+        # skipping them would recompute a post-append retry into
+        # dup-of-self — the id-set guard still arbitrates, so a
+        # colliding OTHER lineage's epoch (different offsets)
+        # falls through to recompute exactly as before. One job: the
+        # isin filter partition-prunes to the candidate (run, epoch)
+        # dirs, and the groupBy tells us which keys exist at all.
+        present = {
+            r["run"]
+            for r in committed.filter(
+                (F.col("epoch") == epoch_id)
+                & F.col("run").isin(list(run_keys))
+            )
+            .groupBy("run")
+            .agg(F.count(F.lit(1)))
+            .collect()
+        }
+        chosen = next((k for k in run_keys if k in present), None)
+        if chosen is not None:
+            prior = committed.filter(
+                (F.col("run") == chosen) & (F.col("epoch") == epoch_id)
+            ).select(id_col, *value_cols)
+            p_ids = prior.select(id_col).distinct()
+            b_ids = batch_df.select(id_col).distinct()
+            if (
+                p_ids.exceptAll(b_ids).unionAll(
+                    b_ids.exceptAll(p_ids)
+                ).limit(1).count() == 0
+            ):
+                return prior.localCheckpoint()
+            # nonempty but mismatched = stale: recompute
+    if manifest:
         status = compute().localCheckpoint()
         # sub-scoped manifest overwrite: run/epoch become Hive dirs of
         # the logical path (read back as partition columns); the commit
@@ -358,49 +407,6 @@ def _epoch_decisions(
             sub=f"_decisions/run={run}/epoch={epoch_id}",
         )
         return status
-
-    if os.path.isdir(dec_path):  # no try/except: real errors must fail
-        committed = spark.read.parquet(dec_path)
-        if "run" not in committed.columns:
-            # pre-``run`` log (epoch-partitioned only): migrate the
-            # layout once instead of failing UNRESOLVED_COLUMN on
-            # every epoch of the resumed stream
-            _migrate_legacy_decisions(spark, dec_path)
-            committed = spark.read.parquet(dec_path)
-        if dict(committed.dtypes).get("run") != "string":
-            # a pre-prefix store whose EVERY run hash happened to
-            # parse as a number (e.g. 33312574e463) reads back as a
-            # DOUBLE partition column; the original hex is
-            # unrecoverable from the parsed value, so cast to string
-            # to keep the filters valid — nothing matches and the
-            # epoch recomputes, the pre-log behavior, instead of
-            # crashing CAST_INVALID_INPUT on every epoch
-            committed = committed.withColumn(
-                "run", F.col("run").cast("string")
-            )
-        # consult this lineage's partition first; a pre-upgrade
-        # lineage's committed epochs live under its old run spelling
-        # (``fallback_runs`` — e.g. the pre-canonicalization raw-path
-        # hash) or under run=legacy (pre-``run`` layout), and
-        # skipping them would recompute a post-append retry into
-        # dup-of-self — the id-set guard still arbitrates, so a
-        # colliding OTHER lineage's epoch (different offsets)
-        # falls through to recompute exactly as before
-        for run_key in (run, *fallback_runs, LEGACY_RUN):
-            prior = committed.filter(
-                (F.col("run") == run_key) & (F.col("epoch") == epoch_id)
-            ).select(id_col, *value_cols)
-            if prior.limit(1).count() == 0:
-                continue
-            p_ids = prior.select(id_col).distinct()
-            b_ids = batch_df.select(id_col).distinct()
-            if (
-                p_ids.exceptAll(b_ids).unionAll(
-                    b_ids.exceptAll(p_ids)
-                ).limit(1).count() == 0
-            ):
-                return prior.localCheckpoint()
-            break  # nonempty but mismatched = stale: recompute
     # materialized BEFORE the store append: the decision plan is lazy
     # and reads the store — evaluating it after the append would
     # status the batch against itself
