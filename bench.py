@@ -89,6 +89,12 @@ def _time_builds(spark) -> dict[str, float]:
 
 
 def main() -> None:
+    try:
+        load_start = tuple(round(x, 2) for x in os.getloadavg())
+    except OSError:
+        load_start = None
+    if load_start is not None:
+        print(f"# loadavg at start: {load_start}", file=sys.stderr)
     spark = get_spark(app_name="bench")
     # Warm the JVM + parquet footers once so timings measure the engine,
     # not first-touch classloading.
@@ -146,6 +152,15 @@ def main() -> None:
         print(f"# failed queries: {failures}", file=sys.stderr)
     if flaky:
         print(f"# flaky queries (some attempts failed): {flaky}", file=sys.stderr)
+    try:
+        # host-load fingerprint: a snapshot taken under EXTERNAL load
+        # (loadavg high BEFORE this process started its own work) is
+        # not a usable baseline — r12 committed one such run and the
+        # r13 gate inherited a ~20%-inflated baseline. Recorded so
+        # bench_compare and NOTES can adjudicate noisy runs from data.
+        loadavg = tuple(round(x, 2) for x in os.getloadavg())
+    except OSError:
+        loadavg = None
     payload = {
         "metric": "sum_query_seconds",
         "value": total,
@@ -156,6 +171,8 @@ def main() -> None:
         "runs_per_query": max(1, RUNS),
         "flaky": flaky,
         "sf": _sf_from_dir(SF_DIR),
+        "loadavg_start": load_start,
+        "loadavg_end": loadavg,
     }
     # The driver records stdout with a bounded tail, which can truncate
     # the front of the per-query map; ALSO persist the full JSON to a
