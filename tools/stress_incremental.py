@@ -178,10 +178,19 @@ def deletion_stage(spark, store, docs, delta, doc_is_delta, out) -> None:
     # persist the pre-delete decisions as a lineage epoch (the layout
     # the streaming sinks write) so the fold's decisions scrub runs at
     # every level — the pointer invariant must hold for the PERSISTED
-    # log, not just freshly computed serves. Manifest stores do not
-    # carry streaming _decisions logs (they live with the posix
-    # streaming checkpoint store), so that leg is posix-only.
-    if not manifest:
+    # log, not just freshly computed serves. Both backends since r13:
+    # posix writes the run/epoch-partitioned sidecar, manifest commits
+    # the same scope as manifest entries (the streaming sinks' layout).
+    if manifest:
+        from tiki_data_pipeline_spark.sources import store_backend as MB
+
+        MB.store_put(
+            pre,
+            store,
+            mode="overwrite",
+            sub="_decisions/run=stressrun/epoch=0",
+        )
+    else:
         (
             pre.withColumn("run", F.lit("stressrun"))
             .withColumn("epoch", F.lit(0))
@@ -219,19 +228,22 @@ def deletion_stage(spark, store, docs, delta, doc_is_delta, out) -> None:
     out["fold_s"] = round(time.perf_counter() - t0, 2)
     # the lineage half of the invariant: post-fold, ZERO persisted
     # decision rows reference a retired id — neither as subject
-    # (doc_id) nor through a matched_id pointer
-    if not manifest:
-        dec_refs = (
-            spark.read.parquet(store + "/_decisions")
-            .select(F.explode(F.array("doc_id", "matched_id")).alias("id"))
-            .join(victims, "id", "semi")
-            .count()
-        )
-        assert dec_refs == 0, (
-            f"{dec_refs} persisted decision rows still reference retired ids "
-            f"(expected 0; {out['matched_victims']} pointed at them pre-delete)"
-        )
-        out["decision_victim_refs_post_fold"] = dec_refs
+    # (doc_id) nor through a matched_id pointer. Runs on BOTH
+    # backends (r13: the manifest fold scrubs its _decisions entries
+    # leaf-pruned, same contract as the posix sidecar scrub).
+    from tiki_data_pipeline_spark.sources.files import store_sub
+
+    dec_refs = (
+        store_sub(spark, store, "_decisions")
+        .select(F.explode(F.array("doc_id", "matched_id")).alias("id"))
+        .join(victims, "id", "semi")
+        .count()
+    )
+    assert dec_refs == 0, (
+        f"{dec_refs} persisted decision rows still reference retired ids "
+        f"(expected 0; {out['matched_victims']} pointed at them pre-delete)"
+    )
+    out["decision_victim_refs_post_fold"] = dec_refs
     t0 = time.perf_counter()
     DD.incremental_dedup_status(spark, store, delta.limit(out["delta_docs"])).count()
     out["decide_post_fold_s"] = round(time.perf_counter() - t0, 2)
