@@ -88,8 +88,15 @@ def du(path: str) -> int:
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    k = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    args = sys.argv[1:]
+    backend = "posix"
+    if "--backend" in args:
+        i = args.index("--backend")
+        backend = args[i + 1]
+        os.environ["SPARK_GRAFT_STORE_BACKEND"] = backend
+        args = args[:i] + args[i + 2:]
+    n = int(args[0]) if len(args) > 0 else 10
+    k = int(args[1]) if len(args) > 1 else 8
     spark = get_spark(app_name="streaming_throughput")
     shutil.rmtree(OUT, ignore_errors=True)
     os.makedirs(OUT)
@@ -133,6 +140,7 @@ def main() -> None:
         json.dumps(
             {
                 "sink": "incremental_dedup_sink",
+                "backend": backend,
                 "replication": n,
                 "epochs": len(statuses),
                 "docs_streamed": n_stream,
@@ -186,6 +194,7 @@ def main() -> None:
                 "scheduled_fold_s": round(fold_s, 2),
                 "folded_ids": folded,
                 "store_bytes_post_fold": du(store),
+                "backend": backend,
             }
         )
     )
