@@ -426,3 +426,46 @@ class TestCompactFilesPerPartition:
             "target_files_per_partition=2 produced single-file dirs only"
         )
         assert store_data(spark, p).count() == 400
+
+
+class TestDecisionsCompaction:
+    def test_compact_regroups_decisions_into_one_generation(self, spark, tmp_path):
+        """Every streaming epoch's sub-scoped commit lands its
+        decisions leaf in its own generation; compaction must re-group
+        the scope into ONE generation (one read group afterwards) with
+        rows AND (run, epoch) partition values intact."""
+        p = _bkt_store(spark, str(tmp_path / "s"), n=64, buckets=4)
+        for e in range(4):
+            MB.store_put(
+                spark.createDataFrame(
+                    [(100 + e, "unique", None)],
+                    "doc_id long, status string, matched_id long",
+                ).coalesce(1),
+                p,
+                mode="overwrite",
+                sub=f"_decisions/run=rabc/epoch={e}",
+            )
+        refs = [
+            f for f in MB.manifest_files(p, "_decisions") if f.endswith(".parquet")
+        ]
+        gens_before = {f.split("/", 2)[1] for f in refs}
+        assert len(gens_before) == 4
+        before = {
+            (r["doc_id"], r["run"], r["epoch"])
+            for r in store_sub(spark, p, "_decisions").collect()
+        }
+
+        compact_store(spark, p)
+
+        refs = [
+            f for f in MB.manifest_files(p, "_decisions") if f.endswith(".parquet")
+        ]
+        gens_after = {f.split("/", 2)[1] for f in refs}
+        assert len(gens_after) == 1
+        after = {
+            (r["doc_id"], r["run"], r["epoch"])
+            for r in store_sub(spark, p, "_decisions").collect()
+        }
+        assert after == before
+        # idempotent: a second compact with one generation is a no-op
+        assert MB._compact_decisions_manifest(spark, p) == 0

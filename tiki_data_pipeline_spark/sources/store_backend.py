@@ -978,8 +978,48 @@ def compact_store_manifest(
             coalesce=max(1, target_files_per_partition),
         )
         count += 1
+    count += _compact_decisions_manifest(spark, root)
     gc_store(root)
     return count
+
+
+def _compact_decisions_manifest(spark: SparkSession, root: str) -> int:
+    """Re-group a streaming ``_decisions`` lineage log into ONE
+    generation. Every streaming epoch's sub-scoped commit lands its
+    leaf in its own generation, and :func:`store_read` unions the
+    scope per generation — so a long-running stream grows the
+    decisions read plan linearly with epoch count. Compaction reads
+    the whole scope (run/epoch partition columns parse off the
+    logical paths), writes it back partitioned by (run, epoch) under
+    the compaction's single generation, and commits once: same rows,
+    same partition values, one read group afterwards. Run in the
+    writer's maintenance window only (same single-writer discipline
+    as every compact — ``takedown_sink(maintenance_every=)`` calls
+    this between epochs, which is that window). The posix twin needs
+    no equivalent: its epoch leaves already share one directory tree.
+    Skips flat (legacy) decisions layouts — nothing to re-group."""
+    refs = [
+        f for f in manifest_files(root, "_decisions") if f.endswith(".parquet")
+    ]
+    gens = {f.split("/", 2)[1] for f in refs if f.startswith(GEN_DIR + "/")}
+    partitioned = any("run=" in _lp(f) for f in refs)
+    if len(gens) <= 1 or not partitioned:
+        return 0
+    dec = store_read(spark, root, "_decisions")
+    cur = current_gen(root)
+    gen_dir = os.path.join(root, GEN_DIR, f"{cur + 1:08d}")
+    target = os.path.join(gen_dir, "_decisions")
+    (
+        dec.repartition(F.col("run"), F.col("epoch"))
+        .write.mode("overwrite")
+        .partitionBy("run", "epoch")
+        .parquet(target)
+    )
+    new_files = _list_new_parquet(root, target)
+    parent_files = read_manifest(root, cur)["files"]
+    keep = [f for f in parent_files if not _covered(_lp(f), "_decisions")]
+    _commit(root, keep + new_files, "compact:_decisions", based_on=cur)
+    return 1
 
 
 def migrate_store_layout_manifest(
