@@ -42,11 +42,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # is r10 (the judge-r12 rotation ask: post-r13, no record older than
 # r11). Union r11-r13 then covers all 143 registry queries.
 _SENTINELS = [
+    # -- NEW r13 query (span family's incremental store form) --
+    "doc_incremental_span_removal",
     # -- r13-changed serve paths (span Arrow kernel; manifest store
     #    CAS + decisions lifecycle) --
     "doc_duplicate_span_stats",
     "doc_dedup_status_manifest_backend",
-    "doc_dedup_status_timetravel",
 ]
 _FRESHNESS_ROTATION = [
     # -- the 47 queries with no driver record newer than r10; the two

@@ -952,3 +952,126 @@ def test_span_fold_arrow_kernel_matches_sql_fold(spark):
         a = sorted(map(tuple, fn(docs, span=8, fold="sql", **kw).collect()))
         b = sorted(map(tuple, fn(docs, span=8, fold="arrow", **kw).collect()))
         assert a == b
+
+
+def test_incremental_span_removal_against_store(spark, tmp_path):
+    """The span family's incremental form (r13): a persisted span-df
+    store decides a NEW batch without re-reading corpus text. A batch
+    doc sharing an 8-token window with the stored corpus loses exactly
+    that window's tokens; a fresh doc passes untouched; within-batch
+    duplicated windows are caught on arrival (count_batch); the store
+    is never mutated by the decision."""
+    from pyspark.sql import functions as F
+
+    footer = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    corpus = spark.createDataFrame(
+        [
+            (1, "stored document one body " + footer),
+            (2, "stored document two other words " + footer),
+        ],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "spanstore")
+    DD.write_span_df_store(corpus, store, span=8)
+
+    batch = spark.createDataFrame(
+        [
+            # shares the stored footer window -> cut
+            (11, "fresh eleven content here " + footer),
+            # entirely fresh -> untouched
+            (12, "totally novel words that nothing else carries at all"),
+            # within-batch twins (novel vs store) -> both cut via batch df
+            (13, "one two three four five six seven eight closing words here"),
+            (14, "pre one two three four five six seven eight post tail"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["cleaned_text"], r["n_tokens_removed"])
+        for r in DD.incremental_span_removal(spark, store, batch).collect()
+    }
+    assert out[11] == ("fresh eleven content here", 8)
+    assert out[12][1] == 0
+    assert out[13][1] >= 8 and "closing words here" in out[13][0]
+    assert out[14][1] >= 8 and out[14][0].startswith("pre")
+    # the decision did not mutate the store
+    from tiki_data_pipeline_spark.sources.files import store_data
+
+    df_sum = store_data(spark, store).agg(F.sum("df")).collect()[0][0]
+    # count_batch=False: within-batch twins no longer cut, store hit still is
+    out2 = {
+        r["doc_id"]: r["n_tokens_removed"]
+        for r in DD.incremental_span_removal(
+            spark, store, batch, count_batch=False
+        ).collect()
+    }
+    assert out2[11] == 8 and out2[13] == 0 and out2[14] == 0
+    assert store_data(spark, store).agg(F.sum("df")).collect()[0][0] == df_sum
+
+
+def test_span_df_store_append_delete_compact_lifecycle(spark, tmp_path):
+    """Additive lifecycle of the span-df store: append makes a new
+    batch's windows count toward later decisions; delete (negative
+    counts, ledger-guarded) withdraws a doc's evidence and a replayed
+    delete is a no-op; compaction folds to one row per hash and drops
+    zeroed windows; geometry mismatches raise."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from tiki_data_pipeline_spark.sources.files import store_data
+
+    footer = "alpha beta gamma delta epsilon zeta eta theta"
+    base = spark.createDataFrame(
+        [(1, "stored one body " + footer)], "doc_id long, text string"
+    )
+    store = str(tmp_path / "spanstore")
+    DD.write_span_df_store(base, store, span=8)
+
+    probe = spark.createDataFrame(
+        [(21, "probe text before " + footer)], "doc_id long, text string"
+    )
+    # store df 1 + batch df 1 = 2 -> cut
+    r = DD.incremental_span_removal(spark, store, probe).collect()[0]
+    assert r["n_tokens_removed"] == 8
+    # store-only evidence is 1 -> no cut without the batch's own count
+    r = DD.incremental_span_removal(
+        spark, store, probe, count_batch=False
+    ).collect()[0]
+    assert r["n_tokens_removed"] == 0
+
+    # append a second carrier: store df reaches 2 -> cut without batch df
+    DD.append_span_df_store(
+        spark.createDataFrame(
+            [(2, "appended two body " + footer)], "doc_id long, text string"
+        ),
+        store,
+    )
+    r = DD.incremental_span_removal(
+        spark, store, probe, count_batch=False
+    ).collect()[0]
+    assert r["n_tokens_removed"] == 8
+
+    # delete one carrier -> df back to 1 -> no cut; replay is a no-op
+    victim = spark.createDataFrame(
+        [(2, "appended two body " + footer)], "doc_id long, text string"
+    )
+    assert DD.delete_span_df_store(victim, store) == 1
+    assert DD.delete_span_df_store(victim, store) == 0  # ledger replay guard
+    r = DD.incremental_span_removal(
+        spark, store, probe, count_batch=False
+    ).collect()[0]
+    assert r["n_tokens_removed"] == 0
+
+    # compaction folds deltas and preserves decisions
+    DD.compact_span_df_store(spark, store)
+    per_hash = (
+        store_data(spark, store).groupBy("h").count().filter("count > 1").count()
+    )
+    assert per_hash == 0
+    assert store_data(spark, store).filter(F.col("df") <= 0).count() == 0
+    r = DD.incremental_span_removal(spark, store, probe).collect()[0]
+    assert r["n_tokens_removed"] == 8
+
+    # geometry pinning: a line store is not a span store
+    with _pytest.raises(ValueError):
+        DD.incremental_span_removal(spark, str(tmp_path / "nope"), probe)

@@ -1171,6 +1171,23 @@ def remove_duplicate_spans(
         .filter(F.col("span_df") >= min_df)
         .select("span_hash")
     )
+    return _cut_covered_spans(inputs, wins, dup_hashes, span, min_run, id_col)
+
+
+def _cut_covered_spans(
+    inputs: DataFrame,
+    wins: DataFrame,
+    dup_hashes: DataFrame,
+    span: int,
+    min_run: int | None,
+    id_col: str,
+) -> DataFrame:
+    """The coverage→cut tail shared by :func:`remove_duplicate_spans`
+    (corpus-wide df) and :func:`incremental_span_removal` (persisted
+    store df + within-batch df): expand each duplicated window into
+    its ≤``span`` covered positions, optionally keep only maximal
+    runs of ≥ ``min_run`` tokens, and re-emit cleaned text with
+    per-doc accounting. Text shuffles only for affected docs."""
     covered = (
         wins.join(dup_hashes, "span_hash")
         .select(
@@ -1426,64 +1443,18 @@ def append_line_df_store(
     order's window (append committed, scrub lost) would leave the ids
     ledgered FOREVER: their next legitimate delete silently returns 0
     and the counts over-count until manual repair."""
-    from tiki_data_pipeline_spark.sources.files import check_store_meta
-
-    import os
-
     from tiki_data_pipeline_spark.sources.files import (
-        recover_interrupted_swap,
-        swap_parquet_rewrite,
-    )
-
-    from tiki_data_pipeline_spark.sources.files import (
-        is_manifest_store,
+        check_store_meta,
         store_put,
-        store_sub,
     )
 
     check_store_meta(path, {"kind": "line_df"})
     # a re-ingested id leaves the deletion ledger (delete → re-ingest
     # → delete must decrement again; the ledger only guards REPLAYS).
     spark = docs.sparkSession
-    if is_manifest_store(path):
-        # manifest ledger scrub: a sub overwrite is one atomic commit
-        # — no rename dance, no crash window to recover
-        ledger = store_sub(spark, path, LINE_DF_LEDGER_DIR)
-        batch_ids = docs.select(F.col(id_col).alias("id")).distinct()
-        if ledger is not None and (
-            ledger.join(batch_ids, "id", "semi").limit(1).count()
-        ):
-            scrubbed = (
-                ledger.select("id")
-                .distinct()
-                .join(batch_ids, "id", "anti")
-                .localCheckpoint()
-            )
-            store_put(
-                scrubbed, path, "overwrite",
-                sub=LINE_DF_LEDGER_DIR, coalesce=1,
-            )
-    else:
-        # posix: recover a crashed ledger swap BEFORE the isdir probe
-        # — after a crash between the swap's two renames only
-        # `_deleted_ids.old` exists, and a bare isdir would silently
-        # skip the scrub AND the next delete's replay guard.
-        ldir = os.path.join(path, LINE_DF_LEDGER_DIR)
-        recover_interrupted_swap(ldir)
-        if os.path.isdir(ldir):
-            batch_ids = docs.select(F.col(id_col).alias("id")).distinct()
-            ledger = spark.read.parquet(ldir).select("id").distinct()
-            if ledger.join(batch_ids, "id", "semi").limit(1).count():
-                swap_parquet_rewrite(
-                    ldir,
-                    lambda staging: spark.read.parquet(ldir)
-                    .select("id")
-                    .distinct()
-                    .join(batch_ids, "id", "anti")
-                    .coalesce(1)
-                    .write.mode("overwrite")
-                    .parquet(staging),
-                )
+    _scrub_count_store_ledger(
+        spark, path, docs.select(F.col(id_col).alias("id")).distinct()
+    )
     lines = _doc_lines(docs, id_col, text_col)
     store_put(
         lines.filter(F.col("lh").isNotNull())
@@ -1592,54 +1563,7 @@ def compact_line_df_store(spark, path: str) -> None:
     the ``_deleted_ids`` replay ledger) are carried verbatim: the
     ledger must OUTLIVE compaction, or a replayed delete batch would
     decrement the freshly folded counts a second time."""
-    import os
-    import shutil
-
-    from tiki_data_pipeline_spark.sources.files import (
-        VERSIONS_DIR,
-        _link_tree,
-        is_manifest_store,
-        store_data,
-        store_put,
-        swap_parquet_rewrite,
-    )
-
-    if is_manifest_store(path):
-        # one data-only commit carrying ledger + meta by reference,
-        # then GC of the folded-away delta files
-        from tiki_data_pipeline_spark.sources import store_backend as MB
-
-        folded = (
-            store_data(spark, path)
-            .groupBy("lh")
-            .agg(F.sum("df").alias("df"))
-            .filter(F.col("df") > 0)
-        )
-        store_put(folded, path, "overwrite", keep_sidecars=True)
-        MB.gc_store(path)
-        return
-
-    def _stage(staging: str) -> None:
-        (
-            spark.read.parquet(path)
-            .groupBy("lh")
-            .agg(F.sum("df").alias("df"))
-            .filter(F.col("df") > 0)
-            .write.mode("overwrite")
-            .parquet(staging)
-        )
-        for e in os.scandir(path):
-            if not e.name.startswith("_") or e.name in ("_SUCCESS",):
-                continue
-            dst = os.path.join(staging, e.name)
-            if e.is_dir() and e.name == VERSIONS_DIR:
-                _link_tree(e.path, dst)  # immutable history: O(metadata)
-            elif e.is_dir():
-                shutil.copytree(e.path, dst, dirs_exist_ok=True)
-            else:
-                shutil.copy2(e.path, dst)
-
-    swap_parquet_rewrite(path, _stage)
+    _compact_count_store(spark, path, "lh")
 
 
 def incremental_line_removal(
@@ -1691,3 +1615,366 @@ def incremental_line_removal(
     )
     dup_keys = total.filter(F.col("line_df") >= min_df).select("lh")
     return _cut_dup_lines(batch, lines, dup_keys, id_col, text_col)
+
+
+# ---------------------------------------------------------------------------
+# Span-df store: the incremental form of span-level dedup
+# ---------------------------------------------------------------------------
+# remove_duplicate_spans is corpus-wide; at 100 TB a crawl delta must
+# be decided WITHOUT re-hashing the corpus. Same store discipline as
+# the line-df family: persist (h, df) — window-hash document
+# frequencies, ~16 bytes per distinct window, never text — append new
+# batches as additive deltas (merge-on-read: readers SUM df per h),
+# retire documents with negative counts guarded by the same
+# ``_deleted_ids`` replay ledger, and fold periodically. The store
+# pins its window geometry in meta (span + hash_mode): a batch decided
+# with a different span or token hash would compare incompatible
+# window identities, so mismatches raise.
+
+SPAN_DF_KIND = "span_df"
+
+
+def _doc_span_hashes(
+    docs: DataFrame,
+    span: int,
+    id_col: str,
+    text_col: str,
+    hash_mode: str,
+    fold: str,
+) -> DataFrame:
+    """(id, h) — each document's DISTINCT window hashes (document
+    frequency semantics: a window repeated within one doc counts
+    once)."""
+    inputs = _with_span_inputs(docs, id_col, text_col, hash_mode)
+    return inputs.select(
+        id_col,
+        F.explode(
+            F.array_distinct(_span_windows(F.col("_hs"), span, fold))
+        ).alias("h"),
+    )
+
+
+def _span_store_geometry(path: str) -> tuple[int, str]:
+    """The store's pinned window geometry; raises on a non-span store.
+    Strict (no legacy tolerance): span stores have always written
+    their geometry, so an absent meta means not-a-span-store — the
+    lenient ``check_store_meta`` pass-through would KeyError later."""
+    from tiki_data_pipeline_spark.sources.files import (
+        check_store_meta,
+        read_store_meta,
+    )
+
+    check_store_meta(path, {"kind": SPAN_DF_KIND})
+    meta = read_store_meta(path) or {}
+    if meta.get("kind") != SPAN_DF_KIND or "span" not in meta:
+        raise ValueError(
+            f"no span-df store at {path} (meta missing or wrong kind: "
+            f"{meta.get('kind')!r})"
+        )
+    return int(meta["span"]), meta.get("hash_mode", "md5")
+
+
+def write_span_df_store(
+    docs: DataFrame,
+    path: str,
+    span: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_mode: str = "md5",
+    fold: str = "arrow",
+) -> None:
+    """Persist the corpus's window-hash document frequencies so later
+    batches can cut duplicated spans WITHOUT re-reading corpus text —
+    the span twin of :func:`write_line_df_store`."""
+    from tiki_data_pipeline_spark.sources.files import (
+        store_put,
+        write_store_meta,
+    )
+
+    counts = (
+        _doc_span_hashes(docs, span, id_col, text_col, hash_mode, fold)
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    store_put(counts, path, "overwrite")
+    write_store_meta(
+        path, {"kind": SPAN_DF_KIND, "span": int(span), "hash_mode": hash_mode}
+    )
+
+
+def append_span_df_store(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fold: str = "arrow",
+) -> None:
+    """Append a new batch's window-hash counts as DELTA rows (readers
+    SUM df per h; :func:`compact_span_df_store` folds). Re-ingested
+    ids leave the deletion ledger first — same crash ordering and
+    rationale as :func:`append_line_df_store` (scrub before append:
+    the reverse order's crash window would ledger ids forever)."""
+    span, hash_mode = _span_store_geometry(path)
+    spark = docs.sparkSession
+    _scrub_count_store_ledger(
+        spark, path, docs.select(F.col(id_col).alias("id")).distinct()
+    )
+    counts = (
+        _doc_span_hashes(docs, span, id_col, text_col, hash_mode, fold)
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    from tiki_data_pipeline_spark.sources.files import store_put
+
+    store_put(counts, path, "append")
+
+
+def _scrub_count_store_ledger(spark, path: str, batch_ids: DataFrame) -> None:
+    """Clear re-ingested ids from an additive count store's
+    ``_deleted_ids`` replay ledger (delete → re-ingest → delete must
+    decrement again; the ledger only guards REPLAYS). Backend-aware:
+    manifest = one atomic sub overwrite; posix = crash-safe swap with
+    pre-probe recovery (a crashed swap leaves only ``.old`` and a bare
+    isdir would silently drop the scrub AND the next delete's replay
+    guard)."""
+    import os
+
+    from tiki_data_pipeline_spark.sources.files import (
+        is_manifest_store,
+        recover_interrupted_swap,
+        store_put,
+        store_sub,
+        swap_parquet_rewrite,
+    )
+
+    if is_manifest_store(path):
+        ledger = store_sub(spark, path, LINE_DF_LEDGER_DIR)
+        if ledger is not None and (
+            ledger.join(batch_ids, "id", "semi").limit(1).count()
+        ):
+            scrubbed = (
+                ledger.select("id")
+                .distinct()
+                .join(batch_ids, "id", "anti")
+                .localCheckpoint()
+            )
+            store_put(
+                scrubbed, path, "overwrite",
+                sub=LINE_DF_LEDGER_DIR, coalesce=1,
+            )
+        return
+    ldir = os.path.join(path, LINE_DF_LEDGER_DIR)
+    recover_interrupted_swap(ldir)
+    if os.path.isdir(ldir):
+        ledger = spark.read.parquet(ldir).select("id").distinct()
+        if ledger.join(batch_ids, "id", "semi").limit(1).count():
+            swap_parquet_rewrite(
+                ldir,
+                lambda staging: spark.read.parquet(ldir)
+                .select("id")
+                .distinct()
+                .join(batch_ids, "id", "anti")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(staging),
+            )
+
+
+def delete_span_df_store(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fold: str = "arrow",
+) -> int:
+    """Retire documents from the span-df store by appending NEGATIVE
+    window counts — the additive-counter deletion of
+    :func:`delete_line_df_store`, span-granular. Idempotent via the
+    shared ``_deleted_ids`` ledger; returns NEWLY retired doc count
+    (0 for a pure replay). Delete the SAME text that was appended."""
+    span, hash_mode = _span_store_geometry(path)
+    spark = docs.sparkSession
+    fresh = docs
+    from tiki_data_pipeline_spark.sources.files import (
+        is_manifest_store,
+        store_put,
+        store_sub,
+    )
+
+    if is_manifest_store(path):
+        ledger = store_sub(spark, path, LINE_DF_LEDGER_DIR)
+        if ledger is not None:
+            seen = ledger.select(F.col("id").alias(id_col)).distinct()
+            fresh = docs.join(F.broadcast(seen), id_col, "anti")
+    else:
+        import os
+
+        from tiki_data_pipeline_spark.sources.files import (
+            recover_interrupted_swap,
+        )
+
+        ldir = os.path.join(path, LINE_DF_LEDGER_DIR)
+        recover_interrupted_swap(ldir)
+        if os.path.isdir(ldir):
+            seen = (
+                spark.read.parquet(ldir)
+                .select(F.col("id").alias(id_col))
+                .distinct()
+            )
+            fresh = docs.join(F.broadcast(seen), id_col, "anti")
+    # pin the batch once: the decrement write and the ledger append
+    # must see the SAME id set (see delete_line_df_store)
+    fresh = fresh.localCheckpoint(eager=False)
+    ids = fresh.select(F.col(id_col).alias("id")).distinct()
+    n = ids.count()
+    if n == 0:
+        return 0
+    decrements = (
+        _doc_span_hashes(fresh, span, id_col, text_col, hash_mode, fold)
+        .groupBy("h")
+        .agg((-F.count(F.lit(1))).alias("df"))
+    )
+    store_put(decrements, path, "append")
+    # ledger AFTER the decrement (crash between = one replayed double
+    # decrement, the narrow window every additive sink shares; the
+    # reverse order would DROP deletes)
+    store_put(ids, path, "append", sub=LINE_DF_LEDGER_DIR, coalesce=1)
+    return n
+
+
+def compact_span_df_store(spark, path: str) -> None:
+    """Fold the span-df store's delta rows to one (h, df) row per
+    window hash, dropping hashes whose folded count reaches zero.
+    Sidecars (meta, the deletion ledger) carry verbatim — identical
+    mechanics to :func:`compact_line_df_store`, keyed on ``h``."""
+    _span_store_geometry(path)
+    _compact_count_store(spark, path, "h")
+
+
+def _compact_count_store(spark, path: str, key: str) -> None:
+    """Shared compaction for additive (key, df) count stores: fold to
+    one row per key via the backend-appropriate commit (manifest:
+    data-only commit carrying sidecars by reference + GC; posix:
+    crash-safe staging swap carrying sidecars verbatim)."""
+    import os
+    import shutil
+
+    from tiki_data_pipeline_spark.sources.files import (
+        VERSIONS_DIR,
+        _link_tree,
+        is_manifest_store,
+        store_data,
+        store_put,
+        swap_parquet_rewrite,
+    )
+
+    if is_manifest_store(path):
+        from tiki_data_pipeline_spark.sources import store_backend as MB
+
+        folded = (
+            store_data(spark, path)
+            .groupBy(key)
+            .agg(F.sum("df").alias("df"))
+            .filter(F.col("df") > 0)
+        )
+        store_put(folded, path, "overwrite", keep_sidecars=True)
+        MB.gc_store(path)
+        return
+
+    def _stage(staging: str) -> None:
+        (
+            spark.read.parquet(path)
+            .groupBy(key)
+            .agg(F.sum("df").alias("df"))
+            .filter(F.col("df") > 0)
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        for e in os.scandir(path):
+            if not e.name.startswith("_") or e.name in ("_SUCCESS",):
+                continue
+            dst = os.path.join(staging, e.name)
+            if e.is_dir() and e.name == VERSIONS_DIR:
+                _link_tree(e.path, dst)
+            elif e.is_dir():
+                shutil.copytree(e.path, dst, dirs_exist_ok=True)
+            else:
+                shutil.copy2(e.path, dst)
+
+    swap_parquet_rewrite(path, _stage)
+
+
+def incremental_span_removal(
+    spark,
+    path: str,
+    batch: DataFrame,
+    min_df: int = 2,
+    min_run: int | None = None,
+    count_batch: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fold: str = "arrow",
+) -> DataFrame:
+    """Cut duplicated spans from a NEW batch against the persisted
+    span-df store: a window is duplicated when its corpus df plus
+    (with ``count_batch``) its within-batch df reaches ``min_df`` —
+    batch-born boilerplate is caught on arrival, one ingest earlier
+    than a store-only compare. Returns the
+    :func:`remove_duplicate_spans` schema for the batch docs; the
+    store is NOT mutated (callers append the batch's counts via
+    :func:`append_span_df_store` once its ingest decision commits —
+    the decide-then-append staging of every incremental family).
+    ``min_run`` carries the variable-length semantics unchanged.
+
+    Serve shape at 100 TB: the store is semi-joined down to the
+    batch's window hashes BEFORE aggregating (a batch touches
+    thousands of distinct windows; the store holds billions), so the
+    only full-store cost is the columnar (h, df) scan — no text, no
+    store-side shuffle of non-matching windows. Window geometry
+    (span, hash_mode) comes from the store meta, so a batch can never
+    be decided against incompatible window identities."""
+    span, hash_mode = _span_store_geometry(path)
+    inputs = _with_span_inputs(batch, id_col, text_col, hash_mode)
+    wins = (
+        inputs.select(
+            F.col(id_col),
+            F.posexplode(_span_windows(F.col("_hs"), span, fold)).alias(
+                "_p0", "span_hash"
+            ),
+        )
+        .select(id_col, (F.col("_p0") + 1).alias("s"), "span_hash")
+    )
+    batch_df = (
+        inputs.select(
+            F.explode(
+                F.array_distinct(_span_windows(F.col("_hs"), span, fold))
+            ).alias("span_hash")
+        )
+        .groupBy("span_hash")
+        .agg(F.count(F.lit(1)).alias("_df_b"))
+    )
+    from tiki_data_pipeline_spark.sources.files import store_data
+
+    store_df = (
+        store_data(spark, path)
+        .withColumnRenamed("h", "span_hash")
+        .join(batch_df.select("span_hash"), "span_hash", "left_semi")
+        .groupBy("span_hash")
+        # clamp at 0: delete_span_df_store appends negative deltas; an
+        # over-deleted window must count as absent, never as negative
+        # evidence against the batch's own df
+        .agg(F.greatest(F.sum("df"), F.lit(0)).alias("_df_s"))
+    )
+    dup_hashes = (
+        batch_df.join(store_df, "span_hash", "left")
+        .select(
+            "span_hash",
+            (
+                (F.col("_df_b") if count_batch else F.lit(0))
+                + F.coalesce(F.col("_df_s"), F.lit(0))
+            ).alias("_df"),
+        )
+        .filter(F.col("_df") >= min_df)
+        .select("span_hash")
+    )
+    return _cut_covered_spans(inputs, wins, dup_hashes, span, min_run, id_col)

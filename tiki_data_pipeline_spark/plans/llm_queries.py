@@ -1903,6 +1903,7 @@ SESSION_BUILDS: dict = {
     "pq_index": lambda spark, sf_dir: _pq_index_cached(spark, sf_dir),
     "ivfpq_index": lambda spark, sf_dir: _ivfpq_index_cached(spark, sf_dir),
     "minhash_vd_index": lambda spark, sf_dir: _mh_vd_index_cached(spark, sf_dir),
+    "span_df_store": lambda spark, sf_dir: _span_df_store_cached(spark, sf_dir),
     "zorder_lineitem": lambda spark, sf_dir: __import__(
         "tiki_data_pipeline_spark.plans.extras_queries",
         fromlist=["_zorder_lineitem_cached"],
@@ -2565,4 +2566,105 @@ def embedding_ivfpq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=2,
         refine_with=emb,
         shortlist=64,  # pinned: the oracle's rank cut, SF-stable
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental span removal against the persisted span-df store (r13)
+# ---------------------------------------------------------------------------
+
+
+def _span_df_store_cached(spark: SparkSession, sf_dir: str) -> str:
+    """Persisted span-df store over the even-id corpus half — the
+    'already-ingested corpus' the incremental span-removal query
+    decides against (span=8, md5 token hashes: the oracle computes
+    identical window identities)."""
+
+    def build(p: str) -> None:
+        DD.write_span_df_store(
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 2 == 0)
+            .select("doc_id", "text"),
+            p,
+            span=8,
+        )
+
+    return _session_index(spark, sf_dir, "spandf", build)
+
+
+_INCREMENTAL_SPAN_ORACLE = f"""
+    WITH sides AS (
+      SELECT 's' AS side, doc_id, text FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT 'b', doc_id, text FROM documents WHERE doc_id % 2 = 1
+    ),
+    tokh AS (
+      SELECT side, doc_id,
+             string_split_regex(lower(trim(text)), '\\s+') AS toks,
+             list_transform(string_split_regex(lower(trim(text)), '\\s+'),
+               t -> try_cast(('0x' || substring(md5(t), 1, 15)) AS BIGINT)
+                    & {DD._TOKEN_MASK}) AS hs
+      FROM sides
+    ),
+    idx AS (
+      SELECT side, doc_id, hs, UNNEST(range(1, len(hs) - 6)) AS i
+      FROM tokh WHERE len(hs) >= 8
+    ),
+    wins AS (
+      SELECT side, doc_id, i,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), hs[i:i+7]),
+               (a, b) -> (a * {DD.ROLLING_BASE} + b) % {DD.ROLLING_MOD})
+               AS span_hash
+      FROM idx
+    ),
+    dfq AS (
+      -- store df (distinct even-half docs) + within-batch df
+      -- (distinct odd-half docs) >= 2, exactly the operator's
+      -- corpus-plus-batch evidence rule
+      SELECT span_hash FROM wins
+      GROUP BY span_hash
+      HAVING COUNT(DISTINCT CASE WHEN side = 's' THEN doc_id END)
+           + COUNT(DISTINCT CASE WHEN side = 'b' THEN doc_id END) >= 2
+    ),
+    covered AS (
+      SELECT DISTINCT doc_id, p FROM (
+        SELECT w.doc_id, UNNEST(range(w.i, w.i + 8)) AS p
+        FROM wins w JOIN dfq d USING (span_hash)
+        WHERE w.side = 'b'
+      )
+    ),
+    tokpos AS (
+      SELECT doc_id, UNNEST(toks) AS token,
+             UNNEST(range(1, len(toks) + 1)) AS p
+      FROM tokh WHERE side = 'b'
+    )
+    SELECT t.doc_id,
+           COALESCE(string_agg(CASE WHEN c.p IS NULL THEN t.token END,
+                               ' ' ORDER BY t.p), '') AS cleaned_text,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(c.p) AS BIGINT) AS n_tokens_removed,
+           ROUND(COUNT(c.p) / COUNT(*), 4) AS removed_frac
+    FROM tokpos t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.p = c.p
+    GROUP BY t.doc_id
+    """
+
+
+@query("doc_incremental_span_removal", oracle=_INCREMENTAL_SPAN_ORACLE)
+def doc_incremental_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental span-level dedup (r13 — the span family's store
+    form, completing the incremental symmetry with the minhash / LSH /
+    IVF / line-df families): the odd-id batch is decided against the
+    persisted span-df store of the even-id corpus half. A window is
+    cut when its corpus df plus within-batch df reaches 2 — the batch
+    never re-reads corpus text, only the (h, df) store
+    (~16 B/distinct window at 100 TB). Window geometry (span=8, md5
+    token hashes) pins in the store meta; the oracle recomputes both
+    halves' window identities from scratch."""
+    batch = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "text")
+    )
+    return DD.incremental_span_removal(
+        spark, _span_df_store_cached(spark, sf_dir), batch
     )
