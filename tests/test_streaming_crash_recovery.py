@@ -766,3 +766,128 @@ def test_streaming_takedown_with_scheduled_maintenance(
     # retention: automatic snapshots rotated down to keep_last=1
     autos = [v for v in list_store_versions(store) if not v.get("tag")]
     assert len(autos) == 1
+
+
+# ---------------------------------------------------------------------------
+# Span-df ingest sink (span-level boilerplate removal twin, r13)
+# ---------------------------------------------------------------------------
+
+FOOT = "f1 f2 f3 f4 f5 f6 f7 f8"       # the stored 8-token window
+XSEQ = "x1 x2 x3 x4 x5 x6 x7 x8"       # cross-epoch 8-token window
+
+
+def _mk_span_source(tmp_path):
+    src = tmp_path / "spansrc"
+    src.mkdir()
+    # epoch 0: shares FOOT with the stored corpus (store df 1 + batch
+    # df 1 = 2 -> cut) and introduces XSEQ (unique at this epoch)
+    _write_file(
+        src, "a.parquet", [(11, "a1 a2 a3 " + FOOT + " " + XSEQ)],
+        1_000_000_000,
+    )
+    # epoch 1: shares XSEQ with epoch 0 (so its cut depends on epoch
+    # 0's count append) plus fresh tokens whose windows are unique —
+    # a dup-of-self recompute after epoch 1's own append would cut
+    # EVERY window of this doc, not just XSEQ
+    _write_file(
+        src, "b.parquet", [(21, "b1 b2 b3 " + XSEQ + " y1 y2 y3")],
+        1_000_000_100,
+    )
+    return src
+
+
+def _run_span(spark, src, store, out, ckpt, beats):
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    return jobs.incremental_span_sink(stream, store, out, ckpt, beats)
+
+
+def _assert_span_recovered(spark, store, out):
+    from pyspark.sql import functions as F
+
+    cleaned = {
+        r["doc_id"]: (r["cleaned_text"], r["n_tokens_removed"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert cleaned == {
+        11: ("a1 a2 a3 " + XSEQ, 8),
+        21: ("b1 b2 b3 y1 y2 y3", 8),
+    }, f"replay flipped a committed span decision: {cleaned}"
+    dec = store_sub(spark, store, "_decisions").collect()
+    assert sorted(r["doc_id"] for r in dec) == [11, 21]
+    # counts appended exactly once per epoch: XSEQ's window hash must
+    # fold to df=2 (epoch 0 + epoch 1), never 3 (a replayed append)
+    from tiki_data_pipeline_spark.operators import dedup as DD
+
+    xh = (
+        DD._doc_span_hashes(
+            spark.createDataFrame([(0, XSEQ)], "doc_id long, text string"),
+            8, "doc_id", "text", "md5", "arrow",
+        )
+        .collect()[0]["h"]
+    )
+    xdf = (
+        store_data(spark, store)
+        .filter(F.col("h") == xh)
+        .agg(F.sum("df"))
+        .collect()[0][0]
+    )
+    assert xdf == 2, f"replay double-counted the cross-epoch window: {xdf}"
+
+
+@pytest.mark.parametrize("crash_point", ["before_append", "after_append"])
+def test_incremental_span_sink_crash_replay(
+    spark, tmp_path, crash_point, monkeypatch, backend
+):
+    src = _mk_span_source(tmp_path)
+    store = str(tmp_path / "spanstore")
+    out = str(tmp_path / "spancleaned")
+    ckpt = str(tmp_path / "spanckpt")
+    DD.write_span_df_store(
+        spark.createDataFrame(
+            [(1, "s1 s2 s3 " + FOOT)], "doc_id long, text string"
+        ),
+        store,
+        span=8,
+    )
+
+    if crash_point == "before_append":
+        real_append = jobs._idempotent_span_count_append
+        calls = {"n": 0}
+
+        def flaky(*a, **kw):
+            calls["n"] += 1
+            if calls["n"] == 2:  # epoch 0 ok, epoch 1 dies pre-append
+                raise RuntimeError("injected crash before count append")
+            return real_append(*a, **kw)
+
+        monkeypatch.setattr(jobs, "_idempotent_span_count_append", flaky)
+        beats: list = []
+        q = _run_span(spark, src, store, out, ckpt, beats)
+        with pytest.raises(Exception):
+            q.awaitTermination(120)
+        monkeypatch.setattr(
+            jobs, "_idempotent_span_count_append", real_append
+        )
+    else:
+
+        class DyingBeats(list):
+            def append(self, item):
+                if item[0] == 1 and not getattr(self, "_died", False):
+                    self._died = True
+                    raise RuntimeError("injected crash after count append")
+                super().append(item)
+
+        beats = DyingBeats()
+        q = _run_span(spark, src, store, out, ckpt, beats)
+        with pytest.raises(Exception):
+            q.awaitTermination(120)
+
+    beats2: list = []
+    q2 = _run_span(spark, src, store, out, ckpt, beats2)
+    q2.awaitTermination(120)
+    assert q2.exception() is None
+    _assert_span_recovered(spark, store, out)

@@ -708,13 +708,48 @@ def incremental_semantic_sink(
 def _idempotent_line_count_append(
     spark, batch_df: DataFrame, path: str, run: str, epoch_id: int
 ) -> None:
-    """Append a micro-batch's per-line document counts to the line-df
+    """Line-df form of :func:`_idempotent_count_append`."""
+    from tiki_data_pipeline_spark.operators import dedup as DD
+    from tiki_data_pipeline_spark.sources.files import check_store_meta
+
+    check_store_meta(path, {"kind": "line_df"})
+    counts = (
+        DD._doc_lines(batch_df, "doc_id", "text")
+        .filter(F.col("lh").isNotNull())
+        .groupBy("lh")
+        .agg(F.count_distinct(F.col("doc_id")).alias("df"))
+    )
+    _idempotent_count_append(spark, counts, path, run, epoch_id, "linedf")
+
+
+def _idempotent_span_count_append(
+    spark, batch_df: DataFrame, path: str, run: str, epoch_id: int
+) -> None:
+    """Span-df form of :func:`_idempotent_count_append` (window
+    geometry from the store meta — same identities the decision
+    used)."""
+    from tiki_data_pipeline_spark.operators import dedup as DD
+
+    span, hash_mode = DD._span_store_geometry(path)
+    counts = (
+        DD._doc_span_hashes(batch_df, span, "doc_id", "text", hash_mode, "arrow")
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    _idempotent_count_append(spark, counts, path, run, epoch_id, "spandf")
+
+
+def _idempotent_count_append(
+    spark, counts: DataFrame, path: str, run: str, epoch_id: int,
+    tag: str,
+) -> None:
+    """Append a micro-batch's additive (key, df) counts to a count
     store with DETERMINISTIC file names (``epoch-<run>-<epoch>-i``):
     a retried epoch first clears its own files, then re-adds them —
     the count append is idempotent even though df rows are additive
     deltas (a blind ``mode("append")`` would double-count on replay).
     Local-filesystem move; production = object-store put, which is
-    idempotent the same way. NOTE: run ``compact_line_df_store`` only
+    idempotent the same way. NOTE: run the store's compaction only
     when the stream is stopped with its checkpoint committed — the
     fold erases the epoch-named files a replay would overwrite.
 
@@ -724,29 +759,20 @@ def _idempotent_line_count_append(
     atomically drops its own prior attempt's references and adds the
     new files — no file deletion dance at all. The scope is part of
     the DATA tree (no underscore prefix): ``store_data`` sums it with
-    the base counts, and ``compact_line_df_store``'s fold rewrites it
-    away like any delta rows."""
+    the base counts, and compaction's fold rewrites it away like any
+    delta rows."""
     import glob
     import os
     import shutil
     import tempfile
 
-    from tiki_data_pipeline_spark.operators import dedup as DD
     from tiki_data_pipeline_spark.sources import store_backend as MB
     from tiki_data_pipeline_spark.sources.files import (
-        check_store_meta,
         is_manifest_store,
         split_pin,
     )
 
-    check_store_meta(path, {"kind": "line_df"})
     if is_manifest_store(path):
-        counts = (
-            DD._doc_lines(batch_df, "doc_id", "text")
-            .filter(F.col("lh").isNotNull())
-            .groupBy("lh")
-            .agg(F.count_distinct(F.col("doc_id")).alias("df"))
-        )
         MB.store_put(
             counts,
             split_pin(path)[0],
@@ -755,16 +781,9 @@ def _idempotent_line_count_append(
             coalesce=1,
         )
         return
-    staging = tempfile.mkdtemp(prefix="linedf_epoch_")
+    staging = tempfile.mkdtemp(prefix=f"{tag}_epoch_")
     try:
-        (
-            DD._doc_lines(batch_df, "doc_id", "text")
-            .filter(F.col("lh").isNotNull())
-            .groupBy("lh")
-            .agg(F.count_distinct(F.col("doc_id")).alias("df"))
-            .write.mode("overwrite")
-            .parquet(staging)
-        )
+        counts.write.mode("overwrite").parquet(staging)
         prefix = f"epoch-{run}-{epoch_id}-"
         for old in glob.glob(os.path.join(path, prefix + "*")):
             os.remove(old)
@@ -833,6 +852,75 @@ def incremental_line_sink(
             .parquet(out_dir)
         )
         _idempotent_line_count_append(
+            spark, batch_df, index_path, run, epoch_id
+        )
+        statuses.append((epoch_id, cleaned.count()))
+
+    return (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def incremental_span_sink(
+    docs: DataFrame,
+    index_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    statuses: list,
+    min_df: int = 2,
+    min_run: int | None = None,
+):
+    """Continuous span-level dedup (r13 — the span-df store's stream
+    twin, same contract as :func:`incremental_line_sink`): each
+    micro-batch is cleaned against the persisted span-df store
+    (``dedup.incremental_span_removal`` — corpus window df plus
+    within-batch df), the cleaned docs land in ``out_dir`` partitioned
+    by (run, epoch), and the batch's window counts are appended so the
+    NEXT micro-batch's df includes them. Window geometry (span,
+    hash_mode) pins in the store meta.
+
+    Same replay-stability argument as the line sink: the cleaned
+    output IS the epoch decision — committed to the ``_decisions``
+    log (exactly-once, (run, epoch)-keyed, id-set-guarded) BEFORE the
+    count append, reused verbatim on a retried epoch (a recompute
+    after the count append would see the batch's own windows in the
+    store df and cut spans the committed output kept); the count
+    append is idempotent via :func:`_idempotent_span_count_append`."""
+    from tiki_data_pipeline_spark.operators import dedup as DD
+
+    value_cols = (
+        "cleaned_text", "n_tokens", "n_tokens_removed", "removed_frac"
+    )
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint()
+        run = _run_lineage(checkpoint_dir)
+        cleaned = _epoch_decisions(
+            spark,
+            index_path,
+            epoch_id,
+            batch_df,
+            "doc_id",
+            lambda: DD.incremental_span_removal(
+                spark, index_path, batch_df, min_df=min_df, min_run=min_run
+            ),
+            run,
+            fallback_runs=_lineage_fallbacks(checkpoint_dir),
+            value_cols=value_cols,
+        )
+        (
+            cleaned.withColumn("run", F.lit(run))
+            .withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("run", "epoch")
+            .parquet(out_dir)
+        )
+        _idempotent_span_count_append(
             spark, batch_df, index_path, run, epoch_id
         )
         statuses.append((epoch_id, cleaned.count()))
