@@ -33,46 +33,47 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS sweep samples a bounded window of queries
-# in iteration order (50 per round). Round 13's window: the 3
+# in iteration order (50 per round). Round 14's window: the 5
 # queries most load-bearing on THIS round's changes (the span family
-# now computes its rolling window hashes in the Arrow/numpy kernel —
-# value-identical by construction, parity-pinned — and the manifest
-# store grew the streaming _decisions home, the commit CAS guard and
-# the lineage scrub), plus ALL 47 queries whose latest driver record
-# is r10 (the judge-r12 rotation ask: post-r13, no record older than
-# r11). Union r11-r13 then covers all 143 registry queries.
+# single-pass removal + the manifest store's crash-orphan commit
+# recovery), plus ALL 45 queries whose latest driver record is r11
+# (the judge-r13 rotation ask: post-r14, no record older than r12).
+# Union r12-r14 then covers all 144 registry queries (histogram of
+# latest records going in: r11:45, r12:49, r13:50 — this window is
+# exactly the r11 cohort + the r14-changed sentinels, 50 total).
 _SENTINELS = [
-    # -- NEW r13 query (span family's incremental store form) --
-    "doc_incremental_span_removal",
-    # -- r13-changed serve paths (span Arrow kernel; manifest store
-    #    CAS + decisions lifecycle) --
+    # -- r14-changed serve paths: span family (single-pass removal,
+    #    lazy-pandas kernel) and the manifest store commit path
+    #    (crash-orphan sweep-and-retry behind the CAS guard) --
+    "doc_span_removal",
+    "doc_span_removal_variable",
     "doc_duplicate_span_stats",
+    "doc_incremental_span_removal",
     "doc_dedup_status_manifest_backend",
 ]
 _FRESHNESS_ROTATION = [
-    # -- the 47 queries with no driver record newer than r10; the two
-    #    span-removal queries lead (also r13-changed) --
-    "doc_span_removal", "doc_span_removal_variable",
-    "approx_distinct_stats", "brand_stats_having",
-    "category_bfs_descendants", "category_dedup_keep_best",
-    "category_leaf_detection", "category_level_distribution",
-    "category_level_pivot", "category_missing_parents",
-    "category_orphan_cleanup", "category_path_closure",
-    "category_path_repair", "category_product_count_refresh",
-    "customers_with_orders", "customers_without_orders",
-    "dedup_keep_best_part", "deep_discount_report", "dim_brand_build",
-    "dim_category_build", "dim_price_segment_build", "dim_product_build",
-    "dim_seller_build", "discount_histogram",
-    "distinct_suppliers_per_flag", "embedding_deleted_ann_topk",
-    "embedding_ivfpq_refined_topk", "fact_sales_build",
-    "groupby_computed_key", "latest_order_per_customer",
-    "lineitem_stats_block", "or_join_part_lineitem",
-    "order_status_breakdown", "orders_overlapping_bands",
-    "orders_pivot_status", "orders_top_by_price", "parts_never_shipped",
-    "product_quality_scores", "products_quality_gate",
-    "q1_pricing_summary", "q5_region_revenue", "scalar_parse_functions",
-    "status_counts", "text_udf_functions", "topk_brands",
-    "union_dedup_keys", "vw_category_performance",
+    # -- the 45 queries with no driver record newer than r11 --
+    "category_integrity_report", "category_name_reconciliation",
+    "corpus_composition_report", "corpus_curation_pipeline",
+    "corpus_dedup_pipeline", "corpus_dedup_staged", "corpus_mix_apply",
+    "corpus_mix_weights", "corpus_quality_filter",
+    "corpus_quantile_profile", "customer_running_revenue",
+    "daily_revenue_7d_ma", "dataset_verification_report",
+    "dim_date_build", "dlq_error_routing", "doc_decontamination",
+    "doc_deleted_line_removal", "doc_incremental_dedup_status",
+    "doc_incremental_line_removal", "doc_incremental_near_dup",
+    "doc_incremental_near_dup_verified", "doc_line_dedup_removal",
+    "doc_pii_redaction", "doc_repetition_filter",
+    "doc_sample_fixed_per_stratum", "doc_sequence_packing",
+    "doc_shard_assignment", "doc_source_frequency_cap",
+    "doc_stratified_sample", "doc_word_entropy",
+    "embedding_ann_index_topk", "embedding_ann_ivf_index_topk",
+    "embedding_incremental_dedup_status", "embedding_ivf_semantic_dedup",
+    "embedding_pq_adc_topk", "embedding_pq_refined_topk",
+    "embedding_semantic_dedup", "events_funnel_steps",
+    "html_field_extraction", "json_recursive_product_search",
+    "lineitem_zorder_box_scan", "median_order_value",
+    "scd2_dimension_apply", "vw_daily_sales", "vw_top_products_revenue",
 ]
 
 

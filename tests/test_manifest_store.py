@@ -364,18 +364,48 @@ class TestConcurrentCommit:
     def test_generation_manifest_claim_is_exclusive(self, spark, tmp_path):
         p = _bkt_store(spark, str(tmp_path / "s"))
         cur = MB.current_gen(p)
-        # simulate the racer having claimed gen cur+1 but not yet
-        # flipped CURRENT (the in-flight window)
+        # simulate a LIVE racer: claimed gen cur+1 moments ago but not
+        # yet flipped CURRENT (the in-flight claim→flip window)
+        import time as _time
+
         assert MB.FS.put_if_absent(
-            MB._gen_manifest_path(p, cur + 1), "{}"
+            MB._gen_manifest_path(p, cur + 1),
+            json.dumps({"gen": cur + 1, "created_unix": int(_time.time())}),
         )
-        with pytest.raises(MB.ConcurrentCommitError, match="already"):
+        with pytest.raises(MB.ConcurrentCommitError, match="live"):
             MB._commit(p, [], "loser", based_on=cur)
-        # recovery path: gc sweeps the orphan claim, commit succeeds
-        os.remove(MB._gen_manifest_path(p, cur + 1))
-        assert MB._commit(
-            p, MB.read_manifest(p, cur)["files"], "retry", based_on=cur
-        ) == cur + 1
+        # the racer crashes instead of flipping: once the claim ages
+        # past the grace window it is a recoverable orphan — the next
+        # commit sweeps it in-line and succeeds, no manual gc_store
+        os.environ["SPARK_GRAFT_ORPHAN_GRACE_SECS"] = "0"
+        try:
+            assert MB._commit(
+                p, MB.read_manifest(p, cur)["files"], "retry", based_on=cur
+            ) == cur + 1
+        finally:
+            del os.environ["SPARK_GRAFT_ORPHAN_GRACE_SECS"]
+
+    def test_crash_orphan_claim_self_heals_without_gc(self, spark, tmp_path):
+        """A crash between the generation-manifest claim and the
+        CURRENT flip must NOT wedge the store: the next commit (e.g. a
+        replayed streaming epoch) sweeps the aged orphan and lands."""
+        p = _bkt_store(spark, str(tmp_path / "s"))
+        cur = MB.current_gen(p)
+        # crash orphan: claim written 1h ago, CURRENT never flipped
+        assert MB.FS.put_if_absent(
+            MB._gen_manifest_path(p, cur + 1),
+            json.dumps(
+                {"gen": cur + 1, "op": "crash",
+                 "created_unix": int(__import__("time").time()) - 3600,
+                 "files": []}
+            ),
+        )
+        g = MB._commit(
+            p, MB.read_manifest(p, cur)["files"], "replayed", based_on=cur
+        )
+        assert g == cur + 1
+        assert MB.current_gen(p) == g
+        assert MB.read_manifest(p, g)["op"] == "replayed"
 
     def test_store_put_race_raises_not_lost_update(self, spark, tmp_path):
         """End-to-end: two store_put writers based on the same CURRENT

@@ -25,8 +25,6 @@ the DuckDB oracle reproduces them bit-for-bit.
 
 from __future__ import annotations
 
-import pandas as pd  # module-level: pandas_udf type hints resolve here
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -931,7 +929,22 @@ def _span_hash_kernel(span: int):
     hash-checked end to end with the kernel on the Spark side. The
     vectorization precedent is the DSIR bincount⊙lw kernel
     (curation.py); like there, Python is entered once per Arrow
-    batch, not once per window."""
+    batch, not once per window.
+
+    pandas is imported here, not at module top: the span family's
+    default fold needs it, but merely importing operators.dedup (or
+    running the pure-Catalyst families) must not — ``fold="sql"``
+    keeps every span query runnable on a pandas-less executor."""
+    try:
+        import pandas as pd
+    except ImportError as e:  # pragma: no cover - env without pandas
+        raise ImportError(
+            "the span family's fold='arrow' kernel needs pandas/pyarrow; "
+            "pass fold='sql' to run on plain Catalyst expressions"
+        ) from e
+    # pandas_udf resolves the (PEP 563 string) type hints against the
+    # MODULE globals, so the lazy import must be visible there too
+    globals().setdefault("pd", pd)
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<bigint>")

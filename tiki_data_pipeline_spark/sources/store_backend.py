@@ -318,14 +318,71 @@ def _commit(
         "files": sorted(set(files)),
     }
     if not FS.put_if_absent(_gen_manifest_path(root, gen), json.dumps(manifest)):
-        raise ConcurrentCommitError(
-            f"store {root}: a manifest for generation {gen} already "
-            f"exists (racing {op}) — either a concurrent writer, or the "
-            "orphan of a commit that crashed before its CURRENT flip; "
-            "run gc_store() to sweep orphans, then retry the mutation"
-        )
+        # The claim key exists. Two possibilities: (a) a live racing
+        # writer that claimed first (its CURRENT flip lands any moment),
+        # (b) the orphan of a commit that crashed between its claim and
+        # its flip. An orphan gen > CURRENT is by definition
+        # unreferenced, so (b) is recoverable in-line — previously it
+        # wedged every subsequent commit until a manual gc_store().
+        _sweep_claim_orphan_or_raise(root, cur, gen, op)
+        if not FS.put_if_absent(
+            _gen_manifest_path(root, gen), json.dumps(manifest)
+        ):
+            raise ConcurrentCommitError(
+                f"store {root}: generation {gen} was re-claimed while "
+                f"recovering a crash orphan (racing {op}) — concurrent "
+                "writer detected; re-run against the new CURRENT"
+            )
     FS.put_atomic(_mf(root, CURRENT), json.dumps({"gen": gen}))
     return gen
+
+
+def _orphan_grace_secs() -> float:
+    """How old an unreferenced claim must be before a committer may
+    sweep it as a crash orphan. Below this age it is treated as a LIVE
+    racing writer inside its claim→flip window and the commit raises
+    instead (the CAS contract). Env-tunable for tests and for
+    restart-fast streaming deployments."""
+    return float(os.environ.get("SPARK_GRAFT_ORPHAN_GRACE_SECS", "30"))
+
+
+def _sweep_claim_orphan_or_raise(
+    root: str, based_gen: int, gen: int, op: str
+) -> None:
+    """Recover from a crashed commit's orphan claim at ``gen``, or
+    raise :class:`ConcurrentCommitError` when the existing claim
+    belongs to a live concurrent writer.
+
+    Decision: if CURRENT has moved past ``based_gen``, a racing writer
+    committed — true race, raise. If CURRENT is unmoved, the manifest
+    at ``gen`` is unreferenced; a claim older than the grace window is
+    a crash orphan (no writer sits in its claim→flip window for 30 s)
+    and is swept so the caller can retry the claim once. Its data
+    files stay orphans for the next :func:`gc_store`. A younger claim
+    is presumed to be a live writer about to flip — raise, keeping the
+    CAS guarantee for genuine races."""
+    if current_gen(root) != based_gen:
+        raise ConcurrentCommitError(
+            f"store {root}: CURRENT moved from gen {based_gen} during "
+            f"this mutation ({op}) — concurrent writer committed first; "
+            "re-run against the new CURRENT"
+        )
+    txt = FS.get_text(_gen_manifest_path(root, gen))
+    created = 0
+    if txt is not None:
+        try:
+            created = int(json.loads(txt).get("created_unix", 0))
+        except (ValueError, KeyError, json.JSONDecodeError):
+            created = 0  # unreadable claim: treat as ancient, sweep it
+    age = time.time() - created
+    if age < _orphan_grace_secs():
+        raise ConcurrentCommitError(
+            f"store {root}: a manifest for generation {gen} was claimed "
+            f"{age:.1f}s ago and CURRENT has not flipped (racing {op}) — "
+            "presumed live concurrent writer; re-run against the new "
+            "CURRENT once it lands"
+        )
+    FS.delete(_gen_manifest_path(root, gen))
 
 
 def store_put(

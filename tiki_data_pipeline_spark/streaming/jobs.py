@@ -338,6 +338,24 @@ def _epoch_decisions(
             )
         committed = FL.store_sub(spark, index_path, "_decisions")
         run_keys = (run, *fallback_runs)
+        if committed is not None:
+            # same partition-type guard as the posix branch below: the
+            # manifest read infers run/epoch Hive-partition types, so a
+            # log whose EVERY run value parses numerically would come
+            # back as a DOUBLE run column — the isin probe would
+            # silently never match (recompute → dup-of-self on a
+            # post-append retry) and the fold's compaction would
+            # re-render the parsed value into run= paths. Current
+            # writers prefix ids with 'r', but the guard must not
+            # depend on that.
+            if dict(committed.dtypes).get("run") != "string":
+                committed = committed.withColumn(
+                    "run", F.col("run").cast("string")
+                )
+            if dict(committed.dtypes).get("epoch") not in ("int", "bigint"):
+                committed = committed.withColumn(
+                    "epoch", F.col("epoch").cast("bigint")
+                )
     else:
         committed = None
         run_keys = (run, *fallback_runs, LEGACY_RUN)
