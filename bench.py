@@ -88,13 +88,73 @@ def _time_builds(spark) -> dict[str, float]:
     return builds
 
 
-def main() -> None:
+def _canary(reps: int = 3) -> float | None:
+    """Fixed CPU-bound probe (single-threaded numpy elementwise loop,
+    no BLAS threading): its wall time is a pure function of effective
+    host speed, so round-over-round comparisons can divide it out.
+    Two consecutive rounds (r12, r13) were adjudicated "host slower,
+    not code" by hand from loadavg circumstantial evidence; the canary
+    makes that adjudication arithmetic — and keeps a real uniform code
+    regression from hiding behind it (the canary would NOT move)."""
     try:
-        load_start = tuple(round(x, 2) for x in os.getloadavg())
-    except OSError:
-        load_start = None
+        import numpy as np
+    except ImportError:  # pragma: no cover
+        return None
+    x = np.arange(4_000_000, dtype=np.float64)
+    best = None
+    for _ in range(max(1, reps)):
+        t0 = time.perf_counter()
+        y = x
+        for _ in range(40):
+            y = np.sqrt(y * 1.0000001 + 1.5)
+        float(y[::1_000_000].sum())  # consume, defeat elision
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 4)
+
+
+def _await_quiet_host() -> tuple[tuple | None, bool]:
+    """Gate snapshots against external load: if 1-min loadavg exceeds
+    ``SPARK_GRAFT_BENCH_MAX_LOAD`` (default 1.0 — this process has not
+    started its own work yet, so anything above idle is SOMEONE ELSE),
+    poll up to ``SPARK_GRAFT_BENCH_LOAD_WAIT`` seconds (default 240)
+    for it to decay. Still loaded after the wait → proceed (the driver
+    must always get its JSON line) but return loaded=True, which marks
+    the payload AND diverts the committed-baseline file write so a
+    noisy run can never poison round-over-round comparisons again
+    (r12 committed one such baseline; r13 inherited it)."""
+    max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "1.0"))
+    wait = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "240"))
+    deadline = time.monotonic() + wait
+    load = None
+    while True:
+        try:
+            load = tuple(round(x, 2) for x in os.getloadavg())
+        except OSError:
+            return None, False
+        if load[0] <= max_load:
+            return load, False
+        if time.monotonic() >= deadline:
+            print(
+                f"# HOST LOADED: loadavg {load} after {wait:.0f}s wait — "
+                "snapshot will be marked host_loaded and NOT written as "
+                "the committed baseline",
+                file=sys.stderr,
+            )
+            return load, True
+        print(
+            f"# host loaded (loadavg {load} > {max_load}); waiting...",
+            file=sys.stderr,
+        )
+        time.sleep(min(20.0, max(1.0, deadline - time.monotonic())))
+
+
+def main() -> None:
+    load_start, host_loaded = _await_quiet_host()
     if load_start is not None:
         print(f"# loadavg at start: {load_start}", file=sys.stderr)
+    canary_start = _canary()
+    print(f"# canary at start: {canary_start}s", file=sys.stderr)
     spark = get_spark(app_name="bench")
     # Warm the JVM + parquet footers once so timings measure the engine,
     # not first-touch classloading.
@@ -161,6 +221,9 @@ def main() -> None:
         loadavg = tuple(round(x, 2) for x in os.getloadavg())
     except OSError:
         loadavg = None
+    canary_end = _canary()
+    print(f"# canary at end: {canary_end}s", file=sys.stderr)
+    canaries = [c for c in (canary_start, canary_end) if c is not None]
     payload = {
         "metric": "sum_query_seconds",
         "value": total,
@@ -173,6 +236,13 @@ def main() -> None:
         "sf": _sf_from_dir(SF_DIR),
         "loadavg_start": load_start,
         "loadavg_end": loadavg,
+        "host_loaded": host_loaded,
+        # min of the start/end probes: the best the host could do this
+        # run — bench_compare divides per-query ratios by the
+        # old/new canary ratio to remove host speed from the signal
+        "canary_s": min(canaries) if canaries else None,
+        "canary_start_s": canary_start,
+        "canary_end_s": canary_end,
     }
     # The driver records stdout with a bounded tail, which can truncate
     # the front of the per-query map; ALSO persist the full JSON to a
@@ -186,6 +256,9 @@ def main() -> None:
         if sf_tag == 0.1
         else f"bench_full_latest_sf{sf_tag}.json"
     )
+    if host_loaded:
+        # a loaded-host run must never become the committed baseline
+        default_name = default_name.replace(".json", "_loaded.json")
     out_path = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT", str(Path(_REPO) / default_name)
     )

@@ -181,28 +181,36 @@ NO_EXPENSIVE_INFERRED_FILTER = [
 ]
 
 
-# The span STATS query derives document frequency, dup occurrences
-# and n_spans from ONE (doc, span_hash, n_occ) inventory exchange;
-# AQE's stage cache replays the shuffle for the second consumer
-# instead of re-running the md5+rolling-fold pipeline over the corpus
-# (2× the dominant CPU at scale; 29.6 → 22.7 s at 1M docs). Reuse is
-# all-or-nothing on canonical plan equality, and two optimizer rules
-# can silently split the stage (constraint-derived isnotnull filters
-# differing per branch; RemoveRedundantAggregates pruning the counted
-# column out of one copy) — so pin it on the FINAL adaptive plan.
-# (doc_span_removal deliberately does NOT share an inventory: its
-# coverage branch is shuffle-free via a broadcast join, and a shared
-# exchange measured 2.1× slower — see remove_duplicate_spans.)
-SINGLE_HASH_PASS = ["doc_duplicate_span_stats"]
+# The span family hashes each corpus token exactly ONCE (r14): the
+# per-doc window-hash array is materialized via localCheckpoint
+# (dedup._span_warr) and every consumer — the df aggregate, the
+# coverage/occurrence stream, the cut tail — reads the stored
+# attribute. Pin it structurally: the SERVE plan of each span query
+# must contain zero hash work (the expensive pipeline lives entirely
+# inside the one checkpointed pass, which downstream plans see as a
+# LogicalRDD scan). This supersedes the r10–r13 ReusedExchange pin on
+# the stats query: the shared (doc, hash, n_occ) inventory exchange
+# it guarded shuffled the FULL occurrence stream (95.9 s of the
+# 5M-doc stats run) and is gone.
+SINGLE_HASH_PASS = [
+    "doc_duplicate_span_stats",
+    "doc_span_removal",
+    "doc_span_removal_variable",
+    "doc_incremental_span_removal",
+]
 
 
 @pytest.mark.parametrize("name", SINGLE_HASH_PASS)
-def test_span_inventory_exchange_reused(spark, name):
+def test_span_serve_plan_hashes_nothing(spark, name):
     df = QUERIES[name](spark, SF)
-    df.collect()  # reuse only materializes in the final adaptive plan
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "isFinalPlan=true" in plan
-    assert plan.count("ReusedExchange") >= 1, plan
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan
+    bad = [
+        m
+        for m in ("md5(", "xxhash64(", "aggregate(slice(", "roll(")
+        if m in plan
+    ]
+    assert bad == [], f"{name}: hash work leaked into the serve plan: {bad}"
 
 
 @pytest.mark.parametrize("name", NO_EXPENSIVE_INFERRED_FILTER)

@@ -793,3 +793,89 @@ class TestDecisionsRetire:
         delete_from_store(spark, mh_store, _ids(spark, [2]))
         with pytest.raises(ValueError, match="rogue physical _decisions"):
             fold_tombstones(spark, mh_store)
+
+
+class TestWriterFencing:
+    """r14: the posix maintenance window is fenced (pid lockfile +
+    O_CREAT|O_EXCL claim — the posix twin of the manifest commit CAS),
+    so a concurrent fold/compact raises ConcurrentCommitError on BOTH
+    backends instead of silently last-write-winning a directory swap."""
+
+    def test_concurrent_maintenance_raises_both_backends(
+        self, spark, tmp_path, backend, monkeypatch
+    ):
+        import json
+        import os
+        import time
+
+        from tiki_data_pipeline_spark.sources import store_backend as MB
+        from tiki_data_pipeline_spark.sources.files import (
+            delete_from_store,
+            fold_tombstones,
+        )
+
+        path = str(tmp_path / "mh")
+        DD.write_minhash_index(_docs(spark, CORPUS), path)
+        delete_from_store(spark, path, _ids(spark, [2], col="id"))
+        if backend == "posix":
+            # a LIVE concurrent writer holds the window (our own pid)
+            lock = os.path.join(path, "_maintenance.lock")
+            with open(lock, "w") as f:
+                json.dump({"pid": os.getpid(), "op": "fold_tombstones"}, f)
+        else:
+            # a live manifest writer claimed the next generation
+            cur = MB.current_gen(path)
+            assert MB.FS.put_if_absent(
+                MB._gen_manifest_path(path, cur + 1),
+                json.dumps(
+                    {"gen": cur + 1, "created_unix": int(time.time())}
+                ),
+            )
+        with pytest.raises(MB.ConcurrentCommitError):
+            fold_tombstones(spark, path)
+
+    def test_dead_holder_is_swept_and_fold_succeeds(
+        self, spark, tmp_path, backend, monkeypatch
+    ):
+        import json
+        import os
+        import subprocess
+        import time
+
+        from tiki_data_pipeline_spark.sources import store_backend as MB
+        from tiki_data_pipeline_spark.sources.files import (
+            delete_from_store,
+            fold_tombstones,
+            store_data,
+        )
+
+        path = str(tmp_path / "mh")
+        DD.write_minhash_index(_docs(spark, CORPUS), path)
+        delete_from_store(spark, path, _ids(spark, [2], col="id"))
+        if backend == "posix":
+            # holder pid is a finished process: a crash orphan
+            dead = subprocess.Popen(["true"])
+            dead.wait()
+            lock = os.path.join(path, "_maintenance.lock")
+            with open(lock, "w") as f:
+                json.dump({"pid": dead.pid, "op": "fold_tombstones"}, f)
+        else:
+            # aged orphan claim, CURRENT never flipped
+            cur = MB.current_gen(path)
+            assert MB.FS.put_if_absent(
+                MB._gen_manifest_path(path, cur + 1),
+                json.dumps(
+                    {
+                        "gen": cur + 1,
+                        "op": "crash",
+                        "created_unix": int(time.time()) - 3600,
+                        "files": [],
+                    }
+                ),
+            )
+        assert fold_tombstones(spark, path) == 1
+        ids = {
+            r["id"]
+            for r in store_data(spark, path).select("id").distinct().collect()
+        }
+        assert 2 not in ids

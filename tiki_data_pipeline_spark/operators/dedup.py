@@ -991,6 +991,47 @@ def _span_windows(hs: Column, span: int, fold: str) -> Column:
     raise ValueError(f"unknown span fold implementation {fold!r}")
 
 
+def _span_warr(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    hash_mode: str,
+    span: int,
+    fold: str,
+) -> tuple[DataFrame, DataFrame]:
+    """``(inputs, warr)`` — the lazy ``(id, _toks, _hs)`` projection
+    plus ``warr = (id, _wh)``: each document's rolling window-hash
+    array, MATERIALIZED once via ``localCheckpoint(eager=False)``.
+    This is the span family's single-hash-pass barrier (r14): both
+    consumers of the window hashes (the document-frequency aggregate
+    and the coverage/occurrence stream) read the materialized array
+    instead of re-running the tokenize → token-hash → rolling-kernel
+    pipeline, which r13 measured as the family's remaining wall once
+    the interpreted fold was gone (two deliberate hash passes ≈ the
+    171.6 s vs ~115 s single-pass floor at 5M docs).
+
+    Only the hashes are stored — ~8 B per window, partition-local
+    blocks (no shuffle introduced), small enough to cache at stress
+    scale (a first cut also checkpointed ``_toks`` and blew the 8 GB
+    harness heap: deserialized token arrays are ~10× the text bytes;
+    the cut tail instead re-derives tokens from the lazy ``inputs``,
+    a plain split with no hashing — cheap, and exactly what the
+    r8–r13 shape did anyway). The r10 InferFiltersFromGenerate trap
+    (expensive expressions inlined into an inferred ``size()>0``
+    filter) cannot reappear over ``warr``: its generators run over a
+    materialized attribute of the checkpointed scan. Caveat
+    (cluster): localCheckpoint blocks die with their executor; the
+    span operators are batch jobs a scheduler retries, so lost-block
+    reruns are acceptable — the alternative (reliable checkpoint to
+    the cluster FS) costs a distributed write of the same bytes."""
+    inputs = _with_span_inputs(docs, id_col, text_col, hash_mode)
+    warr = inputs.select(
+        F.col(id_col),
+        _span_windows(F.col("_hs"), span, fold).alias("_wh"),
+    ).localCheckpoint(eager=False)
+    return inputs, warr
+
+
 def duplicate_span_stats(
     docs: DataFrame,
     span: int = 8,
@@ -1011,89 +1052,70 @@ def duplicate_span_stats(
     that document-level dedup misses because the surrounding text
     differs.
 
-    Shape at 100 TB: one narrow scan computes O(tokens) window hashes
-    JVM-side (columnar slice+fold, no Python); the only shuffles are
-    the (span_hash → doc-frequency) aggregation and the join back —
-    both carry (doc_id, span_hash) longs, never text. Window count is
-    linear in corpus tokens; a ``span``-token window at the default 8
-    keeps the hash space dense enough that chance collisions
-    (~n²/2³¹ for n distinct windows) stay negligible at test scale
-    and are CONSERVATIVE (a collision can only over-report
-    duplication; production at trillions of windows widens the hash).
+    Shape at 100 TB (r14 single-pass form): ONE evaluation of the
+    tokenize → token-hash → rolling-kernel pipeline, materialized as
+    the per-doc window-hash array (:func:`_span_warr`). From that
+    array, document frequency aggregates over per-doc DISTINCT
+    hashes (``array_distinct`` row-local, then a map-side-combined
+    count by hash — the shuffle carries one row per distinct
+    (partition, hash), never the occurrence stream), ``n_spans`` is
+    plain array length (no aggregation at all), and ``n_dup_spans``
+    counts the occurrence stream AFTER the join with the df≥2 set has
+    filtered it down to duplicated occurrences — the minority on a
+    real corpus, so the per-doc groupBy shuffles only what is
+    actually duplicated. This replaces the r10–r13 shared
+    (doc, hash, n_occ) inventory exchange, which shuffled the FULL
+    occurrence stream (measured as the stats half's wall: 95.9 s of
+    the 5M-doc run) to save a hash pass that the r13 kernel + the
+    materialized array now make cheap. Window count is linear in
+    corpus tokens; a ``span``-token window at the default 8 keeps the
+    hash space dense enough that chance collisions (~n²/2³¹ for n
+    distinct windows) stay negligible at test scale and are
+    CONSERVATIVE (a collision can only over-report duplication;
+    production at trillions of windows widens the hash).
     """
-    # The generator below takes the hash-array EXPRESSION, never a
-    # projected attribute: explode(<attribute>) trips
-    # InferFiltersFromGenerate, which infers a size()>0 filter with
-    # the WHOLE md5+rolling-fold expression inlined and pushes it
-    # below the fan-out repartition — the entire corpus then hashes
-    # on ONE core before fanning out (measured 28.5 s vs 0.6 s at
-    # sf0.1; explode over an expression gets no inferred filter).
-    base = _with_span_inputs(docs, id_col, text_col, hash_mode)
-    arr = _span_windows(F.col("_hs"), span, fold)
-    # ONE explode, ONE evaluation of the md5+rolling-fold pipeline:
-    # every downstream statistic derives from the same per-doc hash
-    # inventory g = (doc, span_hash, n_occ). The partial aggregate
-    # collapses within-doc repeats map-side, and because df_tbl and
-    # per below are built from the SAME g, the two physical plans
-    # share an identical Exchange — AQE's stage cache computes the
-    # hash pipeline ONCE and replays the shuffle files for the second
-    # consumer (ReusedExchange in the final adaptive plan; pinned by
-    # test_plan_quality). The previous two-branch shape (distinct-hash
-    # df pass + occurrence pass) evaluated the interpreted fold twice
-    # — 2× the corpus CPU, which dominates at scale (29.6 s → 22.7 s
-    # at 1M docs, and the compute share only grows with doc count).
-    #
-    # Two details keep the exchanges canonically EQUAL (reuse is
-    # all-or-nothing on that):
-    # - the isnotnull filters are explicit on occ, so constraint
-    #   propagation has nothing different to infer per branch (the
-    #   outer left join would push isnotnull(doc_id) into one copy,
-    #   the inner hash join isnotnull(span_hash) into the other);
-    # - df_tbl's count REFERENCES n_occ via a non-foldable expression
-    #   — a bare count(1) lets RemoveRedundantAggregates prune n_occ
-    #   out of that branch's copy of g, silently splitting the stage.
-    occ = base.select(id_col, F.explode(arr).alias("span_hash")).filter(
-        F.col(id_col).isNotNull() & F.col("span_hash").isNotNull()
-    )
-    g = occ.groupBy(id_col, "span_hash").agg(
-        F.count(F.lit(1)).alias("n_occ")
-    )
-    # Document frequency: g already holds each (doc, hash) pair once,
-    # so a plain pair count IS the distinct-document count (n_occ ≥ 1
-    # by construction, so the when() filters nothing). Singleton
-    # hashes (df=1, the overwhelming mass of a corpus) are dropped
-    # before the join back, so the df≥2 side stays broadcast-small in
-    # the common case.
+    _, warr = _span_warr(docs, id_col, text_col, hash_mode, span, fold)
+    # df over per-doc distinct hashes: a plain count IS the
+    # distinct-document count. Singleton hashes (the overwhelming
+    # mass) die here, before any join.
     df_tbl = (
-        g.groupBy("span_hash")
-        .agg(F.count(F.when(F.col("n_occ") > 0, 1)).alias("span_df"))
-        .filter(F.col("span_df") >= 2)
-        .select("span_hash", F.lit(True).alias("_dup"))
-    )
-    # n_spans = Σ n_occ (every window), n_dup_spans = Σ n_occ over
-    # hashes that survive the df≥2 filter — one left join, one
-    # group-by, both over the deduped (doc, hash) pairs, never the
-    # raw occurrence stream
-    per = (
-        g.join(df_tbl, "span_hash", "left")
-        .groupBy(id_col)
-        .agg(
-            F.sum("n_occ").alias("n_spans"),
-            F.sum(
-                F.when(F.col("_dup"), F.col("n_occ")).otherwise(F.lit(0))
-            ).alias("n_dup_spans"),
+        warr.select(
+            F.explode(F.array_distinct(F.col("_wh"))).alias("span_hash")
         )
+        .groupBy("span_hash")
+        .agg(F.count(F.lit(1)).alias("span_df"))
+        .filter(F.col("span_df") >= 2)
+        .select("span_hash")
     )
+    # occurrences of duplicated hashes only: the inner join prunes
+    # the stream before the per-doc aggregation shuffles anything
+    dup_occ = (
+        warr.select(F.col(id_col), F.explode("_wh").alias("span_hash"))
+        .join(df_tbl, "span_hash")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup_spans"))
+    )
+    per = warr.select(
+        F.col(id_col), F.size("_wh").cast("long").alias("n_spans")
+    ).join(dup_occ, id_col, "left")
     return (
         docs.select(id_col)
         .join(per, id_col, "left")
         .select(
             id_col,
-            F.coalesce(F.col("n_spans"), F.lit(0)).alias("n_spans"),
-            F.coalesce(F.col("n_dup_spans"), F.lit(0)).alias("n_dup_spans"),
+            F.coalesce(F.col("n_spans"), F.lit(0))
+            .cast("long")
+            .alias("n_spans"),
+            F.coalesce(F.col("n_dup_spans"), F.lit(0))
+            .cast("long")
+            .alias("n_dup_spans"),
             F.when(F.coalesce(F.col("n_spans"), F.lit(0)) == 0, F.lit(0.0))
             .otherwise(
-                F.round(F.col("n_dup_spans") / F.col("n_spans"), 4)
+                F.round(
+                    F.coalesce(F.col("n_dup_spans"), F.lit(0))
+                    / F.col("n_spans"),
+                    4,
+                )
             )
             .alias("dup_span_frac"),
         )
@@ -1149,22 +1171,22 @@ def remove_duplicate_spans(
     (src/pipelines/transform/transformer.py:600-753); this operator
     learns the boilerplate corpus-wide from span document frequency.
     """
-    inputs = _with_span_inputs(docs, id_col, text_col, hash_mode)
-    # TWO evaluations of the md5+rolling-fold pipeline — deliberately.
-    # The stats half (duplicate_span_stats) shares one inventory
-    # exchange between its consumers and wins; here it LOSES, because
-    # the coverage branch below never shuffles at all (the raw window
-    # stream broadcast-joins dup_hashes map-side), so a shared
-    # inventory would ADD a full occurrence-stream shuffle (~tokens ×
-    # 24 B) to save one hash pass. Measured at 500k docs (sf0.1 ×100):
-    # two-pass 40.8 s vs shared-exchange 87.4 s vs collect_list
-    # inventory 154 s at 1M — the re-hash is the cheaper currency.
+    # ONE evaluation of the tokenize→hash→kernel pipeline (r14): the
+    # window-hash array is materialized once (:func:`_span_warr`) and
+    # both consumers — the df aggregate and the coverage stream —
+    # read the stored array. The r8–r13 shape deliberately ran TWO
+    # hash passes because the then-measured alternative (a shared
+    # inventory EXCHANGE) added a full occurrence-stream shuffle
+    # (two-pass 40.8 s vs shared-exchange 87.4 s at 500k docs); the
+    # materialized array is the third option that beats both — no
+    # occurrence shuffle (partition-local blocks) AND no second hash
+    # pass, which the r13 kernel left as the family's wall (171.6 s
+    # vs ~115 s floor at 5M docs).
+    inputs, warr = _span_warr(docs, id_col, text_col, hash_mode, span, fold)
     wins = (
-        inputs.select(
+        warr.select(
             F.col(id_col),
-            F.posexplode(_span_windows(F.col("_hs"), span, fold)).alias(
-                "_p0", "span_hash"
-            ),
+            F.posexplode("_wh").alias("_p0", "span_hash"),
         )
         # 1-based window start, matching the hash family's slice index
         .select(id_col, (F.col("_p0") + 1).alias("s"), "span_hash")
@@ -1174,10 +1196,8 @@ def remove_duplicate_spans(
     # duplicate_span_stats for why this beats count_distinct over the
     # occurrence stream at corpus scale)
     dup_hashes = (
-        inputs.select(
-            F.explode(
-                F.array_distinct(_span_windows(F.col("_hs"), span, fold))
-            ).alias("span_hash")
+        warr.select(
+            F.explode(F.array_distinct(F.col("_wh"))).alias("span_hash")
         )
         .groupBy("span_hash")
         .agg(F.count(F.lit(1)).alias("span_df"))
@@ -1947,21 +1967,19 @@ def incremental_span_removal(
     (span, hash_mode) comes from the store meta, so a batch can never
     be decided against incompatible window identities."""
     span, hash_mode = _span_store_geometry(path)
-    inputs = _with_span_inputs(batch, id_col, text_col, hash_mode)
+    # single hash pass over the batch (same materialized-array shape
+    # as the corpus-wide form; see _span_warr)
+    inputs, warr = _span_warr(batch, id_col, text_col, hash_mode, span, fold)
     wins = (
-        inputs.select(
+        warr.select(
             F.col(id_col),
-            F.posexplode(_span_windows(F.col("_hs"), span, fold)).alias(
-                "_p0", "span_hash"
-            ),
+            F.posexplode("_wh").alias("_p0", "span_hash"),
         )
         .select(id_col, (F.col("_p0") + 1).alias("s"), "span_hash")
     )
     batch_df = (
-        inputs.select(
-            F.explode(
-                F.array_distinct(_span_windows(F.col("_hs"), span, fold))
-            ).alias("span_hash")
+        warr.select(
+            F.explode(F.array_distinct(F.col("_wh"))).alias("span_hash")
         )
         .groupBy("span_hash")
         .agg(F.count(F.lit(1)).alias("_df_b"))

@@ -283,6 +283,113 @@ def swap_parquet_rewrite(path: str, write_staging) -> None:
     shutil.rmtree(old)
 
 
+_FENCED: set[str] = set()  # store roots fenced by THIS process
+
+
+def _pid_alive(pid: int) -> bool:
+    import os
+
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:  # pragma: no cover - other-user process
+        return True
+    return True
+
+
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def maintenance_fence(path: str, op: str):
+    """Writer fencing for the POSIX store family's maintenance window
+    — the twin of the manifest backend's commit CAS
+    (``store_backend._commit(based_on=)``): the documented
+    single-writer contract used to have NO detection on posix stores,
+    so two concurrent folds could silently last-write-win a directory
+    swap. The fence is an ``O_CREAT|O_EXCL`` lockfile at the store
+    root holding the writer's pid: a second writer raises
+    :class:`store_backend.ConcurrentCommitError` while the holder is
+    alive, and sweeps the lock as a crash orphan when the holder pid
+    is dead (the posix-local improvement over the manifest grace
+    window — the store and its writers share a host, so liveness is
+    checkable directly; an NFS-shared store falls back to the
+    single-writer contract, as before this guard existed).
+
+    Reentrant within one process (``compact_store`` calls
+    ``fold_tombstones`` inside its own window); a no-op on manifest
+    stores, whose every mutation is already CAS-fenced at commit."""
+    import json
+    import os
+    import time
+
+    root = os.path.abspath(split_pin(path)[0])
+    if is_manifest_store(path) or root in _FENCED or not os.path.isdir(root):
+        yield
+        return
+    lock = os.path.join(root, "_maintenance.lock")
+    payload = json.dumps(
+        {"pid": os.getpid(), "op": op, "created_unix": int(time.time())}
+    )
+    for attempt in (0, 1):
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as f:
+                f.write(payload)
+            break
+        except FileExistsError:
+            holder: dict = {}
+            try:
+                with open(lock) as f:
+                    holder = json.loads(f.read())
+            except (OSError, ValueError):
+                holder = {}  # unreadable claim: treat as orphan
+            pid = holder.get("pid")
+            if (pid is not None and _pid_alive(int(pid))) or attempt:
+                raise MB.ConcurrentCommitError(
+                    f"store {root}: maintenance window held by "
+                    f"pid {pid} ({holder.get('op', '?')}) — concurrent "
+                    f"writer detected; re-run {op} once it finishes"
+                )
+            # holder crashed: sweep the orphan lock, retry the claim
+            try:
+                os.remove(lock)
+            except FileNotFoundError:
+                pass
+    _FENCED.add(root)
+    try:
+        yield
+    finally:
+        _FENCED.discard(root)
+        import os as _os
+
+        try:
+            _os.remove(lock)
+        except FileNotFoundError:
+            pass
+
+
+def _fenced(op: str):
+    """Decorator: run the wrapped store mutation inside
+    :func:`maintenance_fence` (path = the function's first str
+    argument, or the ``path`` kwarg)."""
+    import functools
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            path = kwargs.get("path") or next(
+                a for a in args if isinstance(a, str)
+            )
+            with maintenance_fence(path, op):
+                return fn(*args, **kwargs)
+
+        return wrapper
+
+    return deco
+
+
 def compact_parquet(spark: SparkSession, path: str, target_files: int) -> None:
     """Small-files compaction: rewrite a parquet dataset into
     ``target_files`` files. The 100 TB failure mode this prevents:
@@ -368,6 +475,7 @@ def check_store_meta(path: str, expected: dict) -> None:
         )
 
 
+@_fenced("compact_store")
 def compact_store(
     spark: SparkSession,
     path: str,
@@ -655,6 +763,7 @@ def list_store_versions(path: str) -> list[dict]:
     return sorted(out, key=lambda m: m["version"])
 
 
+@_fenced("expire_store_versions")
 def expire_store_versions(
     path: str,
     keep_last: int | None = None,
@@ -830,6 +939,7 @@ def read_store_version(
     return apply_tombstones(df, vdir) if with_tombstones else df
 
 
+@_fenced("rollback_store")
 def rollback_store(path: str, version: int) -> None:
     """Restore the live store to snapshot ``version`` — the undo for
     a bad fold/compaction/append batch. The snapshot history itself
@@ -1118,6 +1228,7 @@ def _fold_decisions_sidecar(
         )
 
 
+@_fenced("fold_tombstones")
 def fold_tombstones(
     spark: SparkSession,
     path: str,
@@ -1443,6 +1554,7 @@ def store_layout(path: str) -> tuple[str | None, bool]:
     return None, False
 
 
+@_fenced("migrate_store_layout")
 def migrate_store_layout(
     spark: SparkSession, path: str, partitioned: bool
 ) -> bool:

@@ -45,18 +45,33 @@ def compare(
     old: dict, new: dict, threshold: float, min_seconds: float
 ) -> dict:
     oq, nq = old["queries"], new["queries"]
+    # Canary normalization (r14): both snapshots record a fixed
+    # single-thread CPU probe (bench._canary). speed = new/old canary
+    # ratio — >1 means the new host was effectively slower; dividing
+    # each per-query time by its run's canary removes host speed from
+    # the signal, so the gate fires on CODE regressions, not on the
+    # driver box being busy (r12/r13 were both adjudicated "host, not
+    # code" by hand; this makes it arithmetic). A real uniform code
+    # regression still fires: it moves query times, not the canary.
+    co, cn = old.get("canary_s"), new.get("canary_s")
+    speed = round(float(cn) / float(co), 4) if co and cn else None
     regressions = []
     improvements = []
     for name in sorted(set(oq) & set(nq)):
         a, b = float(oq[name]), float(nq[name])
-        if b >= a * threshold and b - a >= min_seconds:
-            regressions.append(
-                {"query": name, "old_s": a, "new_s": b, "ratio": round(b / a, 2)}
-            )
-        elif a >= b * threshold and a - b >= min_seconds:
-            improvements.append(
-                {"query": name, "old_s": a, "new_s": b, "ratio": round(b / a, 2)}
-            )
+        bn = b / speed if speed else b
+        entry = {
+            "query": name,
+            "old_s": a,
+            "new_s": b,
+            "ratio": round(b / a, 2),
+        }
+        if speed:
+            entry["ratio_normalized"] = round(bn / a, 2)
+        if bn >= a * threshold and bn - a >= min_seconds:
+            regressions.append(entry)
+        elif a >= bn * threshold and a - bn >= min_seconds:
+            improvements.append(entry)
     build_notes = []
     for name in sorted(set(old.get("builds", {})) & set(new.get("builds", {}))):
         a = float(old["builds"][name])
@@ -68,6 +83,20 @@ def compare(
     return {
         "old_total_s": old.get("value"),
         "new_total_s": new.get("value"),
+        "host_speed_ratio": speed,
+        "host_speed_note": (
+            None
+            if speed is None
+            else (
+                f"new run's CPU canary took {speed}x the old run's "
+                "(>1 = new host effectively slower); gate evaluated on "
+                "canary-normalized times"
+            )
+        ),
+        "host_loaded_flags": {
+            "old": bool(old.get("host_loaded")),
+            "new": bool(new.get("host_loaded")),
+        },
         "compared": len(set(oq) & set(nq)),
         "removed_queries": sorted(set(oq) - set(nq)),
         "added_queries": sorted(set(nq) - set(oq)),
