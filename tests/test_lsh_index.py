@@ -634,15 +634,29 @@ def test_staged_status_exact_join_dpp_prunes_partitioned_store(spark, tmp_path):
     payload."""
     import shutil
 
+    import re
+
     emb = load_table(spark, SF, "embeddings")
     path = str(tmp_path / "dppidx")
     shutil.rmtree(path, ignore_errors=True)
     SIM.write_lsh_index(emb.filter(F.col("vec_id") % 2 == 0), path, partitioned=True)
     batch = emb.filter(F.col("vec_id") < 10)
-    st = SIM.lsh_index_dedup_status(spark, path, batch, threshold=0.99)
+    # scoring="expr": the bkt equi-join against broadcast probe rows
+    # must produce dynamic partition pruning on the store scan
+    st = SIM.lsh_index_dedup_status(
+        spark, path, batch, threshold=0.99, scoring="expr"
+    )
     st.collect()
     plan = st._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:1500]
+    # scoring="arrow" (default): the cogroup has no join to hang DPP
+    # on, so the serve pushes the collected probed-bucket set as a
+    # STATIC partition filter — same bounded scan, pinned here
+    st = SIM.lsh_index_dedup_status(spark, path, batch, threshold=0.99)
+    st.collect()
+    plan = st._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[[^\]]*bkt[^\]]*(INSET|IN \()", plan)
+    assert m, plan[:1500]
 
 
 def test_dedup_status_null_and_zero_norm_vectors_are_no_vector(spark, tmp_path):
@@ -1538,3 +1552,57 @@ def test_calibrate_rebuild_preserves_requested_layout(
     part = str(tmp_path / "part")
     SIM.write_lsh_index(emb, part, partitioned=True, calibrate=True)
     assert len(bkt_dirs(part)) > 0  # and the requested partitioned one
+
+
+def test_arrow_scoring_bit_identical_to_expr(spark, tmp_path):
+    """The numpy scoring kernel's sequential per-dimension fold must
+    reproduce the Catalyst ``F.aggregate(zip_with(...))`` fold
+    BIT-identically (same addition order, same IEEE division, same
+    HALF_UP rounding applied in Catalyst either way): pairs, cosine
+    doubles, and is_exact flags all equal across scorings — on a
+    batch engineered to carry exact dups, near dups at several
+    cosines, misses, and a threshold-boundary pair."""
+    emb = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "parityidx")
+    SIM.write_lsh_index(emb, path)
+    # batch = stored vectors (exact hits), slightly perturbed stored
+    # vectors (near hits at varied cosines), and chaos rows (misses)
+    batch = emb.limit(60).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.when(
+            F.col("vec_id") % 3 == 0, F.col("embedding")
+        )
+        .when(
+            F.col("vec_id") % 3 == 1,
+            F.transform(
+                "embedding",
+                lambda x, i: x + F.when(i == 0, F.lit(0.05)).otherwise(F.lit(0.0)),
+            ).cast("array<float>"),
+        )
+        .otherwise(
+            F.transform(
+                "embedding", lambda x, i: F.cos(x * 37.0 + i)
+            ).cast("array<float>")
+        )
+        .alias("embedding"),
+    )
+    for thr in (0.999, 0.9):
+        got = {}
+        for mode in ("arrow", "expr"):
+            rows = SIM.lsh_index_near_dups(
+                spark, path, batch, threshold=thr,
+                with_exact_flag=True, scoring=mode,
+            ).collect()
+            got[mode] = sorted(
+                (r["new_id"], r["old_id"], r["cosine_sim"], r["is_exact"])
+                for r in rows
+            )
+        assert got["arrow"] == got["expr"] and len(got["expr"]) > 0
+        # exact-equality on the double: no tolerance anywhere above
+    # dedup_status parity on the same store (short-circuit near path)
+    sa = SIM.lsh_index_dedup_status(spark, path, batch, threshold=0.9)
+    se = SIM.lsh_index_dedup_status(
+        spark, path, batch, threshold=0.9, scoring="expr"
+    )
+    key = lambda r: (r["vec_id"], r["status"], r["matched_id"])
+    assert sorted(map(key, sa.collect())) == sorted(map(key, se.collect()))

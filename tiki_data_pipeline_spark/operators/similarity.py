@@ -1156,6 +1156,11 @@ def _store_n_planes(path: str, fallback: int) -> int:
 # (SCALE.md, 200k-vec store) applies.
 DIRECTED_PROBE_MIN_ROWS = 50_000
 
+# largest probed-bucket set shipped as a literal INSET to prune the
+# index scan under scoring="arrow" (bigger sets touch most of the
+# store — pruning would be a no-op — and bloat the plan)
+PRUNE_BUCKET_CAP = 8192
+
 
 def _resolve_probe_planes(
     probe_planes, index_path: str, n_planes: int, emit_radius: int
@@ -1259,10 +1264,31 @@ def lsh_index_near_dups(
     skip_hot_buckets: bool | str = "auto",
     probe_planes: int | None | str = "auto",
     with_exact_flag: bool = False,
+    scoring: str = "arrow",
 ) -> DataFrame:
     """Distributed incremental embedding near-dup: match a NEW batch
     of vectors against a persisted LSH index, returning
     ``(new_id, old_id, cosine_sim)`` pairs with cosine ≥ threshold.
+
+    ``scoring`` picks the candidate-scoring engine. ``"arrow"`` (the
+    default — the embedding twin of the span family's Arrow hash
+    kernel) cogroups the probe rows and the index on ``bkt`` and
+    scores each bucket's query×store block in numpy: a BLAS matmul
+    prefilters at ``threshold − 1e-6`` (minus a float-error slack),
+    then ONLY the prefilter survivors are re-scored with a
+    sequential per-dimension fold — the same left-to-right addition
+    order as the ``"expr"`` path's ``F.aggregate(zip_with(...))`` —
+    and the same IEEE double division, so surviving cosines are
+    BIT-IDENTICAL to the expression path (parity-tested; the r14
+    decomposition measured the interpreted per-pair expression at
+    19.2 s of a 24 s serve over 19.5M candidates at 10× — the kernel
+    removes exactly that). ``"expr"`` keeps the pure-Catalyst
+    expression pipeline (zero Python tasks; the oracle-translation
+    reference). Trade-offs of ``"arrow"``: the index shuffles by
+    ``bkt`` for the cogroup (the expr path broadcast the light probe
+    rows instead), and each query vector crosses to Python once per
+    probed bucket — both bounded by candidate volume and measured
+    far below the expression wall it replaces.
 
     ``probe_planes`` enables query-directed multi-probe (Lv et al.,
     VLDB'07): instead of flipping every subset of ≤ ``emit_radius``
@@ -1402,6 +1428,108 @@ def lsh_index_near_dups(
     # once — but the plain-parquet append contract is at-least-once on
     # retry, so a store MAY hold duplicate id rows; dedup the
     # (threshold-filtered, small) result rather than trusting it
+    if scoring == "arrow":
+        # the expr path's bkt equi-join gave the partitioned store
+        # scan dynamic partition pruning for free (broadcast probes);
+        # a cogroup has no such join, so prune STATICALLY: pin the
+        # probe rows (one Arrow pass, light (new_id, bkt) rows) and
+        # push the collected probed-bucket set onto the index scan —
+        # PartitionFilters on the directory layout, row-group min/max
+        # pruning on the sorted flat layout. A probed set too big to
+        # ship as a literal INSET would not have pruned anything
+        # anyway (the batch touches most of the store).
+        probes = probes.localCheckpoint()
+        pb_rows = (
+            probes.select("bkt").distinct().limit(PRUNE_BUCKET_CAP + 1).collect()
+        )
+        right = index.select("bkt", "id", "v", "nrm")
+        if len(pb_rows) <= PRUNE_BUCKET_CAP:
+            right = right.filter(
+                F.col("bkt").isin([r["bkt"] for r in pb_rows])
+            )
+        left = probes.join(F.broadcast(payload), "new_id").select(
+            "bkt", "new_id", "qv", "qn"
+        )
+        thr = float(threshold) - 1e-6
+
+        def score_bucket(lpdf, rpdf):
+            empty = pd.DataFrame(
+                {
+                    "new_id": pd.Series(dtype="int64"),
+                    "old_id": pd.Series(dtype="int64"),
+                    "cosine_raw": pd.Series(dtype="float64"),
+                    "is_exact": pd.Series(dtype="bool"),
+                }
+            )
+            if not len(lpdf) or not len(rpdf):
+                return empty
+            Q = np.array(list(lpdf["qv"]), dtype=np.float64)
+            S = np.array(list(rpdf["v"]), dtype=np.float64)
+            qn = lpdf["qn"].to_numpy(dtype=np.float64)
+            nrm = rpdf["nrm"].to_numpy(dtype=np.float64)
+            qid = lpdf["new_id"].to_numpy()
+            sid = rpdf["id"].to_numpy()
+            out = []
+            # chunk queries so the q_c×s score block stays ~32 MB
+            # even in a hot (mega-cluster) bucket's single task
+            qc = max(1, 4_000_000 // len(S))
+            for s0 in range(0, len(Q), qc):
+                Qc = Q[s0 : s0 + qc]
+                dots = Qc @ S.T
+                # prefilter with an absolute slack for matmul-vs-
+                # sequential-fold float divergence (≤ ~1e-13
+                # relative); survivors are EXACTLY re-folded below
+                lim = np.outer(qn[s0 : s0 + qc], nrm)
+                hit_q, hit_s = np.nonzero(dots >= thr * lim - 1e-9 * lim)
+                if not len(hit_q):
+                    continue
+                keep = qid[s0 + hit_q] != sid[hit_s]
+                hit_q, hit_s = hit_q[keep], hit_s[keep]
+                if not len(hit_q):
+                    continue
+                A, B = Qc[hit_q], S[hit_s]
+                # sequential per-dimension fold: the same left-to-
+                # right addition order as _dot's F.aggregate, so the
+                # double is bit-identical to the "expr" path
+                acc = np.zeros(len(hit_q))
+                for i in range(A.shape[1]):
+                    acc += A[:, i] * B[:, i]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "new_id": qid[s0 + hit_q],
+                            "old_id": sid[hit_s],
+                            "cosine_raw": acc
+                            / (qn[s0 + hit_q] * nrm[hit_s]),
+                            "is_exact": (A == B).all(axis=1),
+                        }
+                    )
+                )
+            return pd.concat(out) if out else empty
+
+        scored = (
+            left.groupBy("bkt")
+            .cogroup(right.groupBy("bkt"))
+            .applyInPandas(
+                score_bucket,
+                schema=(
+                    "new_id long, old_id long, cosine_raw double, "
+                    "is_exact boolean"
+                ),
+            )
+        )
+        cols = [
+            F.col("new_id"),
+            F.col("old_id"),
+            F.round(F.col("cosine_raw"), 6).alias("cosine_sim"),
+        ]
+        if with_exact_flag:
+            cols.append(F.col("is_exact"))
+        return (
+            scored.select(*cols)
+            .filter(F.col("cosine_sim") >= threshold)
+            .dropDuplicates(["new_id", "old_id"])
+        )
     cand = (
         index.join(probes, "bkt")
         .filter(F.col("id") != F.col("new_id"))
@@ -1442,6 +1570,7 @@ def lsh_index_dedup_status(
     skip_hot_buckets: bool | str = "auto",
     probe_planes: int | None | str = "auto",
     exact_stage: bool | str = "auto",
+    scoring: str = "arrow",
 ) -> DataFrame:
     """Staged incremental embedding dedup against a persisted LSH
     index — the embedding twin of ``dedup.incremental_dedup_status``:
@@ -1537,6 +1666,7 @@ def lsh_index_dedup_status(
             vec_col=vec_col,
             skip_hot_buckets=skip_hot_buckets,
             probe_planes=probe_planes,
+            scoring=scoring,
         )
         # best match per vector: window partitioned by the vector, so
         # the partition size is its true near-dup count, never
@@ -1575,6 +1705,7 @@ def lsh_index_dedup_status(
             skip_hot_buckets=skip_hot_buckets,
             probe_planes=probe_planes,
             with_exact_flag=True,
+            scoring=scoring,
         )
         w = W.partitionBy("new_id").orderBy(
             F.col("is_exact").desc(),
