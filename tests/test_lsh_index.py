@@ -1606,3 +1606,21 @@ def test_arrow_scoring_bit_identical_to_expr(spark, tmp_path):
     )
     key = lambda r: (r["vec_id"], r["status"], r["matched_id"])
     assert sorted(map(key, sa.collect())) == sorted(map(key, se.collect()))
+
+
+def test_ivf_arrow_scoring_parity(spark, tmp_path):
+    """The shared scoring kernel behind the IVF semantic serve must
+    reproduce the cid-equi-join expression path exactly — statuses,
+    matched ids, and the threshold behavior all equal."""
+    emb = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "ivfparity")
+    SIM.write_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), path, n_centroids=8)
+    batch = emb.filter(F.col("vec_id") % 2 == 1).limit(80)
+    key = lambda r: (r["vec_id"], r["status"], r["matched_id"])
+    for thr in (0.999, 0.6):
+        sa = SIM.ivf_semantic_dedup_status(spark, path, batch, threshold=thr)
+        se = SIM.ivf_semantic_dedup_status(
+            spark, path, batch, threshold=thr, scoring="expr"
+        )
+        ra, re_ = sorted(map(key, sa.collect())), sorted(map(key, se.collect()))
+        assert ra == re_ and len(ra) == 80

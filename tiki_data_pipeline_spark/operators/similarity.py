@@ -1162,6 +1162,97 @@ DIRECTED_PROBE_MIN_ROWS = 50_000
 PRUNE_BUCKET_CAP = 8192
 
 
+def _kernel_scored_pairs(
+    left: DataFrame, right: DataFrame, key: str, threshold: float
+) -> DataFrame:
+    """Numpy candidate-scoring kernel shared by the persisted-index
+    serve paths (``scoring="arrow"``): cogroup query rows
+    ``(key, new_id, qv, qn)`` against store rows
+    ``(key, id, v, nrm)`` and score each key's query×store block in
+    one task — a BLAS matmul prefilters at ``threshold − 1e-6``
+    (minus an absolute slack for matmul-vs-fold float divergence,
+    ≤ ~1e-13 relative), then ONLY the prefilter survivors are
+    re-scored with a sequential per-dimension fold: the same
+    left-to-right addition order as ``_dot``'s ``F.aggregate`` and
+    the same IEEE double division, so the returned ``cosine_raw`` is
+    BIT-IDENTICAL to the Catalyst expression path (parity-tested).
+    Query chunking bounds any hot key's score block at ~32 MB.
+    Returns ``(new_id, old_id, cosine_raw, is_exact)`` with
+    self-pairs (``new_id == old_id``) dropped; callers apply
+    ``F.round(…, 6)``, the threshold filter, and pair dedup — in
+    Catalyst, so HALF_UP rounding semantics are Spark's own.
+
+    This replaced the per-candidate interpreted
+    ``F.aggregate(zip_with(...))`` dot product, measured at 19.2 s
+    of a 24 s LSH serve over 19.5M candidates (10× harness) —
+    scoring cost now tracks candidate FLOPs, not expression-eval
+    overhead (SCALE.md round-14)."""
+    thr = float(threshold) - 1e-6
+
+    def score_block(lpdf, rpdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "new_id": pd.Series(dtype="int64"),
+                "old_id": pd.Series(dtype="int64"),
+                "cosine_raw": pd.Series(dtype="float64"),
+                "is_exact": pd.Series(dtype="bool"),
+            }
+        )
+        if not len(lpdf) or not len(rpdf):
+            return empty
+        Q = np.array(list(lpdf["qv"]), dtype=np.float64)
+        S = np.array(list(rpdf["v"]), dtype=np.float64)
+        qn = lpdf["qn"].to_numpy(dtype=np.float64)
+        nrm = rpdf["nrm"].to_numpy(dtype=np.float64)
+        qid = lpdf["new_id"].to_numpy()
+        sid = rpdf["id"].to_numpy()
+        out = []
+        # chunk queries so the q_c×s score block stays ~32 MB even
+        # in a hot (mega-cluster) key's single task
+        qc = max(1, 4_000_000 // len(S))
+        for s0 in range(0, len(Q), qc):
+            Qc = Q[s0 : s0 + qc]
+            dots = Qc @ S.T
+            lim = np.outer(qn[s0 : s0 + qc], nrm)
+            hit_q, hit_s = np.nonzero(dots >= thr * lim - 1e-9 * lim)
+            if not len(hit_q):
+                continue
+            keep = qid[s0 + hit_q] != sid[hit_s]
+            hit_q, hit_s = hit_q[keep], hit_s[keep]
+            if not len(hit_q):
+                continue
+            A, B = Qc[hit_q], S[hit_s]
+            acc = np.zeros(len(hit_q))
+            for i in range(A.shape[1]):
+                acc += A[:, i] * B[:, i]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "new_id": qid[s0 + hit_q],
+                        "old_id": sid[hit_s],
+                        "cosine_raw": acc / (qn[s0 + hit_q] * nrm[hit_s]),
+                        "is_exact": (A == B).all(axis=1),
+                    }
+                )
+            )
+        return pd.concat(out) if out else empty
+
+    return (
+        left.groupBy(key)
+        .cogroup(right.groupBy(key))
+        .applyInPandas(
+            score_block,
+            schema=(
+                "new_id long, old_id long, cosine_raw double, "
+                "is_exact boolean"
+            ),
+        )
+    )
+
+
 def _resolve_probe_planes(
     probe_planes, index_path: str, n_planes: int, emit_radius: int
 ):
@@ -1450,74 +1541,7 @@ def lsh_index_near_dups(
         left = probes.join(F.broadcast(payload), "new_id").select(
             "bkt", "new_id", "qv", "qn"
         )
-        thr = float(threshold) - 1e-6
-
-        def score_bucket(lpdf, rpdf):
-            empty = pd.DataFrame(
-                {
-                    "new_id": pd.Series(dtype="int64"),
-                    "old_id": pd.Series(dtype="int64"),
-                    "cosine_raw": pd.Series(dtype="float64"),
-                    "is_exact": pd.Series(dtype="bool"),
-                }
-            )
-            if not len(lpdf) or not len(rpdf):
-                return empty
-            Q = np.array(list(lpdf["qv"]), dtype=np.float64)
-            S = np.array(list(rpdf["v"]), dtype=np.float64)
-            qn = lpdf["qn"].to_numpy(dtype=np.float64)
-            nrm = rpdf["nrm"].to_numpy(dtype=np.float64)
-            qid = lpdf["new_id"].to_numpy()
-            sid = rpdf["id"].to_numpy()
-            out = []
-            # chunk queries so the q_c×s score block stays ~32 MB
-            # even in a hot (mega-cluster) bucket's single task
-            qc = max(1, 4_000_000 // len(S))
-            for s0 in range(0, len(Q), qc):
-                Qc = Q[s0 : s0 + qc]
-                dots = Qc @ S.T
-                # prefilter with an absolute slack for matmul-vs-
-                # sequential-fold float divergence (≤ ~1e-13
-                # relative); survivors are EXACTLY re-folded below
-                lim = np.outer(qn[s0 : s0 + qc], nrm)
-                hit_q, hit_s = np.nonzero(dots >= thr * lim - 1e-9 * lim)
-                if not len(hit_q):
-                    continue
-                keep = qid[s0 + hit_q] != sid[hit_s]
-                hit_q, hit_s = hit_q[keep], hit_s[keep]
-                if not len(hit_q):
-                    continue
-                A, B = Qc[hit_q], S[hit_s]
-                # sequential per-dimension fold: the same left-to-
-                # right addition order as _dot's F.aggregate, so the
-                # double is bit-identical to the "expr" path
-                acc = np.zeros(len(hit_q))
-                for i in range(A.shape[1]):
-                    acc += A[:, i] * B[:, i]
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "new_id": qid[s0 + hit_q],
-                            "old_id": sid[hit_s],
-                            "cosine_raw": acc
-                            / (qn[s0 + hit_q] * nrm[hit_s]),
-                            "is_exact": (A == B).all(axis=1),
-                        }
-                    )
-                )
-            return pd.concat(out) if out else empty
-
-        scored = (
-            left.groupBy("bkt")
-            .cogroup(right.groupBy("bkt"))
-            .applyInPandas(
-                score_bucket,
-                schema=(
-                    "new_id long, old_id long, cosine_raw double, "
-                    "is_exact boolean"
-                ),
-            )
-        )
+        scored = _kernel_scored_pairs(left, right, "bkt", threshold)
         cols = [
             F.col("new_id"),
             F.col("old_id"),
@@ -2162,6 +2186,7 @@ def ivf_semantic_dedup_status(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    scoring: str = "arrow",
 ) -> DataFrame:
     """Incremental SemDeDup against a persisted IVF index: the
     cluster-structured twin of ``lsh_index_dedup_status``. The batch
@@ -2179,15 +2204,18 @@ def ivf_semantic_dedup_status(
     - ``no_vector``   — NULL / zero-norm embedding (family contract:
       surfaced, never coalesced to unique)
 
-    Scale shape: a ``cid`` equi-join with the delta-sized batch on
-    one side — no hint, per repo convention AQE broadcasts it while
-    it is small (the store is then never shuffled) and falls back to
-    a shuffle join for a huge backfill batch. On the cid-partitioned
-    layout the join key is the partition key, so the scan prunes to
-    the batch's home lists. Per batch vector the work is one
-    inverted list (~n/k rows), the same serving cost as an
-    ``nprobe=1`` ANN probe; cosine is scored JVM-side (spillable),
-    vectors never replicate through Python.
+    Scale shape: per batch vector the work is one inverted list
+    (~n/k rows), the same serving cost as an ``nprobe=1`` ANN probe.
+    ``scoring="arrow"`` (default) scores each home list's
+    query×store block in the shared numpy kernel
+    (:func:`_kernel_scored_pairs` — bit-identical cosines to the
+    expression path, same r14 rationale as the LSH serve), with the
+    batch's home-cid set pushed as a static INSET so the
+    cid-partitioned layout still prunes to the batch's lists.
+    ``scoring="expr"`` keeps the pure-Catalyst cid equi-join (AQE
+    broadcasts the delta-sized batch, the store is never shuffled,
+    DPP prunes the partitioned scan) — the oracle-translation
+    reference and the zero-Python-task fallback.
     """
     from pyspark.sql import Window as W
 
@@ -2210,18 +2238,42 @@ def ivf_semantic_dedup_status(
         F.col("nrm").alias("qn"),
         "cid",
     )
-    scored = (
-        index.select(F.col("id").alias("old_id"), "v", "nrm", "cid")
-        .join(batch, "cid")
-        .filter(F.col("old_id") != F.col("new_id"))
-        .select(
+    if scoring == "arrow":
+        # home-cid INSET replaces the join's DPP (same move as the
+        # LSH serve): the quantizer is driver-resident already, so
+        # the batch's home set is bounded by k — no extra job cap
+        # logic needed
+        batch = batch.localCheckpoint()
+        cids = [
+            r["cid"] for r in batch.select("cid").distinct().collect()
+        ]
+        right = index.select(
+            "cid", "id", "v", "nrm"
+        ).filter(F.col("cid").isin(cids))
+        scored = _kernel_scored_pairs(
+            batch.select("cid", "new_id", "qv", "qn"), right, "cid", threshold
+        ).select(
             "new_id",
             "old_id",
-            F.round(
-                _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
-            ).alias("cosine_sim"),
+            F.round(F.col("cosine_raw"), 6).alias("cosine_sim"),
         )
-        .filter(F.col("cosine_sim") >= threshold)
+    else:
+        scored = (
+            index.select(F.col("id").alias("old_id"), "v", "nrm", "cid")
+            .join(batch, "cid")
+            .filter(F.col("old_id") != F.col("new_id"))
+            .select(
+                "new_id",
+                "old_id",
+                F.round(
+                    _dot(F.col("qv"), F.col("v"))
+                    / (F.col("qn") * F.col("nrm")),
+                    6,
+                ).alias("cosine_sim"),
+            )
+        )
+    scored = (
+        scored.filter(F.col("cosine_sim") >= threshold)
         # at-least-once append contract: a store MAY hold duplicate id
         # rows after a retried append — dedup the (small) hit set
         .dropDuplicates(["new_id", "old_id"])
