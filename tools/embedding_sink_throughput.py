@@ -8,7 +8,13 @@ vectors. Replicas rep%5==1 are exact copies of rep 0 (planted
 cross-epoch dups); others get one perturbed component so they stay
 distinct. Run per backend with ``--backend manifest``.
 
+``--sink semantic`` measures ``incremental_semantic_sink`` instead
+(persisted IVF index, frozen quantizer, home-list compare) on the
+same corpus/epoch shape — the only ingest sink without a throughput
+row until r14.
+
 Usage: python tools/embedding_sink_throughput.py [N] [k] [--backend B]
+       [--sink lsh|semantic]
 """
 
 from __future__ import annotations
@@ -66,6 +72,11 @@ def main() -> None:
         backend = args[i + 1]
         os.environ["SPARK_GRAFT_STORE_BACKEND"] = backend
         args = args[:i] + args[i + 2:]
+    sink = "lsh"
+    if "--sink" in args:
+        i = args.index("--sink")
+        sink = args[i + 1]
+        args = args[:i] + args[i + 2 :]
     n = int(args[0]) if len(args) > 0 else 10
     k = int(args[1]) if len(args) > 1 else 8
     spark = get_spark(app_name="embedding_sink_tp")
@@ -74,7 +85,10 @@ def main() -> None:
 
     from tiki_data_pipeline_spark.operators import similarity as SIM
     from tiki_data_pipeline_spark.sources.files import store_data
-    from tiki_data_pipeline_spark.streaming.jobs import incremental_embedding_sink
+    from tiki_data_pipeline_spark.streaming.jobs import (
+        incremental_embedding_sink,
+        incremental_semantic_sink,
+    )
 
     vecs = replicated_vectors(spark, n)
     seed = vecs.filter(F.col("vec_id") < 10_000_000)
@@ -86,8 +100,12 @@ def main() -> None:
         .write.partitionBy("_b")
         .parquet(stream_src)
     )
-    store = f"{OUT}/lsh_store"
-    SIM.write_lsh_index(seed, store)
+    if sink == "semantic":
+        store = f"{OUT}/ivf_store"
+        SIM.write_ivf_index(seed, store, n_centroids="auto")
+    else:
+        store = f"{OUT}/lsh_store"
+        SIM.write_lsh_index(seed, store)
     n_stream = vecs.count() - seed.count()
 
     statuses: list = []
@@ -97,16 +115,19 @@ def main() -> None:
         .parquet(stream_src + "/_b=*")
     )
     t0 = time.perf_counter()
-    q = incremental_embedding_sink(
-        reader, store, statuses, f"{OUT}/ckpt", threshold=0.999
+    make = (
+        incremental_semantic_sink
+        if sink == "semantic"
+        else incremental_embedding_sink
     )
+    q = make(reader, store, statuses, f"{OUT}/ckpt", threshold=0.999)
     q.awaitTermination()
     wall = time.perf_counter() - t0
     stored = store_data(spark, store).count()
     print(
         json.dumps(
             {
-                "sink": "incremental_embedding_sink",
+                "sink": f"incremental_{'semantic' if sink == 'semantic' else 'embedding'}_sink",
                 "backend": backend,
                 "replication": n,
                 "epochs": len(statuses),
