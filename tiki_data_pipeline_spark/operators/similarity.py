@@ -1538,7 +1538,22 @@ def lsh_index_near_dups(
             right = right.filter(
                 F.col("bkt").isin([r["bkt"] for r in pb_rows])
             )
-        left = probes.join(F.broadcast(payload), "new_id").select(
+        # payload-bounding guard (r14): keep only probe rows whose
+        # bucket actually EXISTS in the (pruned) store before the
+        # query vector is attached. Probe count explodes with the
+        # radius (C(n_planes, ≤r) — 190k masks/vector at 24 planes,
+        # r=6) while occupied buckets are bounded by store rows; a
+        # probe row surviving this semi-join meets ≥1 store row, so
+        # the vector-carrying left side of the cogroup is bounded by
+        # CANDIDATES, never by probe fan-out (the same invariant the
+        # probe emission itself documents). Without it the exhaustive
+        # high-radius corner shuffled dim·8 bytes per PROBE row —
+        # measured as a 38-min sf0.001 fuzz test; with it the same
+        # test runs in seconds. Light (new_id, bkt) rows only; the
+        # occupied set is the INSET-pruned scan's buckets, so AQE
+        # broadcasts it and no extra shuffle appears.
+        live = probes.join(right.select("bkt").distinct(), "bkt", "semi")
+        left = live.join(F.broadcast(payload), "new_id").select(
             "bkt", "new_id", "qv", "qn"
         )
         scored = _kernel_scored_pairs(left, right, "bkt", threshold)
