@@ -96,6 +96,7 @@ def range_join_expanded(
     hi_col: str = "hi",
     bucket_width: float = 1.0,
     max_span_buckets: int = 4096,
+    broadcast_max_rows: int = 1_000_000,
 ) -> DataFrame:
     """Inner range join ``fact.value_col in [dim.lo, dim.hi)`` via
     bucket expansion — the shape that scales when the interval dim is
@@ -121,9 +122,23 @@ def range_join_expanded(
     # multiple upper bound excludes its own bucket (hi is exclusive)
     hi_b = (F.ceil(F.col(hi_col) / w) - 1).cast("long")
     dimb = dim.withColumn("_span", hi_b - lo_b + 1)
-    oversized = dimb.filter(F.col("_span") > max_span_buckets).limit(1).collect()
-    if oversized:
-        r = oversized[0]
+    # one pass answers both guard questions: the per-interval span cap
+    # AND the total expanded row count that decides the join strategy.
+    # A local dim (literal bands built on the driver) is answered by
+    # executeCollect with no tasks launched; a distributed dim pays
+    # one small agg job instead of shipping every span to the driver.
+    if dimb.isLocal():
+        spans = [r["_span"] for r in dimb.select("_span").collect()]
+        stats = {
+            "_mx": max(spans) if spans else None,
+            "_total": sum(spans) if spans else None,
+        }
+    else:
+        stats = dimb.agg(
+            F.max("_span").alias("_mx"), F.sum("_span").alias("_total")
+        ).collect()[0]
+    if stats["_mx"] is not None and stats["_mx"] > max_span_buckets:
+        r = dimb.filter(F.col("_span") > max_span_buckets).limit(1).collect()[0]
         raise ValueError(
             f"interval [{r[lo_col]}, {r[hi_col]}) spans {r['_span']} buckets "
             f"(> {max_span_buckets}); raise bucket_width"
@@ -131,6 +146,17 @@ def range_join_expanded(
     dimb = dimb.drop("_span").withColumn(
         "_dim_bucket", F.explode(F.sequence(lo_b, hi_b))
     )
+    if stats["_total"] is not None and stats["_total"] <= broadcast_max_rows:
+        # the exploded dim comes from a local relation with no stats;
+        # left unhinted, Catalyst estimated it large and broadcast the
+        # FACT side instead (BuildLeft over the whole orders scan in
+        # the r14 plan capture) — exactly inverted at 100 TB, where
+        # the fact side must never be built into a hash relation. The
+        # expanded row count just computed makes the decision exact:
+        # a bounded dim is pinned as the build side, so the fact side
+        # streams with zero exchange; a dim too big to broadcast is
+        # left to AQE, which by then sees real sizes on both sides.
+        dimb = F.broadcast(dimb)
     factb = fact.withColumn(
         "_fact_bucket", F.floor(F.col(value_col) / w).cast("long")
     )
