@@ -457,13 +457,19 @@ def minhash_index_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
     sh: DataFrame | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dedup: match a NEW batch of documents against
     a corpus previously persisted with :func:`write_minhash_index`,
     returning ``(new_id, old_id, est_jaccard)`` pairs with estimated
     Jaccard ≥ ``threshold``. Pass precomputed ``sh`` (shingles of a
     superset of ``new_docs``) to share one explode pass across the
-    decision and append stages of an ingest epoch.
+    decision and append stages of an ingest epoch, or precomputed
+    ``sigs`` (:func:`minhash_signatures` of a superset) to skip the
+    shingle+hash pipeline entirely — signatures are a pure function
+    of each document alone, so a caller running several serves over
+    the same batch (e.g. the as-of + live halves of a time-travel
+    audit) hashes once and semi-joins per serve.
 
     Only the batch is shingled/minhashed; the corpus contributes its
     stored band rows. Candidates come from a band equi-join (shuffle
@@ -475,12 +481,17 @@ def minhash_index_near_dups(
     doesn't — no manual hint so a huge backfill batch can't OOM the
     driver.
     """
-    if sh is None:
-        # see _write_minhash_store: MinHash is duplicate-invariant
-        sh = shingles(new_docs, n=n, id_col=id_col, text_col=text_col, distinct=False)
+    if sigs is not None:
+        sigs = sigs.join(new_docs.select(id_col), id_col, "semi")
     else:
-        sh = sh.join(new_docs.select(id_col), id_col, "semi")
-    sigs = minhash_signatures(sh, k=k, id_col=id_col)
+        if sh is None:
+            # see _write_minhash_store: MinHash is duplicate-invariant
+            sh = shingles(
+                new_docs, n=n, id_col=id_col, text_col=text_col, distinct=False
+            )
+        else:
+            sh = sh.join(new_docs.select(id_col), id_col, "semi")
+        sigs = minhash_signatures(sh, k=k, id_col=id_col)
     sig_arr = F.array(*[F.col(f"mh{i}") for i in range(k)])
     batch = sigs.select(
         F.col(id_col).alias("new_id"),
@@ -592,6 +603,7 @@ def incremental_dedup_status(
     id_col: str = "doc_id",
     text_col: str = "text",
     sh: DataFrame | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Staged incremental dedup of a new batch against a persisted
     corpus store (:func:`write_minhash_index`): exact-fingerprint
@@ -640,7 +652,7 @@ def incremental_dedup_status(
     )
     near_pairs = minhash_index_near_dups(
         spark, index_path, fresh, threshold=threshold, n=n, k=k, bands=bands,
-        id_col=id_col, text_col=text_col, sh=sh,
+        id_col=id_col, text_col=text_col, sh=sh, sigs=sigs,
     )
     # best match per doc: partitioned by doc — candidate fan-out per
     # doc ≈ its true near-dup count, so the window never sees a

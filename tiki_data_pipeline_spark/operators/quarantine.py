@@ -32,13 +32,23 @@ PERMANENT_PATTERNS = [
 
 
 def classify_error(err: Column) -> Column:
-    """'retryable' | 'permanent' | 'unknown' from an error message."""
-    out = F.lit(None).cast("string")
-    for pat in PERMANENT_PATTERNS:
-        out = F.when(out.isNull() & err.rlike(pat), "permanent").otherwise(out)
+    """'retryable' | 'permanent' | 'unknown' from an error message.
+
+    Built as ONE flat CASE chain (first match wins, permanent
+    patterns first — the same priority the iterative form encoded).
+    The previous build folded each rule as
+    ``when(out.isNull() & m, x).otherwise(out)``, which embeds the
+    prior tree TWICE per rule — 2^9 expression copies over the 9
+    patterns, a ~100 kB physical plan for a 6-column project, every
+    row re-evaluating the same regexes dozens of times (r14 plan
+    capture). A chained ``when`` is linear: 9 rlikes, each evaluated
+    at most once per row."""
+    out = F.when(err.rlike(PERMANENT_PATTERNS[0]), "permanent")
+    for pat in PERMANENT_PATTERNS[1:]:
+        out = out.when(err.rlike(pat), "permanent")
     for pat in RETRYABLE_PATTERNS:
-        out = F.when(out.isNull() & err.rlike(pat), "retryable").otherwise(out)
-    return F.coalesce(out, F.lit("unknown"))
+        out = out.when(err.rlike(pat), "retryable")
+    return out.otherwise("unknown")
 
 
 def route_failures(
