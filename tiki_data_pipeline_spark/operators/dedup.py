@@ -123,7 +123,7 @@ def jaccard_pairs(
     sh: DataFrame, threshold: float, id_col: str = "doc_id", max_df: int | None = None
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for every pair sharing ≥1
-    shingle (inverted-index join, no cross product).
+    shingle (inverted-index posting lists, no cross product).
 
     ``max_df`` caps the inverted index: shingles appearing in more
     than ``max_df`` documents are dropped BEFORE the self-join (and
@@ -132,20 +132,42 @@ def jaccard_pairs(
     rows — one boilerplate phrase across 1M docs is a 10^12-row join
     — so at scale the cap is what keeps candidates bounded; it's the
     stop-word discipline of near-dup detection. Default None = exact."""
+    # ONE shuffle of the shingle strings (groupBy shingle → sorted id
+    # array), then pairs are generated JVM-side from each posting
+    # list — the previous self-join shuffled the full shingle set
+    # TWICE (both join sides hash-partitioned by shingle) before the
+    # pair aggregation; at sf0.1 the grouped form measured 2.1×
+    # faster (3.17 → 1.48 s) with bit-identical pairs, and at scale
+    # it halves the heaviest exchange (guide §2.3/§2.4). Pair
+    # emission is two chained generates — posexplode of the posting
+    # list, then explode of each element's tail slice — so peak
+    # per-row memory is O(list), never the O(list²) a flattened
+    # pair array would materialize on a boilerplate shingle.
+    ids = sh.groupBy("shingle").agg(
+        F.array_sort(F.collect_list(id_col)).alias("_ids")
+    )
     if max_df is not None:
-        keep = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") <= max_df)
-            .select("shingle")
+        ids = ids.filter(F.size("_ids") <= max_df)
+        # per-doc sizes over the SAME reduced shingle space (the cap
+        # drops capped shingles from the counts too — unchanged
+        # contract); id rows are far narrower than shingle strings,
+        # so this recount exchange is cheaper than the semi-join the
+        # row form needed
+        counts = (
+            ids.select(F.explode("_ids").alias(id_col))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_shingles"))
         )
-        sh = sh.join(keep, "shingle", "left_semi")
-    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.select(F.col(id_col).alias("i"), "shingle")
-    b = sh.select(F.col(id_col).alias("j"), "shingle")
+    else:
+        counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     common = (
-        a.join(b, "shingle")
-        .filter(F.col("i") < F.col("j"))
+        ids.select(F.col("_ids"), F.posexplode("_ids").alias("_pos", "i"))
+        .select(
+            "i",
+            F.explode(
+                F.slice(F.col("_ids"), F.col("_pos") + 2, F.size("_ids"))
+            ).alias("j"),
+        )
         .groupBy("i", "j")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
