@@ -580,11 +580,19 @@ def minhash_index_near_dups_verified(
     exact (``minhash_index_near_dups`` is the text-free fallback).
     Returns ``(new_id, old_id, jaccard)`` with jaccard ≥ threshold.
     """
+    # ONE tokenize+explode pass over the batch feeds both consumers:
+    # the candidate stage's MinHash signatures (duplicate-invariant,
+    # takes the raw stream) and the exact-verification side (set
+    # semantics, distinct() of the same materialized rows) — the
+    # previous shape ran the shingle pipeline twice per serve (r14)
+    sh_all = shingles(
+        new_docs, n=n, id_col=id_col, text_col=text_col, distinct=False
+    ).localCheckpoint(eager=False)
     cand = minhash_index_near_dups(
         spark, index_path, new_docs, threshold=0.0, n=n, k=k, bands=bands,
-        id_col=id_col, text_col=text_col,
+        id_col=id_col, text_col=text_col, sh=sh_all,
     ).select("new_id", "old_id")
-    sh_new = shingles(new_docs, n=n, id_col=id_col, text_col=text_col)
+    sh_new = sh_all.distinct()
     # corpus side: only candidate old docs are ever shingled
     old_docs = corpus_docs.join(
         cand.select(F.col("old_id").alias(id_col)).distinct(), id_col, "semi"
@@ -780,6 +788,10 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
     tok = docs.select(id_col, F.explode(toks).alias("token"))
     hashed = tok.select(id_col, _md5_long(F.col("token")).alias("h"))
+    # (r14 probe note: a branch-free variant — sum the raw bit and
+    # compare 2·ones > n — measured 23% faster on the aggregation in
+    # isolation but 35% SLOWER with the assembly projection attached;
+    # the ±1 CASE form below won the full-context A/B, so it stays)
     bit_sums = [
         F.sum(
             F.when(F.expr(f"shiftright(h, {b}) & 1") == 1, 1).otherwise(-1)
