@@ -120,57 +120,111 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def jaccard_pairs(
-    sh: DataFrame, threshold: float, id_col: str = "doc_id", max_df: int | None = None
+    sh: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for every pair sharing ≥1
-    shingle (inverted-index posting lists, no cross product).
+    shingle (inverted index, no cross product).
 
     ``max_df`` caps the inverted index: shingles appearing in more
-    than ``max_df`` documents are dropped BEFORE the self-join (and
+    than ``max_df`` documents are dropped BEFORE pair generation (and
     from the per-doc counts, so Jaccard stays self-consistent over the
     reduced shingle space). A shingle shared by d docs emits d² pair
     rows — one boilerplate phrase across 1M docs is a 10^12-row join
     — so at scale the cap is what keeps candidates bounded; it's the
-    stop-word discipline of near-dup detection. Default None = exact."""
-    # ONE shuffle of the shingle strings (groupBy shingle → sorted id
-    # array), then pairs are generated JVM-side from each posting
-    # list — the previous self-join shuffled the full shingle set
-    # TWICE (both join sides hash-partitioned by shingle) before the
-    # pair aggregation; at sf0.1 the grouped form measured 2.1×
-    # faster (3.17 → 1.48 s) with bit-identical pairs, and at scale
-    # it halves the heaviest exchange (guide §2.3/§2.4). Pair
-    # emission is two chained generates — posexplode of the posting
-    # list, then explode of each element's tail slice — so peak
-    # per-row memory is O(list), never the O(list²) a flattened
-    # pair array would materialize on a boilerplate shingle.
-    ids = sh.groupBy("shingle").agg(
-        F.array_sort(F.collect_list(id_col)).alias("_ids")
-    )
-    if max_df is not None:
-        ids = ids.filter(F.size("_ids") <= max_df)
-        # per-doc sizes over the SAME reduced shingle space (the cap
-        # drops capped shingles from the counts too — unchanged
-        # contract); id rows are far narrower than shingle strings,
-        # so this recount exchange is cheaper than the semi-join the
-        # row form needed
-        counts = (
-            ids.select(F.explode("_ids").alias(id_col))
-            .groupBy(id_col)
-            .agg(F.count(F.lit(1)).alias("n_shingles"))
+    stop-word discipline of near-dup detection. Default None = exact.
+
+    ``strategy`` picks the pair-generation plan (both produce
+    bit-identical results — same pairs, same rounded values):
+
+    - ``"join"`` — the inverted-index self-join. When the shingle
+      relation fits ``spark.sql.autoBroadcastJoinThreshold`` Spark
+      executes it as a broadcast join with ZERO exchanges — the best
+      plan at small scale (interleaved A/B at sf0.1: 2.62 vs 3.60 s
+      inside corpus_dedup_staged). Too big to broadcast, it becomes
+      a double shuffle of the full shingle-string set.
+    - ``"grouped"`` — ONE shuffle of the shingle strings (groupBy
+      shingle → sorted posting list), pairs emitted JVM-side via two
+      chained generates (posexplode + tail-slice explode, O(list)
+      peak memory per row, never O(list²)). Halves the heaviest
+      exchange once the shingle set is past broadcast size — the
+      100 TB shape (guide §2.3/§2.4; A/B on a non-broadcastable
+      shingle set: 3.17 → 1.15 s).
+    - ``"auto"`` — measure, then choose (guide §3.1: pick the join
+      strategy from REAL sizes, not estimates): one small agg job
+      over ``sh`` (count + avg shingle length) estimates the relation
+      bytes; at or under the session's broadcast threshold → "join",
+      else "grouped". The probe re-evaluates ``sh``'s lineage, so
+      pass a checkpointed/cached frame (every registry caller does)
+      or pick a strategy explicitly for single-shot lazy input.
+    """
+    if strategy == "auto":
+        stats = sh.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.avg(F.length("shingle")).alias("_w"),
+        ).collect()[0]
+        try:
+            bcast = int(
+                sh.sparkSession.conf.get(
+                    "spark.sql.autoBroadcastJoinThreshold", "10485760"
+                )
+            )
+        except ValueError:  # unit-suffixed setting ("64MB") — be safe
+            bcast = -1
+        est = (stats["_n"] or 0) * ((stats["_w"] or 0.0) + 20.0)
+        strategy = "join" if (bcast > 0 and est <= bcast) else "grouped"
+    if strategy == "join":
+        if max_df is not None:
+            keep = (
+                sh.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("_df"))
+                .filter(F.col("_df") <= max_df)
+                .select("shingle")
+            )
+            sh = sh.join(keep, "shingle", "left_semi")
+        counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+        a = sh.select(F.col(id_col).alias("i"), "shingle")
+        b = sh.select(F.col(id_col).alias("j"), "shingle")
+        common = (
+            a.join(b, "shingle")
+            .filter(F.col("i") < F.col("j"))
+            .groupBy("i", "j")
+            .agg(F.count(F.lit(1)).alias("n_common"))
         )
     else:
-        counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    common = (
-        ids.select(F.col("_ids"), F.posexplode("_ids").alias("_pos", "i"))
-        .select(
-            "i",
-            F.explode(
-                F.slice(F.col("_ids"), F.col("_pos") + 2, F.size("_ids"))
-            ).alias("j"),
+        ids = sh.groupBy("shingle").agg(
+            F.array_sort(F.collect_list(id_col)).alias("_ids")
         )
-        .groupBy("i", "j")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+        if max_df is not None:
+            ids = ids.filter(F.size("_ids") <= max_df)
+            # per-doc sizes over the SAME reduced shingle space (the
+            # cap drops capped shingles from the counts too); id rows
+            # are far narrower than shingle strings, so this recount
+            # exchange is cheaper than the semi-join the row form
+            # needed
+            counts = (
+                ids.select(F.explode("_ids").alias(id_col))
+                .groupBy(id_col)
+                .agg(F.count(F.lit(1)).alias("n_shingles"))
+            )
+        else:
+            counts = sh.groupBy(id_col).agg(
+                F.count(F.lit(1)).alias("n_shingles")
+            )
+        common = (
+            ids.select(F.col("_ids"), F.posexplode("_ids").alias("_pos", "i"))
+            .select(
+                "i",
+                F.explode(
+                    F.slice(F.col("_ids"), F.col("_pos") + 2, F.size("_ids"))
+                ).alias("j"),
+            )
+            .groupBy("i", "j")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
     na = counts.select(F.col(id_col).alias("i"), F.col("n_shingles").alias("n_i"))
     nb = counts.select(F.col(id_col).alias("j"), F.col("n_shingles").alias("n_j"))
     jac = F.col("n_common") / (F.col("n_i") + F.col("n_j") - F.col("n_common"))
@@ -309,6 +363,7 @@ def write_minhash_index(
     bands: int = LSH_BANDS,
     id_col: str = "doc_id",
     text_col: str = "text",
+    sigs: DataFrame | None = None,
 ) -> None:
     """Persist a MinHash band index of an existing corpus so later
     batches can near-dedup against it WITHOUT re-reading the corpus
@@ -325,8 +380,14 @@ def write_minhash_index(
     a signature table. ~200 bytes/doc vs ~5 KB of text ⇒ the index
     scan is ~25× cheaper than re-shingling the corpus, and the shuffle
     carries only band rows, never text.
+
+    ``sigs`` (precomputed :func:`minhash_signatures` of a superset of
+    ``docs``) lets several stores of the same corpus — e.g. the posix
+    and manifest lifecycle twins — share ONE hash pass.
     """
-    _write_minhash_store(docs, path, "overwrite", n, k, bands, id_col, text_col)
+    _write_minhash_store(
+        docs, path, "overwrite", n, k, bands, id_col, text_col, sigs=sigs
+    )
 
 
 def append_minhash_index(
@@ -368,16 +429,23 @@ def _write_minhash_store(
     id_col: str,
     text_col: str,
     sh: DataFrame | None = None,
+    sigs: DataFrame | None = None,
 ) -> None:
-    if sh is None:
-        # non-distinct: MinHash MIN is invariant to duplicate
-        # shingles, so the dedup exchange would be a wasted shuffle
-        sh = shingles(docs, n=n, id_col=id_col, text_col=text_col, distinct=False)
+    if sigs is not None:
+        # precomputed signatures may cover a superset — semi-join down
+        sigs = sigs.join(docs.select(id_col), id_col, "semi")
     else:
-        # precomputed shingles may cover a superset (e.g. the whole
-        # micro-batch when only its unique subset is appended)
-        sh = sh.join(docs.select(id_col), id_col, "semi")
-    sigs = minhash_signatures(sh, k=k, id_col=id_col)
+        if sh is None:
+            # non-distinct: MinHash MIN is invariant to duplicate
+            # shingles, so the dedup exchange would be a wasted shuffle
+            sh = shingles(
+                docs, n=n, id_col=id_col, text_col=text_col, distinct=False
+            )
+        else:
+            # precomputed shingles may cover a superset (e.g. the whole
+            # micro-batch when only its unique subset is appended)
+            sh = sh.join(docs.select(id_col), id_col, "semi")
+        sigs = minhash_signatures(sh, k=k, id_col=id_col)
     sig_arr = F.array(*[F.col(f"mh{i}") for i in range(k)])
     rows = sigs.select(
         F.col(id_col).alias("id"),

@@ -342,6 +342,35 @@ def doc_minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EVEN_SIGS_CACHE: dict = {}
+
+
+def _even_sigs_cached(spark: SparkSession, sf_dir: str):
+    """MinHash signatures of the even-id corpus half, hashed once per
+    (session, sf_dir) and shared by every store build of that corpus
+    (the posix base store and the manifest lifecycle twin hash the
+    SAME documents — r14: one localCheckpoint replaces two full
+    shingle+md5+min pipelines; signatures are a pure per-document
+    function so store content is unchanged)."""
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
+    df = _EVEN_SIGS_CACHE.get(key)
+    if df is None:
+        df = DD.minhash_signatures(
+            DD.shingles(
+                load_table(spark, sf_dir, "documents").filter(
+                    F.col("doc_id") % 2 == 0
+                ),
+                distinct=False,
+            )
+        ).localCheckpoint()
+        for k in list(_EVEN_SIGS_CACHE):
+            if k[0] != app_id:
+                del _EVEN_SIGS_CACHE[k]
+        _EVEN_SIGS_CACHE[key] = df
+    return df
+
+
 def _mh_index_cached(spark: SparkSession, sf_dir: str) -> str:
     """Persisted MinHash band index over the even-id half of the
     documents table (the 'existing corpus' for the incremental-dedup
@@ -355,6 +384,7 @@ def _mh_index_cached(spark: SparkSession, sf_dir: str) -> str:
                 F.col("doc_id") % 2 == 0
             ),
             p,
+            sigs=_even_sigs_cached(spark, sf_dir),
         ),
     )
 
@@ -844,7 +874,11 @@ def _mh_manifest_tt_index_cached(spark: SparkSession, sf_dir: str) -> str:
         prev = os.environ.get(BACKEND_ENV)
         os.environ[BACKEND_ENV] = "manifest"
         try:
-            DD.write_minhash_index(docs.filter(F.col("doc_id") % 2 == 0), p)
+            DD.write_minhash_index(
+                docs.filter(F.col("doc_id") % 2 == 0),
+                p,
+                sigs=_even_sigs_cached(spark, sf_dir),
+            )
         finally:
             if prev is None:
                 os.environ.pop(BACKEND_ENV, None)
