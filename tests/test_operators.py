@@ -1075,3 +1075,126 @@ def test_span_df_store_append_delete_compact_lifecycle(spark, tmp_path):
     # geometry pinning: a line store is not a span store
     with _pytest.raises(ValueError):
         DD.incremental_span_removal(spark, str(tmp_path / "nope"), probe)
+
+
+def test_jaccard_pairs_strategies_bit_identical(spark):
+    """r14: jaccard_pairs grew a strategy router (broadcast self-join
+    vs single-shuffle posting lists vs measured auto). All three
+    routes must emit bit-identical pairs — same (i, j) set, same
+    rounded jaccard — at any threshold, with and without max_df."""
+    docs = load_table(spark, SF, "documents")
+    sh = DD.shingles(docs).localCheckpoint()
+    for thr in (0.1, 0.7):
+        by_strategy = [
+            sorted(
+                (r["i"], r["j"], r["jaccard"])
+                for r in DD.jaccard_pairs(sh, threshold=thr, strategy=s).collect()
+            )
+            for s in ("join", "grouped", "auto")
+        ]
+        assert by_strategy[0] == by_strategy[1] == by_strategy[2], thr
+        assert by_strategy[0], f"no pairs at thr={thr} — fixture too weak"
+    # max_df is a pre-pair candidate cap: the join route filters on a
+    # grouped count, the grouped route on posting-list size — same set
+    capped = [
+        sorted(
+            (r["i"], r["j"], r["jaccard"])
+            for r in DD.jaccard_pairs(
+                sh, threshold=0.1, max_df=5, strategy=s
+            ).collect()
+        )
+        for s in ("join", "grouped")
+    ]
+    assert capped[0] == capped[1]
+
+
+def test_classify_error_first_match_priority(spark):
+    """r14: classify_error was rebuilt as one flat CASE chain. The
+    iterative form's semantics — first match wins, permanent patterns
+    checked before retryable — must survive the rewrite, including on
+    messages that match BOTH families."""
+    from tiki_data_pipeline_spark.operators import quarantine as Q
+
+    cases = {
+        "404 not found while retrying after timeout": "permanent",
+        "connection reset by peer": "retryable",
+        "invalid json at byte 7": "permanent",
+        "HTTP 429 rate limit, body was malformed": "permanent",
+        "total mystery": "unknown",
+        "503 service unavailable": "retryable",
+    }
+    df = spark.createDataFrame([(m,) for m in cases], "error string")
+    got = {
+        r["error"]: r["cls"]
+        for r in df.select(
+            "error", Q.classify_error(F.col("error")).alias("cls")
+        ).collect()
+    }
+    assert got == cases
+
+
+def test_classify_error_plan_stays_linear(spark):
+    """r14 regression guard: the pre-rewrite fold embedded the prior
+    CASE tree twice per rule (2^9 expression copies, ~100 kB plan).
+    The flat chain is linear — each pattern's RLIKE appears a bounded
+    number of times in the optimized plan even when the classification
+    is referenced by several downstream columns."""
+    from tiki_data_pipeline_spark.operators import quarantine as Q
+
+    df = spark.createDataFrame(
+        [("timeout", 0), ("404", 1)], "error string, retry_count int"
+    )
+    plan = Q.route_failures(df)._jdf.queryExecution().optimizedPlan().toString()
+    n_rules = len(Q.PERMANENT_PATTERNS) + len(Q.RETRYABLE_PATTERNS)
+    # error_class + two decision branches each reference the CASE once
+    assert plan.count("RLIKE") <= 4 * n_rules, plan.count("RLIKE")
+    assert len(plan) < 20_000, len(plan)
+
+
+def test_precomputed_sigs_equal_inline_path(spark, tmp_path):
+    """r14: serves and builds can share one signature pass via the
+    ``sigs=`` parameter. Passing precomputed signatures must change
+    NOTHING about the result — same status rows from
+    incremental_dedup_status, same candidate pairs from
+    minhash_index_near_dups, byte-equivalent store from
+    write_minhash_index."""
+    docs = load_table(spark, SF, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+
+    corpus_sh = DD.shingles(corpus).localCheckpoint()
+    corpus_sigs = DD.minhash_signatures(corpus_sh).localCheckpoint()
+    p_inline = str(tmp_path / "idx_inline")
+    p_shared = str(tmp_path / "idx_shared")
+    DD.write_minhash_index(corpus, p_inline)
+    DD.write_minhash_index(corpus, p_shared, sigs=corpus_sigs)
+
+    batch_sh = DD.shingles(batch).localCheckpoint()
+    batch_sigs = DD.minhash_signatures(batch_sh).localCheckpoint()
+
+    pairs_inline = {
+        (r["new_id"], r["old_id"], r["est_jaccard"])
+        for r in DD.minhash_index_near_dups(
+            spark, p_inline, batch, threshold=0.0
+        ).collect()
+    }
+    pairs_shared = {
+        (r["new_id"], r["old_id"], r["est_jaccard"])
+        for r in DD.minhash_index_near_dups(
+            spark, p_shared, batch, threshold=0.0, sh=batch_sh, sigs=batch_sigs
+        ).collect()
+    }
+    assert pairs_inline == pairs_shared
+    assert pairs_inline, "no cross-split candidates — fixture too weak"
+
+    st_inline = {
+        (r[0], r[1], r[2])
+        for r in DD.incremental_dedup_status(spark, p_inline, batch).collect()
+    }
+    st_shared = {
+        (r[0], r[1], r[2])
+        for r in DD.incremental_dedup_status(
+            spark, p_shared, batch, sh=batch_sh, sigs=batch_sigs
+        ).collect()
+    }
+    assert st_inline == st_shared

@@ -136,3 +136,21 @@ def test_oversized_dim_raises(spark):
     fact = spark.range(5).select(F.col("id").cast("double").alias("v"))
     with pytest.raises(ValueError, match="bucket-expansion"):
         range_bucket_attach(fact, big, "v", max_dim_rows=8)
+
+
+def test_expanded_builds_on_dim_side(spark, overlapping_dim):
+    """r14: the exploded dim is a stats-less local relation, so
+    Catalyst picked the FACT side as the broadcast build side (fatal
+    inversion at scale). The operator now measures the expanded dim
+    row count and pins it with an explicit broadcast hint — the build
+    side must be the dim (BuildRight with fact on the left)."""
+    fact = spark.range(100).select(F.col("id").cast("double").alias("v"))
+    plan = (
+        range_join_expanded(fact, overlapping_dim, "v", bucket_width=4.0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "BuildRight" in plan
+    assert "BuildLeft" not in plan
