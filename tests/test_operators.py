@@ -1198,3 +1198,29 @@ def test_precomputed_sigs_equal_inline_path(spark, tmp_path):
         ).collect()
     }
     assert st_inline == st_shared
+
+    # r14: the fps= parameter (precomputed content fingerprints) must
+    # change nothing either — including the no_text status, which the
+    # fps path derives from fp IS NULL instead of text IS NULL
+    null_doc = spark.createDataFrame(
+        [(999_999, None)], "doc_id bigint, text string"
+    )
+    batch_n = batch.select("doc_id", "text").unionByName(null_doc)
+    batch_n_sigs = DD.minhash_signatures(
+        DD.shingles(batch_n, distinct=False)
+    ).localCheckpoint()
+    batch_n_fps = batch_n.select(
+        "doc_id", DD._content_fingerprint("text").alias("fp")
+    ).localCheckpoint()
+    st_plain = {
+        (r[0], r[1], r[2])
+        for r in DD.incremental_dedup_status(spark, p_inline, batch_n).collect()
+    }
+    st_fps = {
+        (r[0], r[1], r[2])
+        for r in DD.incremental_dedup_status(
+            spark, p_shared, batch_n, sigs=batch_n_sigs, fps=batch_n_fps
+        ).collect()
+    }
+    assert st_plain == st_fps
+    assert (999_999, "no_text", None) in st_fps

@@ -702,6 +702,7 @@ def incremental_dedup_status(
     text_col: str = "text",
     sh: DataFrame | None = None,
     sigs: DataFrame | None = None,
+    fps: DataFrame | None = None,
 ) -> DataFrame:
     """Staged incremental dedup of a new batch against a persisted
     corpus store (:func:`write_minhash_index`): exact-fingerprint
@@ -709,6 +710,14 @@ def incremental_dedup_status(
     sidecar), MinHash near-dup SECOND on the remainder only — the
     exact-first order that makes the expensive stage see the smallest
     input at 100 TB (same staging as ``corpus_dedup_staged``).
+
+    ``fps`` (optional) is a precomputed ``(id_col, fp)`` frame for the
+    batch — fingerprints, like MinHash signatures, are a pure function
+    of each document alone, so a caller running several serves over
+    the same batch (the as-of + live halves of a time-travel audit)
+    normalizes+hashes the text ONCE and hands each serve the
+    materialized result. ``fp`` must be NULL exactly for NULL texts
+    (the contract of :func:`_content_fingerprint`).
 
     Returns one row per batch doc: ``(id, status, matched_id)`` with
     status ∈ {exact_dup, near_dup, unique, no_text} (``no_text`` =
@@ -721,21 +730,29 @@ def incremental_dedup_status(
     """
     from pyspark.sql import Window as W
 
-    batch = new_docs.select(
-        F.col(id_col), F.col(text_col), _content_fingerprint(text_col).alias("fp")
-    )
+    # text is only re-read downstream when the caller did NOT hand us
+    # precomputed signatures/shingles (the near stage then shingles the
+    # post-exact remainder itself)
+    need_text = sigs is None and sh is None
+    if fps is not None:
+        batch = fps.select(F.col(id_col), F.col("fp"))
+    else:
+        batch = new_docs.select(
+            F.col(id_col), F.col(text_col),
+            _content_fingerprint(text_col).alias("fp"),
+        )
     from tiki_data_pipeline_spark.sources.files import (
         apply_tombstones,
         store_sub,
     )
 
-    fps = store_sub(spark, index_path, "_fingerprints")
-    if fps is None:
+    store_fps = store_sub(spark, index_path, "_fingerprints")
+    if store_fps is None:
         raise ValueError(
             f"store at {index_path} has no _fingerprints sidecar - not a "
             "minhash index store"
         )
-    store = apply_tombstones(fps, index_path).select(
+    store = apply_tombstones(store_fps, index_path).select(
         # alias: the caller's id_col may itself be named "id"
         F.col("id").alias("_store_id"), "fp"
     )
@@ -746,8 +763,10 @@ def incremental_dedup_status(
         .withColumn("status", F.lit("exact_dup"))
     )
     fresh = batch.join(exact.select(id_col), id_col, "left_anti").select(
-        id_col, text_col
+        *([id_col, text_col] if (need_text and fps is None) else [id_col])
     )
+    if need_text and fps is not None:
+        fresh = fresh.join(new_docs.select(id_col, text_col), id_col)
     near_pairs = minhash_index_near_dups(
         spark, index_path, fresh, threshold=threshold, n=n, k=k, bands=bands,
         id_col=id_col, text_col=text_col, sh=sh, sigs=sigs,
@@ -775,8 +794,15 @@ def incremental_dedup_status(
         # status it no_text, the document twin of similarity's
         # no_vector (whitespace-only/short texts are NOT this case:
         # they still carry an exact fingerprint)
-        new_docs.select(
-            id_col, F.col(text_col).isNull().alias("_no_text")
+        (
+            # fp is NULL exactly when text is — with a materialized fps
+            # frame the flag costs nothing and new_docs' text is never
+            # re-scanned for it
+            fps.select(id_col, F.col("fp").isNull().alias("_no_text"))
+            if fps is not None
+            else new_docs.select(
+                id_col, F.col(text_col).isNull().alias("_no_text")
+            )
         )
         .join(hits, id_col, "left")
         .select(
@@ -895,7 +921,15 @@ def simhash_near_dups(
     column predicate over the two signatures), so no distinct shuffle
     is needed before the exact-popcount verification.
     """
-    sigs = simhash_signatures(docs, id_col=id_col, text_col=text_col)
+    # the self-join below consumes the signature frame on BOTH sides;
+    # without a checkpoint each side re-runs the whole tokenize + md5 +
+    # 32-bit-sum aggregation pipeline (the expensive half of the query)
+    # — materialize the tiny (id, simhash) frame once (r14, guide §1.2
+    # "don't compute things you throw away" / §3.3 materialize shared
+    # join inputs)
+    sigs = simhash_signatures(
+        docs, id_col=id_col, text_col=text_col
+    ).localCheckpoint(eager=False)
     n_blocks = max_hamming + 1
     block_bits = SIMHASH_BITS // n_blocks
     mask = (1 << block_bits) - 1

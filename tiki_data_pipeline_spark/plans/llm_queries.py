@@ -807,11 +807,18 @@ def _tt_status_serve(spark: SparkSession, sf_dir: str, store: str) -> DataFrame:
     sigs = DD.minhash_signatures(
         DD.shingles(batch, distinct=False)
     ).localCheckpoint(eager=False)
+    # the exact stage's content fingerprint is pure-per-document too:
+    # normalize+md5 the batch text ONCE (r14 follow-up to the shared
+    # sigs — each serve previously re-ran the regexp+md5 pass; the
+    # materialized frame is 2 narrow columns)
+    fps = batch.select(
+        "doc_id", DD._content_fingerprint("text").alias("fp")
+    ).localCheckpoint(eager=False)
     asof = DD.incremental_dedup_status(
-        spark, version_path(store, 1), batch, threshold=0.5, sigs=sigs
+        spark, version_path(store, 1), batch, threshold=0.5, sigs=sigs, fps=fps
     )
     now = DD.incremental_dedup_status(
-        spark, store, batch, threshold=0.5, sigs=sigs
+        spark, store, batch, threshold=0.5, sigs=sigs, fps=fps
     )
     return (
         asof.select(
@@ -1451,6 +1458,8 @@ def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair). The SQL-expressible greedy pass; cluster-correct resolution
     (connected components) is operators/graph.dedup_survivors, tested
     separately."""
+    from pyspark.sql import Window as W
+
     docs = load_table(spark, sf_dir, "documents")
     fp = docs.select(
         "doc_id",
@@ -1458,16 +1467,27 @@ def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
         ).alias("fingerprint"),
     )
-    a = fp.select(F.col("doc_id").alias("i"), "fingerprint")
-    b = fp.select(F.col("doc_id").alias("j"), "fingerprint")
-    exact_pairs = a.join(b, "fingerprint").filter(F.col("i") < F.col("j")).select(
-        "i", "j"
+    # the greedy rule drops j of every exact pair (i<j, same fp) — that
+    # set is exactly "every doc that is not the min id of its
+    # fingerprint group", so ONE narrow window pass replaces the
+    # fingerprint self-join (r14: the join hashed the text twice and
+    # shuffled the fp relation twice; guide §2.4 remove shuffles
+    # outright). Value-identical by construction: j appears in some
+    # pair iff an i<j shares its fingerprint iff j ≠ group min.
+    exact_dropped = (
+        fp.withColumn(
+            "_m", F.min("doc_id").over(W.partitionBy("fingerprint"))
+        )
+        .filter(F.col("doc_id") != F.col("_m"))
+        .select(F.col("doc_id").alias("j"))
     )
     near_pairs = DD.jaccard_pairs(
         _shingles_cached(spark, sf_dir), threshold=0.9
     ).select("i", "j")
     dropped = (
-        exact_pairs.unionByName(near_pairs).select(F.col("j").alias("_dropped")).distinct()
+        exact_dropped.unionByName(near_pairs.select("j"))
+        .select(F.col("j").alias("_dropped"))
+        .distinct()
     )
     return (
         # no broadcast hint: the dropped set scales with the duplicate
@@ -1548,11 +1568,25 @@ def corpus_dedup_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
-    ranked = docs.select("doc_id", "text", fp.alias("fingerprint")).withColumn(
-        "exact_survivor",
-        F.col("doc_id") == F.min("doc_id").over(W.partitionBy("fingerprint")),
+    # the exact-survivor window needs only (doc_id, fingerprint) — keep
+    # the text payload OUT of its exchange (guide §2.3 "shuffle keys,
+    # not payloads"), and materialize the narrow result once: it feeds
+    # BOTH the near stage (survivor ids → shingle source) and the final
+    # status projection, which otherwise each re-run the md5 pass and
+    # the window exchange (r14)
+    ranked = (
+        docs.select("doc_id", fp.alias("fingerprint"))
+        .withColumn(
+            "exact_survivor",
+            F.col("doc_id") == F.min("doc_id").over(W.partitionBy("fingerprint")),
+        )
+        .localCheckpoint(eager=False)
     )
-    survivors = ranked.filter(F.col("exact_survivor")).select("doc_id", "text")
+    # survivor text never crosses a fingerprint exchange: re-scan the
+    # table and semi-join on the (id-only) survivor set
+    survivors = docs.select("doc_id", "text").join(
+        ranked.filter(F.col("exact_survivor")).select("doc_id"), "doc_id", "semi"
+    )
     near_dropped = (
         DD.jaccard_pairs(DD.shingles(survivors).localCheckpoint(), threshold=0.9)
         .select(F.col("j").alias("_nd"))

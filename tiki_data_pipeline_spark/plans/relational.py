@@ -320,7 +320,17 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def or_join_part_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OR-join decomposition: equi-join union instead of nested loop (J1)."""
+    """OR-join decomposition: equi-join union instead of nested loop (J1).
+
+    (r14 probe note: a single-fact-scan variant — two chained LEFT
+    broadcast lookups + explode of the ≤2 matched brands — produces
+    the identical pair set with half the lineitem scans, but LOST the
+    interleaved same-session A/B 1.457 → 2.093 s at sf0.1: the wide
+    two-join intermediate plus the Generate row doubling costs more
+    than the second columnar scan saves. Recorded so it is not
+    retried; the union form's scans are embarrassingly parallel and
+    its joins stay AQE-broadcast.)
+    """
     part = load_table(spark, sf_dir, "part")
     li = load_table(spark, sf_dir, "lineitem")
     branch1 = part.join(li, li.l_partkey == part.p_partkey).select(
