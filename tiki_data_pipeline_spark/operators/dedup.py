@@ -656,6 +656,14 @@ def minhash_index_near_dups_verified(
     sh_all = shingles(
         new_docs, n=n, id_col=id_col, text_col=text_col, distinct=False
     ).localCheckpoint(eager=False)
+    # (r14 probe note: checkpointing cand / sh_new / sh_old — each is
+    # consumed 2-3× and the plan scans raw text 8× — LOST the
+    # interleaved A/B 2.218 → 2.655 s at sf0.1: three materialization
+    # barriers serialize subtrees that otherwise execute in parallel,
+    # and every duplicated scan here is batch- or candidate-bounded.
+    # Recorded so it is not retried; contrast the line family, where
+    # the same pattern at 9-13 duplicated scans of heavier per-scan
+    # work WON by 15-19%.)
     cand = minhash_index_near_dups(
         spark, index_path, new_docs, threshold=0.0, n=n, k=k, bands=bands,
         id_col=id_col, text_col=text_col, sh=sh_all,
@@ -756,6 +764,13 @@ def incremental_dedup_status(
         # alias: the caller's id_col may itself be named "id"
         F.col("id").alias("_store_id"), "fp"
     )
+    # (r14 probe note: checkpointing this tiny frame — it is consumed
+    # three times, and the serve plan re-runs the fingerprint pass and
+    # store join per reference, 6 batch scans — LOST the interleaved
+    # A/B 1.737 → 2.020 s at sf0.1: the materialization barrier
+    # serializes work the duplicated subtrees otherwise run in
+    # parallel, and every duplicated scan is BATCH-bounded, never
+    # corpus-sized. Recorded so it is not retried.)
     exact = (
         batch.join(store, "fp")
         .groupBy(id_col)
@@ -1489,12 +1504,19 @@ def remove_duplicate_lines(
     this learns boilerplate lines corpus-wide from document frequency.
     """
     lines = _doc_lines(docs, id_col, text_col)
+    # materialize the narrow dup-key set once: it is consumed by BOTH
+    # halves of the cut (the affected-id probe and the per-line flag
+    # join), and each un-materialized reference re-ran the whole
+    # explode+hash+groupBy pipeline over raw text — the plan scanned
+    # the documents table 9× (r14; guide §1.2 "don't compute things
+    # you throw away"). Only hashes are stored, never text.
     dup_keys = (
         lines.filter(F.col("lh").isNotNull())
         .groupBy("lh")
         .agg(F.count_distinct(F.col(id_col)).alias("line_df"))
         .filter(F.col("line_df") >= min_df)
         .select("lh")
+        .localCheckpoint(eager=False)
     )
     return _cut_dup_lines(docs, lines, dup_keys, id_col, text_col)
 
@@ -1530,8 +1552,14 @@ def _cut_dup_lines(
     whose hash is in ``dup_keys``, reassemble affected documents in
     position order, pass untouched documents through with their
     ORIGINAL text and no text shuffle."""
+    # ids only — scale-safe to materialize at any corpus size; its two
+    # consumers (the untouched anti-join and the cleaned semi-join)
+    # otherwise each re-derive it from a fresh raw-text scan
     affected = (
-        lines.join(dup_keys, "lh", "left_semi").select(id_col).distinct()
+        lines.join(dup_keys, "lh", "left_semi")
+        .select(id_col)
+        .distinct()
+        .localCheckpoint(eager=False)
     )
     untouched = docs.join(affected, id_col, "left_anti").select(
         id_col,
@@ -1773,8 +1801,14 @@ def incremental_line_removal(
     store-side shuffle of non-matching lines."""
     lines = _doc_lines(batch, id_col, text_col)
     keyed = lines.filter(F.col("lh").isNotNull())
-    batch_df = keyed.groupBy("lh").agg(
-        F.count_distinct(F.col(id_col)).alias("_df_b")
+    # narrow (lh, df) — materialized once: it feeds the store semi-join
+    # AND the total; un-materialized, each reference re-exploded and
+    # re-hashed the batch text (the serve plan scanned the batch 13×
+    # before r14)
+    batch_df = (
+        keyed.groupBy("lh")
+        .agg(F.count_distinct(F.col(id_col)).alias("_df_b"))
+        .localCheckpoint(eager=False)
     )
     from tiki_data_pipeline_spark.sources.files import store_data
 
@@ -1794,7 +1828,14 @@ def incremental_line_removal(
             + F.coalesce(F.col("_df_s"), F.lit(0))
         ).alias("line_df"),
     )
-    dup_keys = total.filter(F.col("line_df") >= min_df).select("lh")
+    # tiny (duplicated hashes only) — consumed twice by the cut; the
+    # checkpoint also keeps its two references from re-scanning the
+    # store's (lh, df) columns
+    dup_keys = (
+        total.filter(F.col("line_df") >= min_df)
+        .select("lh")
+        .localCheckpoint(eager=False)
+    )
     return _cut_dup_lines(batch, lines, dup_keys, id_col, text_col)
 
 
