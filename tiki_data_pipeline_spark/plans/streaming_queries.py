@@ -308,36 +308,59 @@ def events_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel view → click → purchase: per user,
     the first view, the first click STRICTLY AFTER it, and the first
-    purchase strictly after that, plus the reached depth. Three
-    aggregates and two joins all keyed on user_id — after the first
-    hash exchange every later stage reuses the same partitioning, so
-    the funnel costs ~one shuffle of the (user, ts) projection no
-    matter how many steps; event-type filters push to the scan."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", "ts"
-    )
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("view_ts"))
-    )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("view_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("click_ts"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("click_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("purchase_ts"))
+    purchase strictly after that, plus the reached depth. One scan of
+    the (user, type, ts) projection and one user_id exchange, however
+    many steps the funnel has — the chained window minima and the
+    final same-key aggregate all reuse that partitioning."""
+    from pyspark.sql import Window as W
+
+    # r14 single-pass form: the aggregate-and-join cascade re-derived
+    # each earlier step per consumer, scanning the events table 6× per
+    # query (v feeds c and the final join; c feeds p and the final
+    # join; subtrees are duplicated, not shared). Three per-user
+    # window minima over ONE scan and ONE user_id exchange compute the
+    # identical sequential funnel: each step's min is conditional on
+    # the previous step's (partition-constant) timestamp, and a step
+    # with no qualifying event yields NULL exactly like the inner
+    # join+filter did. The same-key groupBy collapses to one row per
+    # user with no further exchange.
+    w = W.partitionBy("user_id")
+    stepped = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts")
+        .withColumn(
+            "view_ts",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "click_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("view_ts")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "purchase_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("click_ts")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
     )
     return (
-        v.join(c, "user_id", "left")
-        .join(p, "user_id", "left")
+        stepped.filter(F.col("view_ts").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.max("view_ts").alias("view_ts"),
+            F.max("click_ts").alias("click_ts"),
+            F.max("purchase_ts").alias("purchase_ts"),
+        )
         .select(
             "user_id",
             "view_ts",
