@@ -266,7 +266,15 @@ def main() -> None:
         Path(out_path).write_text(json.dumps(payload, indent=1) + "\n")
     except OSError as exc:
         print(f"# could not write {out_path}: {exc}", file=sys.stderr)
-    print(json.dumps(payload))
+    # Compact separators: the driver keeps a bounded stdout tail (2000
+    # chars observed in BENCH_r14.json) and the r13 line failed to
+    # parse there; 144 query names alone are ~4.4 kB so no complete
+    # line can ever fit the tail — but every byte saved extends how
+    # much of the map the tail covers, and the driver's full-stdout
+    # parse (which succeeded in r14) gets the same line either way.
+    # The line stays LAST on stdout and the full JSON persists to
+    # bench_full_latest.json above.
+    print(json.dumps(payload, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":

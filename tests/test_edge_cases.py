@@ -285,3 +285,32 @@ def test_history_null_price_change_classification(spark):
         3: "price_change",   # 100 -> NULL
         4: "no_change",      # NULL -> NULL, sales equal
     }, got
+
+
+def test_corpus_dedup_pipeline_null_text_survives(spark, tmp_path):
+    """md5(NULL) is NULL: the oracle's fingerprint self-join uses
+    equality (NULL never matches → every NULL-text doc survives), but
+    a window PARTITION BY fingerprint groups all NULLs together — the
+    r14 rewrite must filter NULL fingerprints before the window or
+    NULL-text docs beyond the first would be dropped as exact dups
+    (latent at sf0.1, which has zero NULL texts)."""
+    from tiki_data_pipeline_spark.plans.llm_queries import (
+        corpus_dedup_pipeline,
+    )
+
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", "en"),
+            (2, "alpha beta gamma delta", "en"),  # exact dup of 1
+            (3, None, "en"),  # NULL text — must survive
+            (4, None, "vi"),  # second NULL text — must ALSO survive
+            (5, "totally different words here", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        r["doc_id"]: r["survivor"]
+        for r in corpus_dedup_pipeline(spark, sf_dir).collect()
+    }
+    assert got == {1: True, 2: False, 3: True, 4: True, 5: True}

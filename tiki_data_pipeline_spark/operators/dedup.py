@@ -725,7 +725,13 @@ def incremental_dedup_status(
     the same batch (the as-of + live halves of a time-travel audit)
     normalizes+hashes the text ONCE and hands each serve the
     materialized result. ``fp`` must be NULL exactly for NULL texts
-    (the contract of :func:`_content_fingerprint`).
+    (the contract of :func:`_content_fingerprint`), and ``fps`` must
+    be a PROJECTION of ``new_docs`` — one row per batch id, built from
+    the same frame: when ``fps`` is given it drives the output row set
+    (an id missing from ``fps`` disappears; an extra id gets a status
+    without its text), and the text-rehydration join is inner by
+    design. Every in-repo caller builds ``fps`` as
+    ``new_docs.select(id, fp)``; external callers own that invariant.
 
     Returns one row per batch doc: ``(id, status, matched_id)`` with
     status ∈ {exact_dup, near_dup, unique, no_text} (``no_text`` =

@@ -1473,9 +1473,13 @@ def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fingerprint self-join (r14: the join hashed the text twice and
     # shuffled the fp relation twice; guide §2.4 remove shuffles
     # outright). Value-identical by construction: j appears in some
-    # pair iff an i<j shares its fingerprint iff j ≠ group min.
+    # pair iff an i<j shares its fingerprint iff j ≠ group min —
+    # EXCEPT for NULL text: md5(NULL) is NULL, the join's equality
+    # never matches NULL (every NULL-text doc survives) but a window
+    # PARTITION BY groups all NULLs together; filter them out first.
     exact_dropped = (
-        fp.withColumn(
+        fp.filter(F.col("fingerprint").isNotNull())
+        .withColumn(
             "_m", F.min("doc_id").over(W.partitionBy("fingerprint"))
         )
         .filter(F.col("doc_id") != F.col("_m"))
