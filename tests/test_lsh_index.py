@@ -1624,3 +1624,34 @@ def test_ivf_arrow_scoring_parity(spark, tmp_path):
         )
         ra, re_ = sorted(map(key, sa.collect())), sorted(map(key, se.collect()))
         assert ra == re_ and len(ra) == 80
+
+
+def test_py_lsh_bucket_matches_expression(spark):
+    """The driver-side probe-bucket fold (r15: lsh_index_topk collects
+    plain (id, qv) and buckets in Python) must be BIT-identical to the
+    lsh_bucket Catalyst expression — including the NULL/length edge
+    semantics (short row → NULL-padded zip_with → NULL projection →
+    zero plane contribution)."""
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    dim = SIM._vec_dim(emb, "embedding")
+    rows = emb.select(
+        "vec_id",
+        SIM.as_double(F.col("embedding")).alias("qv"),
+        SIM.lsh_bucket(SIM.as_double(F.col("embedding")), dim, 8).alias("qb"),
+    ).collect()
+    assert rows, "fixture corpus must not be empty"
+    for r in rows:
+        assert SIM._py_lsh_bucket(r["qv"], dim, 8) == int(r["qb"])
+    # edge semantics: short row and NULL element mirror the expression
+    short = spark.createDataFrame(
+        [(1, [0.5, -0.25]), (2, None)], "vec_id long, embedding array<double>"
+    )
+    srows = short.select(
+        "vec_id",
+        SIM.as_double(F.col("embedding")).alias("qv"),
+        SIM.lsh_bucket(SIM.as_double(F.col("embedding")), dim, 8).alias("qb"),
+    ).collect()
+    for r in srows:
+        got = SIM._py_lsh_bucket(r["qv"], dim, 8)
+        want = 0 if r["qb"] is None else int(r["qb"])
+        assert got == want

@@ -64,6 +64,19 @@ def _md5_long(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
+def _md5_long32(col: Column) -> Column:
+    """``_md5_long(col) mod 2**32`` — hex chars 8–15 of the digest
+    (16**8 ≡ 0 mod 2**32, so the leading 7 chars cannot contribute).
+    Bit-identical to ``_md5_long(col) & mask`` for ANY mask < 2**32,
+    which covers every masked caller (``_H0_MASK``/``_TOKEN_MASK`` are
+    2**30−1); ``conv`` over 8 hex chars instead of 15 measures ~20%
+    cheaper per row (r15 microbench: 0.395 → 0.316 s/4M rows, zero
+    mismatches on the full frame). Callers that need the full 60-bit
+    value (rolling ``% ROLLING_MOD``, line hashes) keep
+    :func:`_md5_long`."""
+    return F.conv(F.substring(F.md5(col), 8, 8), 16, 10).cast("bigint")
+
+
 def shingles(
     docs: DataFrame,
     n: int = 3,
@@ -260,7 +273,7 @@ def _minhash_params(k: int) -> list[tuple[int, int]]:
 def minhash_signatures(sh: DataFrame, k: int = MINHASH_K, id_col: str = "doc_id") -> DataFrame:
     """k MinHash values per document in ONE aggregation: k min
     columns over the universal-hash family (no seed explosion)."""
-    h0 = (_md5_long(F.col("shingle")).bitwiseAND(F.lit(_H0_MASK))).alias("h0")
+    h0 = (_md5_long32(F.col("shingle")).bitwiseAND(F.lit(_H0_MASK))).alias("h0")
     hashed = sh.select(id_col, h0)
     mins = [
         F.min((F.col("h0") * a + b) % MINHASH_PRIME).alias(f"mh{i}")
@@ -870,7 +883,7 @@ def rolling_fingerprint(
     """
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     tok_hashes = F.transform(
-        toks, lambda t: _md5_long(t).bitwiseAND(F.lit(_TOKEN_MASK))
+        toks, lambda t: _md5_long32(t).bitwiseAND(F.lit(_TOKEN_MASK))
     )
     content_fp = F.aggregate(
         tok_hashes,
@@ -1016,7 +1029,7 @@ def _span_token_hash(t: Column, hash_mode: str) -> Column:
     family's xxhash64 mode bought 18× there). Pinned by a
     md5-vs-xxhash64 result-parity test instead of a SQL oracle."""
     if hash_mode == "md5":
-        return _md5_long(t).bitwiseAND(F.lit(_TOKEN_MASK))
+        return _md5_long32(t).bitwiseAND(F.lit(_TOKEN_MASK))
     if hash_mode == "xxhash64":
         return F.pmod(F.xxhash64(t), F.lit(_TOKEN_MASK + 1))
     raise ValueError(f"unknown span hash_mode {hash_mode!r}")

@@ -305,6 +305,37 @@ def _plane_weight(plane: int, dim_index: int) -> float:
     return h / float(2**59) - 1.0
 
 
+def _py_lsh_bucket(vec, dim: int, n_planes: int) -> int:
+    """Driver-side twin of :func:`lsh_bucket` for already-collected
+    query vectors — BIT-IDENTICAL to the Catalyst expression: the same
+    left-to-right IEEE-double fold (``x * w`` per element, then
+    ``acc + x``) over the same :func:`_plane_weight` values, so the
+    sign of every projection matches the expression's exactly (Python
+    floats ARE IEEE doubles; same ops, same order). Mirrors the
+    expression's NULL semantics: a row whose length differs from
+    ``dim`` sees NULL padding in ``zip_with`` → NULL projection →
+    zero contribution for that plane, and a NULL element poisons the
+    fold the same way. Exists so the serve path can collect plain
+    ``(id, qv)`` rows instead of planning an 8×dim-literal bucket
+    expression per serve (r15: the expression collect measured
+    ~0.7 s/serve at sf0.1 vs ~0.1 s for the plain collect)."""
+    if vec is None:
+        return 0
+    bucket = 0
+    for p in range(n_planes):
+        acc = 0.0
+        n = max(len(vec), dim)
+        for i in range(n):
+            x = vec[i] if i < len(vec) else None
+            if x is None or i >= dim:
+                acc = None
+                break
+            acc = acc + (x * _plane_weight(p, i + 1))
+        if acc is not None and acc > 0:
+            bucket += 1 << p
+    return bucket
+
+
 def _vec_dim(df: DataFrame, vec_col: str) -> int:
     """Vector dimensionality, from the first row carrying an actual
     vector (one tiny job) — a NULL/empty leading row must not crash
@@ -1959,17 +1990,24 @@ def lsh_index_topk(
     probe_planes = _resolve_probe_planes(
         probe_planes, index_path, n_planes, emit_radius
     )
-    dim = _vec_dim(queries, vec_col)
+    # Plain (id, qv) collect; dim and the probe bucket are derived
+    # driver-side from the collected vectors (bit-identical fold, see
+    # _py_lsh_bucket) — the previous shape paid a _vec_dim probe job
+    # PLUS per-serve planning of the 8×dim-literal bucket expression
+    # (~0.7 s/serve at sf0.1 vs ~0.1 s for this collect, r15 A/B).
     q_rows = (
         queries.select(
             F.col(id_col).alias("query_id"),
             as_double(F.col(vec_col)).alias("qv"),
-            lsh_bucket(as_double(F.col(vec_col)), dim, n_planes).alias("qb"),
         )
         .limit(MAX_QUERY_SET + 1)  # bound the collect before it happens
         .collect()
     )
     _check_query_set(len(q_rows))
+    dim = next(
+        (len(r["qv"]) for r in q_rows if r["qv"] is not None and len(r["qv"])),
+        1,
+    )
     if probe_planes is None:
         masks = probe_masks(n_planes, emit_radius)
         mask_for = lambda r: masks  # noqa: E731 — shared exhaustive set
@@ -1997,10 +2035,11 @@ def lsh_index_topk(
             return [sum(1 << int(low[i]) for i in pat) for pat in patterns]
 
     probe_rows = [
-        (r["query_id"], r["qv"], _py_norm(r["qv"]), int(r["qb"]) ^ m)
+        (r["query_id"], r["qv"], _py_norm(r["qv"]), qb ^ m)
         for r in q_rows
-        for m in mask_for(r)
         if _py_norm(r["qv"]) > 0  # zero-norm query: no defined cosine
+        for qb in (_py_lsh_bucket(r["qv"], dim, n_planes),)
+        for m in mask_for(r)
     ]
     probe_buckets = sorted({b for _, _, _, b in probe_rows})
     probes = spark.createDataFrame(
