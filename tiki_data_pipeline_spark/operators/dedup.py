@@ -1432,6 +1432,19 @@ def _cut_covered_spans(
             .filter(F.col("_run") >= min_run)
             .select(id_col, "p")
         )
+    # materialize the covered-position frame ONCE: it feeds three
+    # consumers (affected-id anti-join, affected-id semi-join, the
+    # (id, p) cut join) and without the barrier the ENTIRE inventory
+    # subtree — posexplode of the window-hash arrays, the full
+    # occurrence-stream shuffle into the df join, the (id, p)
+    # distinct and both min_run windows — is planned and executed
+    # PER CONSUMER (r15 executed-plan capture at 5M docs: two full
+    # copies, 17 Exchanges / 6 SortMergeJoins → 7 / 3 with the
+    # barrier). Narrow (id, p) longs only, same pattern as the
+    # line-dedup family (guide §2.4 / §5 localCheckpoint to cut
+    # lineage); r15 back-to-back at 5M docs, same host: 246.0 →
+    # 34.0 s serve with identical aggregates.
+    covered = covered.localCheckpoint(eager=False)
     affected_ids = covered.select(id_col).distinct()
     normalized = inputs.select(id_col, "_toks")
     untouched = normalized.join(affected_ids, id_col, "left_anti").select(
