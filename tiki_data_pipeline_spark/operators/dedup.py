@@ -1214,6 +1214,36 @@ def _span_warr(
     return inputs, warr
 
 
+def _dup_occurrences(
+    occ: DataFrame, id_col: str, min_df: int
+) -> DataFrame:
+    """Rows of ``occ`` (one row per span-hash OCCURRENCE, any extra
+    columns carried through) whose ``span_hash`` occurs in at least
+    ``min_df`` DISTINCT documents — computed on one hash-partitioned
+    exchange with window functions instead of a distinct-hash
+    aggregate joined back against the stream (guide §2.4: two
+    same-keyed consumers share one exchange). Within each hash
+    partition, rows sort by (hash, id); a lag marker flags each
+    document's first row, and the marker's partition-wide sum is the
+    hash's distinct-document count. Equal ids are adjacent after the
+    sort, so intra-document repeats contribute one marker (df counts
+    documents) while every occurrence row is kept."""
+    from pyspark.sql import Window as W
+
+    wp = W.partitionBy("span_hash")
+    wo = wp.orderBy(id_col)
+    prev = F.lag(id_col).over(wo)
+    return (
+        occ.withColumn(
+            "_new",
+            F.when(prev.isNull() | (prev != F.col(id_col)), 1).otherwise(0),
+        )
+        .withColumn("_df", F.sum("_new").over(wp))
+        .filter(F.col("_df") >= min_df)
+        .drop("_new", "_df")
+    )
+
+
 def duplicate_span_stats(
     docs: DataFrame,
     span: int = 8,
@@ -1234,46 +1264,31 @@ def duplicate_span_stats(
     that document-level dedup misses because the surrounding text
     differs.
 
-    Shape at 100 TB (r14 single-pass form): ONE evaluation of the
+    Shape at 100 TB (r15 fused-inventory form): ONE evaluation of the
     tokenize → token-hash → rolling-kernel pipeline, materialized as
-    the per-doc window-hash array (:func:`_span_warr`). From that
-    array, document frequency aggregates over per-doc DISTINCT
-    hashes (``array_distinct`` row-local, then a map-side-combined
-    count by hash — the shuffle carries one row per distinct
-    (partition, hash), never the occurrence stream), ``n_spans`` is
-    plain array length (no aggregation at all), and ``n_dup_spans``
-    counts the occurrence stream AFTER the join with the df≥2 set has
-    filtered it down to duplicated occurrences — the minority on a
-    real corpus, so the per-doc groupBy shuffles only what is
-    actually duplicated. This replaces the r10–r13 shared
-    (doc, hash, n_occ) inventory exchange, which shuffled the FULL
-    occurrence stream (measured as the stats half's wall: 95.9 s of
-    the 5M-doc run) to save a hash pass that the r13 kernel + the
-    materialized array now make cheap. Window count is linear in
-    corpus tokens; a ``span``-token window at the default 8 keeps the
-    hash space dense enough that chance collisions (~n²/2³¹ for n
-    distinct windows) stay negligible at test scale and are
-    CONSERVATIVE (a collision can only over-report duplication;
-    production at trillions of windows widens the hash).
+    the per-doc window-hash array (:func:`_span_warr`), then ONE
+    exchange of the occurrence stream — hash-partitioned by
+    ``span_hash`` — over which document frequency is computed IN
+    PLACE with window functions (:func:`_dup_occurrences`): a lag
+    marker flags each hash's first row per document, its partition
+    sum is the distinct-document count, and rows of hashes with
+    df ≥ 2 flow straight into the per-doc aggregation. The r14 shape
+    derived a df table from a second (distinct-hash) exchange and
+    SortMergeJoined it back against the occurrence stream — two full
+    corpus-order exchanges plus both SMJ sorts; the fused window
+    keeps one (5M-doc A/B, same session: join 83.9–123.3 s vs window
+    57.1–96.2 s, identical aggregates). ``n_spans`` stays plain array
+    length. Window count is linear in corpus tokens; a ``span``-token
+    window at the default 8 keeps the hash space dense enough that
+    chance collisions (~n²/2³¹ for n distinct windows) stay
+    negligible at test scale and are CONSERVATIVE (a collision can
+    only over-report duplication; production at trillions of windows
+    widens the hash).
     """
     _, warr = _span_warr(docs, id_col, text_col, hash_mode, span, fold)
-    # df over per-doc distinct hashes: a plain count IS the
-    # distinct-document count. Singleton hashes (the overwhelming
-    # mass) die here, before any join.
-    df_tbl = (
-        warr.select(
-            F.explode(F.array_distinct(F.col("_wh"))).alias("span_hash")
-        )
-        .groupBy("span_hash")
-        .agg(F.count(F.lit(1)).alias("span_df"))
-        .filter(F.col("span_df") >= 2)
-        .select("span_hash")
-    )
-    # occurrences of duplicated hashes only: the inner join prunes
-    # the stream before the per-doc aggregation shuffles anything
+    occ = warr.select(F.col(id_col), F.explode("_wh").alias("span_hash"))
     dup_occ = (
-        warr.select(F.col(id_col), F.explode("_wh").alias("span_hash"))
-        .join(df_tbl, "span_hash")
+        _dup_occurrences(occ, id_col, min_df=2)
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).cast("long").alias("n_dup_spans"))
     )
@@ -1373,38 +1388,47 @@ def remove_duplicate_spans(
         # 1-based window start, matching the hash family's slice index
         .select(id_col, (F.col("_p0") + 1).alias("s"), "span_hash")
     )
-    # document frequency over per-doc DISTINCT hashes (plain count ==
-    # distinct-doc count, full map-side combine; see
-    # duplicate_span_stats for why this beats count_distinct over the
-    # occurrence stream at corpus scale)
-    dup_hashes = (
-        warr.select(
-            F.explode(F.array_distinct(F.col("_wh"))).alias("span_hash")
-        )
-        .groupBy("span_hash")
-        .agg(F.count(F.lit(1)).alias("span_df"))
-        .filter(F.col("span_df") >= min_df)
-        .select("span_hash")
+    # corpus-wide document frequency fused onto the occurrence
+    # stream's own exchange (r15, guide §2.4): window-count distinct
+    # docs per hash in place and keep rows with df >= min_df — the
+    # r14 shape aggregated a distinct-hash df table on a second
+    # exchange and SortMergeJoined it back (both SMJ sorts + one more
+    # full corpus-order exchange; see duplicate_span_stats' A/B).
+    return _cut_covered_spans(
+        inputs,
+        wins,
+        None,
+        span,
+        min_run,
+        id_col,
+        dup_wins=_dup_occurrences(wins, id_col, min_df),
     )
-    return _cut_covered_spans(inputs, wins, dup_hashes, span, min_run, id_col)
 
 
 def _cut_covered_spans(
     inputs: DataFrame,
     wins: DataFrame,
-    dup_hashes: DataFrame,
+    dup_hashes: DataFrame | None,
     span: int,
     min_run: int | None,
     id_col: str,
+    dup_wins: DataFrame | None = None,
 ) -> DataFrame:
     """The coverage→cut tail shared by :func:`remove_duplicate_spans`
     (corpus-wide df) and :func:`incremental_span_removal` (persisted
     store df + within-batch df): expand each duplicated window into
     its ≤``span`` covered positions, optionally keep only maximal
     runs of ≥ ``min_run`` tokens, and re-emit cleaned text with
-    per-doc accounting. Text shuffles only for affected docs."""
+    per-doc accounting. Text shuffles only for affected docs.
+
+    Duplicated occurrences arrive EITHER as ``dup_wins`` (already
+    df-filtered rows — the corpus case, where the window-function df
+    shares the occurrence stream's exchange) OR as ``wins`` plus a
+    ``dup_hashes`` set to inner-join (the incremental case, whose df
+    table folds in a persisted store sidecar the stream cannot
+    window over)."""
     covered = (
-        wins.join(dup_hashes, "span_hash")
+        (dup_wins if dup_wins is not None else wins.join(dup_hashes, "span_hash"))
         .select(
             id_col,
             F.explode(
@@ -1442,8 +1466,9 @@ def _cut_covered_spans(
     # copies, 17 Exchanges / 6 SortMergeJoins → 7 / 3 with the
     # barrier). Narrow (id, p) longs only, same pattern as the
     # line-dedup family (guide §2.4 / §5 localCheckpoint to cut
-    # lineage); r15 back-to-back at 5M docs, same host: 246.0 →
-    # 34.0 s serve with identical aggregates.
+    # lineage); r15 at 5M docs, clean alternating subprocesses on one
+    # host: 246.0 s (r14 shape) → 111.7–140.0 s (barrier + fused
+    # window df) with identical aggregates.
     covered = covered.localCheckpoint(eager=False)
     affected_ids = covered.select(id_col).distinct()
     normalized = inputs.select(id_col, "_toks")
