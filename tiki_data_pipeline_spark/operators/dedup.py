@@ -275,8 +275,12 @@ def minhash_signatures(sh: DataFrame, k: int = MINHASH_K, id_col: str = "doc_id"
     columns over the universal-hash family (no seed explosion)."""
     h0 = (_md5_long32(F.col("shingle")).bitwiseAND(F.lit(_H0_MASK))).alias("h0")
     hashed = sh.select(id_col, h0)
+    # one SQL parse per min column instead of ~6 py4j round trips of
+    # Column algebra each: serve CONSTRUCTION is driver-side py4j
+    # chatter (r15 profile: 0.18 → 0.045 s per call, results
+    # identical) — at k=16 this is built for every minhash serve
     mins = [
-        F.min((F.col("h0") * a + b) % MINHASH_PRIME).alias(f"mh{i}")
+        F.expr(f"min((h0 * {a}L + {b}L) % {MINHASH_PRIME}L) AS mh{i}")
         for i, (a, b) in enumerate(_minhash_params(k))
     ]
     return hashed.groupBy(id_col).agg(*mins)
