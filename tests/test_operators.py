@@ -1224,3 +1224,33 @@ def test_precomputed_sigs_equal_inline_path(spark, tmp_path):
     }
     assert st_plain == st_fps
     assert (999_999, "no_text", None) in st_fps
+
+
+def test_dup_occurrences_matches_join_form(spark):
+    """The r15 fused-window df (_dup_occurrences) must select exactly
+    the rows the r14 distinct-aggregate + join selected: occurrences
+    whose hash appears in >= min_df DISTINCT docs (intra-doc repeats
+    count once toward df but every occurrence row is kept)."""
+    from pyspark.sql import functions as F
+
+    rows = []
+    # hash 1: docs 1,2 (df=2); hash 2: doc 1 twice (df=1, intra-doc
+    # repeat); hash 3: docs 2,3,3 (df=2 with a repeat in doc 3);
+    # hash 4: doc 4 only (df=1)
+    for i, (d, h) in enumerate(
+        [(1, 1), (2, 1), (1, 2), (1, 2), (2, 3), (3, 3), (3, 3), (4, 4)]
+    ):
+        rows.append((d, i, h))
+    occ = spark.createDataFrame(rows, "doc_id long, s long, span_hash long")
+    got = sorted(
+        map(tuple, DD._dup_occurrences(occ, "doc_id", 2).collect())
+    )
+    dup_hashes = (
+        occ.select("doc_id", "span_hash").distinct()
+        .groupBy("span_hash").agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2).select("span_hash")
+    )
+    want = sorted(map(tuple, occ.join(dup_hashes, "span_hash")
+                      .select("doc_id", "s", "span_hash").collect()))
+    got = sorted((d, s, h) for (d, s, h) in got)
+    assert got == want and len(got) == 5
